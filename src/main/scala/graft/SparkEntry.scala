@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared capability surface: one named entry per
+  * implemented operator from SURVEY §2, each paired (where ANSI-SQL can
+  * express it) with DuckDB oracle SQL in `oracleSql` that the driver
+  * hash-compares at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the full dedup -> stats -> broadcast-join -> z-score anomaly
+    * pipeline (SURVEY §7.2) on sf0.001; driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    Sessions.tune(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    MartReadings.fromStaging(Staging.fromEvents(Tables.events(spark, sfDir)))
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Staging.fromEvents(Tables.events(s, dir))
+  private def martOf(s: SparkSession, dir: String): DataFrame =
+    MartReadings.fromStaging(ev(s, dir))
+
+  /** IoT model-chain queries (reference dbt DAG re-expressed). */
+  private val iotQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stg_readings"        -> ((s, d) => ev(s, d)),
+    "int_anomalies"       -> ((s, d) => Anomalies.fromStaging(ev(s, d))),
+    "mart_readings"       -> ((s, d) => martOf(s, d)),
+    "mart_summary"        -> ((s, d) => PipelineSummary.overall(martOf(s, d))),
+    "summary_by_load"     -> ((s, d) => PipelineSummary.byLoad(ev(s, d))),
+    "summary_by_device"   -> ((s, d) => PipelineSummary.byDevice(martOf(s, d))),
+    "summary_by_location" -> ((s, d) => PipelineSummary.byLocation(martOf(s, d))),
+    "anomaly_breakdown"   -> ((s, d) => PipelineSummary.anomalyBreakdown(martOf(s, d)))
+  )
+
+  private val iotOracle: Map[String, String] = Map(
+    "stg_readings"        -> IotOracle.stgReadings,
+    "int_anomalies"       -> IotOracle.intAnomalies,
+    "mart_readings"       -> IotOracle.martReadings,
+    "mart_summary"        -> IotOracle.martSummary,
+    "summary_by_load"     -> IotOracle.summaryByLoad,
+    "summary_by_device"   -> IotOracle.summaryByDevice,
+    "summary_by_location" -> IotOracle.summaryByLocation,
+    "anomaly_breakdown"   -> IotOracle.anomalyBreakdown
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    iotQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    iotOracle
 }

@@ -23,14 +23,13 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the nanos as a plain
-    * long (legacy flag) and truncate to microseconds — which is byte-for-byte
-    * the same truncation DuckDB applies when it reads the same file, so the
-    * oracle sees identical timestamps.
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). With
+    * `spark.sql.legacy.parquet.nanosAsLong` (set at session construction —
+    * see [[Sessions]]) the nanos arrive as a plain long; truncate to
+    * microseconds — byte-for-byte the same truncation DuckDB applies when it
+    * reads the same file, so the oracle sees identical timestamps.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 }

@@ -1,0 +1,147 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Exact
+
+/** Intermediate layer: statistical anomaly detection over staged readings.
+  *
+  * Re-expresses the reference intermediate model end-to-end
+  * (reference: dbt_transform/models/intermediate/int_temperature_anomalies.sql:10-166):
+  *
+  *  - W1 dedup via `row_number()` keeping the latest record per
+  *    (device, minute) — retargeted from the reference's exact-timestamp key
+  *    so the testdata actually contains duplicates to drop;
+  *  - A1-A4 global/device/location/environment stats with the reference's
+  *    HAVING min-count guards (>=5 / >=10 / >=5);
+  *  - J1 one-row cross join (broadcast — BroadcastNestedLoopJoin, no
+  *    shuffle) + J2-J4 broadcast-hash left joins onto the stat dims;
+  *  - P14 sigma-guarded z-scores, P15 threshold flags (3 global, 3-0.5 for
+  *    the scoped flags) + OR-combined is_anomaly, P12 greatest-of score.
+  *
+  * Scale notes: the stats dims are bounded by |devices| / |locations| /
+  * |environments| — tiny next to the fact table — so every join broadcasts
+  * and the only shuffles are the dedup window and the groupBys (all
+  * partial-aggregated map-side). At 100 TB the dedup window partitions by
+  * (device_id, minute): high cardinality, no skew hot-spot.
+  */
+object Anomalies {
+
+  /** Dedup + validity filter — the reference's `valid_readings` CTE
+    * (reference: int_temperature_anomalies.sql:10-25). */
+  def validReadings(staging: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("device_id"), date_trunc("minute", col("reading_timestamp")))
+      .orderBy(col("record_id").desc)
+    staging
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_valid_record") && col("temperature_celsius").isNotNull)
+      .drop("rn")
+  }
+
+  def fromStaging(staging: DataFrame): DataFrame = {
+    val valid = validReadings(staging)
+    val t = col("temperature_celsius").cast("double")
+
+    // A1 global stats (reference: int_temperature_anomalies.sql:28-34)
+    val globalStats = valid.agg(
+      Exact.davg(t).as("global_mean_temp"),
+      Exact.dstd(t).as("global_stddev_temp")
+    )
+    // A2 per-device stats + HAVING >= 5 (reference: int_temperature_anomalies.sql:37-48)
+    val deviceStats = valid
+      .groupBy("device_id")
+      .agg(
+        Exact.davg(t).as("device_mean_temp"),
+        Exact.dstd(t).as("device_stddev_temp"),
+        count(lit(1)).as("device_reading_count")
+      )
+      .filter(col("device_reading_count") >= 5)
+    // A3 per-location stats + HAVING >= 10 (reference: int_temperature_anomalies.sql:51-61)
+    val locationStats = valid
+      .filter(col("location").isNotNull)
+      .groupBy("location")
+      .agg(
+        Exact.davg(t).as("location_mean_temp"),
+        Exact.dstd(t).as("location_stddev_temp"),
+        count(lit(1)).as("location_reading_count")
+      )
+      .filter(col("location_reading_count") >= 10)
+      .drop("location_reading_count")
+    // A4 per-environment stats + HAVING >= 5 (reference: int_temperature_anomalies.sql:64-74)
+    val envStats = valid
+      .filter(col("environment_type").isNotNull)
+      .groupBy("environment_type")
+      .agg(
+        Exact.davg(t).as("environment_mean_temp"),
+        Exact.dstd(t).as("environment_stddev_temp"),
+        count(lit(1)).as("environment_reading_count")
+      )
+      .filter(col("environment_reading_count") >= 5)
+      .drop("environment_reading_count")
+
+    // J1-J4 (reference: int_temperature_anomalies.sql:119-122)
+    val joined = valid
+      .crossJoin(broadcast(globalStats))
+      .join(broadcast(deviceStats), Seq("device_id"), "left")
+      .join(broadcast(locationStats), Seq("location"), "left")
+      .join(broadcast(envStats), Seq("environment_type"), "left")
+
+    // P14 z-scores (reference: int_temperature_anomalies.sql:85-113;
+    // macro form dbt_transform/macros/calculate_anomaly_score.sql:2-8)
+    val gz = when(col("global_stddev_temp") > 0,
+      abs(t - col("global_mean_temp")) / col("global_stddev_temp")).otherwise(lit(0.0))
+    val dz = when(col("device_stddev_temp") > 0 && col("device_reading_count") >= 5,
+      abs(t - col("device_mean_temp")) / col("device_stddev_temp"))
+      .otherwise(lit(null).cast("double"))
+    val lz = when(col("location_stddev_temp") > 0,
+      abs(t - col("location_mean_temp")) / col("location_stddev_temp"))
+      .otherwise(lit(null).cast("double"))
+    val ez = when(col("environment_stddev_temp") > 0,
+      abs(t - col("environment_mean_temp")) / col("environment_stddev_temp"))
+      .otherwise(lit(null).cast("double"))
+
+    // P15 flags + combined (reference: int_temperature_anomalies.sql:129-158;
+    // threshold var dbt_project.yml:38 -> 3, scoped flags at 3 - 0.5)
+    val scored = joined
+      .withColumn("global_z_score", gz)
+      .withColumn("device_z_score", dz)
+      .withColumn("location_z_score", lz)
+      .withColumn("environment_z_score", ez)
+      .withColumn("is_global_anomaly",
+        when(col("global_z_score") > 3.0, true).otherwise(false))
+      .withColumn("is_device_anomaly",
+        when(col("device_z_score") > 2.5, true).otherwise(false))
+      .withColumn("is_location_anomaly",
+        when(col("location_z_score") > 2.5, true).otherwise(false))
+      .withColumn("is_environment_anomaly",
+        when(col("environment_z_score") > 2.5, true).otherwise(false))
+      .withColumn("is_anomaly",
+        when(col("global_z_score") > 3.0
+          || col("device_z_score") > 2.5
+          || col("location_z_score") > 2.5
+          || col("environment_z_score") > 2.5, true).otherwise(false))
+      // P12 greatest-of overall score (reference: int_temperature_anomalies.sql:161-166)
+      .withColumn("anomaly_score",
+        greatest(
+          coalesce(col("global_z_score"), lit(0.0)),
+          coalesce(col("device_z_score"), lit(0.0)),
+          coalesce(col("location_z_score"), lit(0.0)),
+          coalesce(col("environment_z_score"), lit(0.0))
+        ))
+
+    scored.select(
+      "record_id", "device_id", "reading_timestamp", "temperature_celsius",
+      "location", "environment_type", "is_valid_record", "data_quality_score",
+      "global_mean_temp", "global_stddev_temp",
+      "device_mean_temp", "device_stddev_temp", "device_reading_count",
+      "location_mean_temp", "location_stddev_temp",
+      "environment_mean_temp", "environment_stddev_temp",
+      "global_z_score", "device_z_score", "location_z_score", "environment_z_score",
+      "is_global_anomaly", "is_device_anomaly", "is_location_anomaly",
+      "is_environment_anomaly", "is_anomaly", "anomaly_score"
+    )
+  }
+}

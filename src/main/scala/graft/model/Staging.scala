@@ -2,71 +2,110 @@ package graft.model
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-
-import graft.expr.Functions
+import org.apache.spark.sql.types.DecimalType
 
 /** Staging layer: raw readings -> cleaned, validated, quality-scored rows.
   *
-  * Re-expresses the reference's staging model
+  * Re-expresses the reference staging model
   * (reference: dbt_transform/models/staging/stg_raw_temperature_readings.sql:8-82):
-  * range-validated temperature, location default via coalesce, case-insensitive
-  * environment classification, multi-field validity flag, weighted quality
-  * score. Retargeted at the driver `events` table (TESTDATA.md):
-  * user_id -> device, ts -> reading_timestamp, value -> temperature,
-  * event_type (+ a deterministic in/out suffix) -> location.
+  * null-guard source filter, range-validated `numeric(5,2)` cast, location
+  * default via coalesce, case-insensitive environment classification,
+  * multi-field validity flag, 0.4/0.4/0.2 weighted quality score.
+  *
+  * Retargeted at the driver `events` table (TESTDATA.md). The events->raw
+  * mapping below deliberately yields NULL / blank device_ids, NULL
+  * timestamps, and out-of-range temperatures so *every* branch of the
+  * validity flag and quality score is exercised by real rows (round-1
+  * VERDICT flagged the old mapping's dead branches).
+  *
+  * Everything here is narrow (no shuffle): it fuses with the parquet scan
+  * into a single whole-stage-codegen stage, and filters/pruning push down to
+  * the scan — the right shape at 100 TB.
   */
 object Staging {
 
-  /** events(event_id, ts, user_id, event_type, value, props) -> standard
-    * readings schema. Pure narrow ops — no shuffle; stays in one codegen stage
-    * fused with the parquet scan.
+  /** events(event_id, ts, user_id, event_type, value, props) -> the raw
+    * reading schema the reference ingests
+    * (reference: dlt_ingest/iot_temperature_pipeline.py:146-209).
+    *
+    * Deterministic mapping (mirrored in [[IotOracle.rawReadingsSql]]):
+    *  - device_id: NULL for user_id%97==0, blank for %89==0, else DEV_nnnn
+    *  - reading_timestamp: NULL for error-events of user_id%11==0
+    *  - temperature_raw: value fmod 170 - 60 -> range [-60, 110) so both
+    *    range-validation tails trip
+    *  - location_raw: NULL for 'view' events (coalesce default path), else
+    *    event_type + deterministic _in/_out/'' suffix (all three
+    *    environment-classifier branches)
     */
-  def fromEvents(events: DataFrame): DataFrame = {
-    // Deterministic in/out suffix so the Indoor/Outdoor classifier has all
-    // three branches to exercise (reference locations end _in / _out).
+  def rawReadings(events: DataFrame): DataFrame = {
     val suffix = when(col("user_id") % 3 === 0, lit("_in"))
       .when(col("user_id") % 3 === 1, lit("_out"))
       .otherwise(lit(""))
-    // 'view' events act as the missing-location case -> coalesce default
-    // (reference: stg_raw_temperature_readings.sql:36).
-    val locRaw = when(col("event_type") === "view", lit(null).cast("string"))
-      .otherwise(concat(col("event_type"), suffix))
-    val location = coalesce(locRaw, lit("Unknown_Room"))
-
-    val deviceId = concat(lit("DEV_"), lpad(col("user_id").cast("string"), 4, "0"))
-    // Range-validated measurement: outside [-50, 100] -> NULL
-    // (reference: stg_raw_temperature_readings.sql:28-33, vars dbt_project.yml:34-35).
-    val temp = when(col("value").isNotNull && col("value").between(-50, 100), col("value"))
-      .otherwise(lit(null).cast("double"))
-
-    val loc = lower(location)
-    // Case-insensitive containment classification
-    // (reference: stg_raw_temperature_readings.sql:39-43).
-    val envType = when(loc.contains("_out") || loc.contains("outdoor"), lit("Outdoor"))
-      .when(loc.contains("_in") || loc.contains("indoor") || loc.contains("office"), lit("Indoor"))
-      .otherwise(lit("Unknown"))
-
-    val base = events.select(
-      col("event_id").as("record_id"),
-      deviceId.as("device_id"),
-      col("ts").as("reading_timestamp"),
-      temp.as("temperature_c"),
-      location.as("location")
-    )
-
-    base
-      .withColumn("environment_type", envType)
-      // Multi-field validity flag (reference: stg_raw_temperature_readings.sql:64-69).
-      .withColumn(
-        "is_valid_record",
-        when(col("device_id").isNull || trim(col("device_id")) === "", lit(false))
-          .when(col("reading_timestamp").isNull, lit(false))
-          .when(col("temperature_c").isNull, lit(false))
-          .otherwise(lit(true))
-      )
-      .withColumn(
-        "data_quality_score",
-        Functions.coreQualityScore(col("device_id"), col("reading_timestamp"), col("temperature_c"))
+    events
+      // P1 null-guard (reference: stg_raw_temperature_readings.sql:11-14)
+      .filter(col("event_id").isNotNull)
+      .select(
+        col("event_id").as("record_id"),
+        when(col("user_id") % 97 === 0, lit(null).cast("string"))
+          .when(col("user_id") % 89 === 0, lit(" "))
+          .otherwise(concat(lit("DEV_"), lpad(col("user_id").cast("string"), 4, "0")))
+          .as("device_id"),
+        when(col("event_type") === "error" && col("user_id") % 11 === 0,
+          lit(null).cast("timestamp")).otherwise(col("ts"))
+          .as("reading_timestamp"),
+        (col("value") % lit(170.0) - lit(60.0)).as("temperature_raw"),
+        when(col("event_type") === "view", lit(null).cast("string"))
+          .otherwise(concat(col("event_type"), suffix))
+          .as("location_raw")
       )
   }
+
+  /** Raw readings -> staging rows (the reference staging model proper). */
+  def fromRaw(raw: DataFrame): DataFrame = {
+    // P2 range-validated cast (reference: stg_raw_temperature_readings.sql:28-33;
+    // bounds from vars, dbt_project.yml:34-35)
+    val tempC = when(
+      col("temperature_raw").isNotNull &&
+        col("temperature_raw").between(-50.0, 100.0),
+      col("temperature_raw").cast(DecimalType(5, 2))
+    ).otherwise(lit(null).cast(DecimalType(5, 2)))
+
+    val cleaned = raw.select(
+      col("record_id"),
+      col("device_id"),
+      col("reading_timestamp"),
+      tempC.as("temperature_celsius"),
+      // P3 coalesce default (reference: stg_raw_temperature_readings.sql:36)
+      coalesce(col("location_raw"), lit("Unknown_Room")).as("location")
+    )
+
+    val loc = lower(col("location"))
+    cleaned
+      // P4 case-insensitive classify (reference: stg_raw_temperature_readings.sql:39-43)
+      .withColumn(
+        "environment_type",
+        when(loc.contains("_out") || loc.contains("outdoor"), "Outdoor")
+          .when(loc.contains("_in") || loc.contains("indoor") || loc.contains("office"), "Indoor")
+          .otherwise("Unknown")
+      )
+      // P5 multi-field validity flag (reference: stg_raw_temperature_readings.sql:64-69)
+      .withColumn(
+        "is_valid_record",
+        when(col("device_id").isNull || trim(col("device_id")) === "", false)
+          .when(col("reading_timestamp").isNull, false)
+          .when(col("temperature_celsius").isNull, false)
+          .otherwise(true)
+      )
+      // P6 weighted 0.4/0.4/0.2 quality score, computed in exact integer
+      // tenths so Spark and the DuckDB oracle agree bit-for-bit
+      // (reference: stg_raw_temperature_readings.sql:72-76)
+      .withColumn(
+        "data_quality_score",
+        (when(col("device_id").isNotNull && trim(col("device_id")) =!= "", 4).otherwise(0) +
+          when(col("reading_timestamp").isNotNull, 4).otherwise(0) +
+          when(col("temperature_celsius").isNotNull, 2).otherwise(0)) / lit(10.0)
+      )
+  }
+
+  def fromEvents(events: DataFrame): DataFrame = fromRaw(rawReadings(events))
 }
