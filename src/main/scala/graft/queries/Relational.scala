@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.expr.Exact
+import graft.expr.Exact._
+
+/** General relational capability queries over the TPC-H-ish testdata star
+  * schema (TESTDATA.md). These widen the engine surface beyond the
+  * reference's own operators to what SURVEY §7.3 declares: multi-way PK-FK
+  * joins (J5), top-N (O2), semi/anti joins, lag/lead + frame-spec windows,
+  * rollup, pivot, set ops, JSON extraction and sha2 over `events.props`
+  * (F11), and the retention filter (S10).
+  *
+  * Every query has a lock-step DuckDB oracle in [[oracles]] — same explicit
+  * casts, same Exact.* decimal-sum aggregates, same tiebreaks — so the
+  * driver's hash/schema compare is deterministic.
+  *
+  * Scale shape (100 TB posture):
+  *  - star joins broadcast the genuinely-small dims (region 5 rows, nation
+  *    25) and leave the big-to-big joins (lineitem⋈orders) to shuffle-hash
+  *    with AQE; no driver-side collects anywhere;
+  *  - top-N is groupBy + orderBy + limit → Spark plans TakeOrderedAndProject
+  *    (per-partition top-k then merge, never a global sort of the fact);
+  *  - windows partition on high-cardinality keys (custkey, brand) — no
+  *    single-partition global window anywhere.
+  */
+object Relational {
+
+  /** Revenue expr used by several queries: extendedprice * (1-discount),
+    * summed exactly (order-independent) via DECIMAL — see [[Exact]]. */
+  private def revenue = Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+  private val revenueSql = dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: P2-style filter pushdown + A-class
+    // grand aggregation with decimal-exact sums/avgs.
+    "q1_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          Exact.davg(col("l_extendedprice")).as("avg_price"),
+          Exact.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    }),
+
+    // J5 multi-way PK-FK star join: fact ⋈ orders ⋈ customer ⋈ nation ⋈
+    // region. nation/region are broadcast (tiny); lineitem⋈orders and
+    // ⋈customer shuffle on their keys with AQE re-planning.
+    "star_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(
+          revenue.as("revenue"),
+          count(lit(1)).as("lineitem_count"),
+          countDistinct(col("c_custkey")).as("unique_customers")
+        )
+    }),
+
+    // O2 top-N: revenue per customer, deterministic tiebreak on custkey.
+    // Plans as partial-agg → shuffle → TakeOrderedAndProject (no full sort).
+    "top_customers" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(revenue.as("revenue"), count(lit(1)).as("lineitem_count"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+
+    // Left-semi join: customers having at least one open ('O') order.
+    "semi_join_open_orders" -> ((s, d) => {
+      Tables.customer(s, d).join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+    }),
+
+    // Left-anti join: customers with no in-progress ('P') order.
+    "anti_join_no_p_orders" -> ((s, d) => {
+      Tables.customer(s, d).join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+    }),
+
+    // lag/lead window over each customer's order history + day gaps.
+    "window_lag_orders" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev")
+      )
+    }),
+
+    // Frame-spec running aggregates per customer (rows between unbounded
+    // preceding and current row); running sum decimal-exact so the prefix
+    // sums are order-of-accumulation independent.
+    "window_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(27, 6))).over(w).cast("double").as("running_spend"),
+        count(lit(1)).over(w).as("order_seq")
+      )
+    }),
+
+    // row_number / rank / dense_rank / ntile within brand by price.
+    "rank_parts_by_price" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("price_quartile")
+      )
+    }),
+
+    // INTERSECT: brands appearing among both returned ('R') and accepted
+    // ('A') lineitems.
+    "brand_set_intersect" -> ((s, d) => {
+      def brands(flag: String) = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === flag)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select("p_brand")
+      brands("R").intersect(brands("A"))
+    }),
+
+    // EXCEPT: parts never seen on a returned lineitem.
+    "part_set_except" -> ((s, d) => {
+      val all = Tables.part(s, d).select("p_partkey")
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("p_partkey"))
+      all.except(returned)
+    }),
+
+    // UNION-distinct across two domains.
+    "union_distinct_flags" -> ((s, d) => {
+      Tables.lineitem(s, d).select(col("l_returnflag").as("flag"))
+        .union(Tables.orders(s, d).select(col("o_orderstatus").as("flag")))
+        .distinct()
+    }),
+
+    // F-JSON: scalar JSON extraction from events.props + group aggregate.
+    "json_props_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(
+          count(lit(1)).as("events"),
+          Exact.davg(col("value")).as("avg_value"),
+          max(col("k")).as("max_k")
+        )
+    }),
+
+    // F11 sha2 over event attributes (the reference's file-hash op
+    // retargeted to row scope — iot_temperature_pipeline.py:236-245).
+    "sha2_events" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        sha2(concat(col("event_type"), lit(":"), col("user_id").cast("string")), 256).as("row_hash")
+      )
+    }),
+
+    // S10 retention filter-rewrite: keep only events newer than a pinned
+    // cutoff (reference deletes raw rows older than 90 days,
+    // iot_temperature_dag.py:267-270; pinned for oracle determinism).
+    "retention_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+    }),
+
+    // ROLLUP over (returnflag, linestatus) with subtotal + grand-total rows.
+    "rollup_line_status" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // PIVOT: per-user-cohort event-type counts as columns.
+    "pivot_event_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing" -> s"""
+SELECT l_returnflag, l_linestatus,
+  ${dsumSql("l_quantity")} AS sum_qty,
+  ${dsumSql("l_extendedprice")} AS sum_base_price,
+  $revenueSql AS sum_disc_price,
+  ${dsumSql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax)")} AS sum_charge,
+  ${davgSql("l_quantity")} AS avg_qty,
+  ${davgSql("l_extendedprice")} AS avg_price,
+  ${davgSql("l_discount")} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+
+    "star_revenue" -> s"""
+SELECT r_name AS region, n_name AS nation,
+  $revenueSql AS revenue,
+  COUNT(*) AS lineitem_count,
+  COUNT(DISTINCT c_custkey) AS unique_customers
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+
+    "top_customers" -> s"""
+SELECT o_custkey,
+  $revenueSql AS revenue,
+  COUNT(*) AS lineitem_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 10""",
+
+    "semi_join_open_orders" -> """
+SELECT * FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+
+    "anti_join_no_p_orders" -> """
+SELECT * FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""",
+
+    "window_lag_orders" -> """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price,
+  CAST(datediff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "window_running_total" -> """
+SELECT o_orderkey, o_custkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE) AS running_spend,
+  COUNT(*) OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "rank_parts_by_price" -> """
+SELECT p_partkey, p_brand, p_retailprice,
+  CAST(row_number() OVER w AS INT) AS rn,
+  CAST(rank() OVER w AS INT) AS rnk,
+  CAST(dense_rank() OVER w AS INT) AS drnk,
+  CAST(ntile(4) OVER w AS INT) AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)""",
+
+    "brand_set_intersect" -> """
+SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'R'
+INTERSECT
+SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'A'""",
+
+    "part_set_except" -> """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey AS p_partkey FROM lineitem WHERE l_returnflag = 'R'""",
+
+    "union_distinct_flags" -> """
+SELECT l_returnflag AS flag FROM lineitem
+UNION
+SELECT o_orderstatus AS flag FROM orders""",
+
+    "json_props_agg" -> s"""
+WITH ev AS (
+  SELECT *, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events
+)
+SELECT k % 10 AS k_bucket,
+  COUNT(*) AS events,
+  ${davgSql("value")} AS avg_value,
+  MAX(k) AS max_k
+FROM ev GROUP BY k % 10""",
+
+    "sha2_events" -> """
+SELECT event_id,
+  sha256(event_type || ':' || CAST(user_id AS VARCHAR)) AS row_hash
+FROM events""",
+
+    "retention_filter" -> """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""",
+
+    "rollup_line_status" -> s"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "pivot_event_counts" -> s"""
+SELECT user_id % 10 AS cohort,
+  ${cntIfSql("event_type = 'click'")} AS click,
+  ${cntIfSql("event_type = 'error'")} AS error,
+  ${cntIfSql("event_type = 'purchase'")} AS purchase,
+  ${cntIfSql("event_type = 'signup'")} AS signup,
+  ${cntIfSql("event_type = 'view'")} AS "view"
+FROM events GROUP BY user_id % 10"""
+  )
+}
