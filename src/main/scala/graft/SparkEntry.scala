@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.Relational
+import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,10 +53,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    iotQueries ++ Relational.queries
+    iotQueries ++ Relational.queries ++
+      TextAnalysis.queries ++ TextDedup.queries ++ TextDedup.noOracleQueries ++
+      Similarity.queries ++ Similarity.noOracleQueries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (those
+    * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    iotOracle ++ Relational.oracles
+    iotOracle ++ Relational.oracles ++
+      TextAnalysis.oracles ++ TextDedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

@@ -60,6 +60,10 @@ object Exact {
     s"CASE WHEN COUNT($e) > 1 THEN sqrt(greatest(($sq - $s * $s / $n) / ($n - CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE))) ELSE NULL END"
   }
 
+  /** Integer SUM as BIGINT on both engines (DuckDB SUM(int) is HUGEINT;
+    * Spark is LONG — align on LONG/BIGINT). */
+  def dsumLong(c: Column): Column = sum(c.cast("long"))
+
   /** SUM of a 0/1 CASE as BIGINT on both engines (DuckDB SUM(int) is
     * HUGEINT; Spark is LONG — align on LONG/BIGINT). */
   def cntIf(flag: Column): Column = sum(when(flag, 1L).otherwise(0L))

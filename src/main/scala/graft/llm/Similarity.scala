@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - `ann_topk_cosine`: brute-force exact cosine top-k for a query subset —
+  *    the correctness baseline. Dot products are computed with explicit
+  *    float→double casts and left-to-right folds so the DuckDB oracle (same
+  *    fold, same order) is bit-identical.
+  *  - `cosine_neardup`: all-pairs-above-threshold (embedding near-dup
+  *    detection); same arithmetic.
+  *  - `ann_lsh_topk`: the scale path — random-hyperplane LSH bucketing so
+  *    each query only scores its bucket. Registered rows-only (bucketing is
+  *    engine-side), recall is ScalaTest-checked against brute force.
+  *
+  * Scale posture: brute-force is O(Q·N) — fine for a query subset, the
+  * benchmark baseline, and re-ranking; the LSH variant bounds candidate
+  * counts per query via signature buckets (more hyperplanes → smaller
+  * buckets), which is how this runs over billions of vectors: bucket id is
+  * the shuffle key, each bucket scores locally, no all-pairs shuffle.
+  */
+object Similarity {
+
+  val TopK = 5
+  val NearDupThreshold = 0.4
+
+  /** Left-fold dot product with per-element float→double casts — operand
+    * order matches [[dotSql]] exactly. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Embeddings with precomputed norms (computed once, reused per pair). */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-k for every 50th vector as query.
+    "ann_topk_cosine" -> ((s, d) => {
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val scored = q.crossJoin(c)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    }),
+
+    // Embedding near-duplicate pairs above the cosine threshold.
+    "cosine_neardup" -> ((s, d) => {
+      val a = withNorm(s, d).select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withNorm(s, d).select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= NearDupThreshold)
+        .select("id_a", "id_b", "cosine")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_topk_cosine" -> s"""
+WITH e AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= $TopK""",
+
+    "cosine_neardup" -> s"""
+WITH e AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupThreshold"""
+  )
+
+  // ---- LSH ANN (scale path; rows-only + ScalaTest recall check) ----------
+
+  /** Bucket-count knob: 2^NumPlanes buckets. Sized so buckets hold a few
+    * dozen vectors at the test scale; at billions of vectors this scales up
+    * (more planes → smaller buckets) and/or multi-probes neighboring
+    * signatures for recall. */
+  private val NumPlanes = 4
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  private[llm] val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature: bit j set iff plane_j · v >= 0. */
+  def signature(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Bucketed approximate top-k: queries only score candidates sharing
+    * their signature bucket. */
+  def annLshTopK(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+    val e = withNorm(s, d).withColumn("sig", signature(col("embedding")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("sig"), col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("sig"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, "sig")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_lsh_topk" -> ((s, d) => annLshTopK(s, d))
+  )
+}

@@ -1,0 +1,200 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.Exact._
+
+/** Text-analysis operators over the `documents` table: per-document
+  * statistics + quality scoring, token counting (whitespace and BPE-ish
+  * regex), language identification (stopword-marker heuristic), and
+  * document fingerprinting (sha256 + polynomial rolling hash).
+  *
+  * These are the per-document profiling passes a large-scale training-data
+  * pipeline runs before filtering/dedup. All are narrow per-row expressions
+  * (no shuffle except final aggregates) built from codegen'd array
+  * functions — at 100 TB they scale embarrassingly parallel with the scan.
+  */
+object TextAnalysis {
+
+  private val T  = Text.tokens(col("text"))
+  private val TS = Text.tokensSql("text")
+
+  /** BPE-ish pretokenizer pattern: letter runs | single digits | any other
+    * non-space symbol (GPT-2-style pretokenization simplified to what both
+    * Java and RE2 regex engines treat identically). */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document stats + weighted quality score (the LLM-pipeline analog
+    // of the reference's staging quality score,
+    // stg_raw_temperature_readings.sql:72-76).
+    "doc_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", T)
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))))
+        .withColumn("sum_token_len",
+          aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)))
+        .withColumn("max_token_len",
+          coalesce(array_max(transform(col("toks"), t => length(t))), lit(0)))
+        .withColumn("stopword_count",
+          size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "is", "to", "in"))))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          col("n_tokens"),
+          col("n_distinct_tokens"),
+          (col("sum_token_len").cast("double") / col("n_tokens").cast("double")).as("avg_token_len"),
+          (col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double")).as("type_token_ratio"),
+          col("max_token_len"),
+          col("stopword_count"),
+          (col("stopword_count").cast("double") / col("n_tokens").cast("double")).as("stopword_ratio"),
+          // weighted quality: length saturation 0.4 + lexical diversity 0.3
+          // + stopword presence 0.3 (all-double arithmetic, fixed order)
+          (least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) * lit(0.4)
+            + (col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
+            + least(lit(1.0), (col("stopword_count").cast("double") / col("n_tokens").cast("double")) * lit(5.0)) * lit(0.3)
+            ).as("quality_score")
+        )
+    }),
+
+    // Token counting: whitespace tokens vs BPE-ish regex pretokens.
+    "token_counts" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(T).as("ws_tokens"),
+        regexp_count(lower(col("text")), lit(BpePattern)).as("bpe_tokens"),
+        (regexp_count(lower(col("text")), lit(BpePattern)).cast("double")
+          / length(col("text")).cast("double")).as("tokens_per_char")
+      )
+    }),
+
+    // Language ID by stopword-marker counting with fixed-precedence argmax.
+    "lang_id" -> ((s, d) => {
+      val scored = Text.LangMarkers.foldLeft(Tables.documents(s, d).withColumn("toks", T)) {
+        case (df, (lang, markers)) =>
+          df.withColumn(s"score_$lang", size(filter(col("toks"), t => t.isin(markers: _*))))
+      }
+      val Seq(en, de, fr, es, zh) = Text.LangMarkers.map { case (l, _) => col(s"score_$l") }
+      scored.select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
+        es.as("score_es"), zh.as("score_zh"),
+        when(en === 0 && de === 0 && fr === 0 && es === 0 && zh === 0, "unknown")
+          .when(en >= de && en >= fr && en >= es && en >= zh, "en")
+          .when(de >= fr && de >= es && de >= zh, "de")
+          .when(fr >= es && fr >= zh, "fr")
+          .when(es >= zh, "es")
+          .otherwise("zh").as("predicted_lang")
+      )
+    }),
+
+    // Document fingerprints: exact sha256 (content + normalized) and the
+    // polynomial rolling hash (F11 retargeted at documents).
+    "doc_fingerprints" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("content_sha"),
+        sha2(array_join(T, " "), 256).as("normalized_sha"),
+        Text.rollingHash(T).as("rolling_hash")
+      )
+    }),
+
+    // Corpus-level rollup of the text stats (one aggregation pass).
+    "corpus_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", T)
+        .withColumn("n_tokens", size(col("toks")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          dsumLong(col("n_tokens")).as("total_tokens"),
+          davg(col("n_tokens").cast("double")).as("avg_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          countDistinct(col("lang")).as("langs")
+        )
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val stopSql = "list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))"
+    Map(
+      "doc_stats" -> s"""
+WITH base AS (
+  SELECT doc_id, text, $TS AS toks FROM documents
+), m AS (
+  SELECT doc_id, text,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+    list_reduce([0] || list_transform(toks, t -> CAST(length(t) AS INT)), (a,b) -> a+b) AS sum_token_len,
+    COALESCE(CAST(list_max(list_transform(toks, t -> CAST(length(t) AS INT))) AS INT), 0) AS max_token_len,
+    CAST(len($stopSql) AS INT) AS stopword_count
+  FROM base
+)
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  n_tokens, n_distinct_tokens,
+  CAST(sum_token_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+  CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+  max_token_len, stopword_count,
+  CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+    + (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+    + least(CAST(1.0 AS DOUBLE), (CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+    AS quality_score
+FROM m""",
+
+      "token_counts" -> s"""
+SELECT doc_id,
+  CAST(len($TS) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS INT) AS bpe_tokens,
+  CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS tokens_per_char
+FROM documents""",
+
+      "lang_id" -> {
+        val scores = Text.LangMarkers.map { case (lang, markers) =>
+          val in = markers.map(m => s"'$m'").mkString(",")
+          s"CAST(len(list_filter(toks, t -> t IN ($in))) AS INT) AS score_$lang"
+        }.mkString(",\n    ")
+        s"""
+WITH base AS (SELECT doc_id, lang, $TS AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang,
+    $scores
+  FROM base
+)
+SELECT doc_id, lang AS labeled_lang,
+  score_en, score_de, score_fr, score_es, score_zh,
+  CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 AND score_zh = 0 THEN 'unknown'
+       WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+       WHEN score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+       WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+       WHEN score_es >= score_zh THEN 'es'
+       ELSE 'zh' END AS predicted_lang
+FROM m"""
+      },
+
+      "doc_fingerprints" -> s"""
+SELECT doc_id,
+  sha256(text) AS content_sha,
+  sha256(array_to_string($TS, ' ')) AS normalized_sha,
+  ${Text.rollingHashSql(TS)} AS rolling_hash
+FROM documents""",
+
+      "corpus_stats" -> s"""
+WITH base AS (SELECT source, lang, CAST(len($TS) AS INT) AS n_tokens FROM documents)
+SELECT source,
+  COUNT(*) AS docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ${davgSql("CAST(n_tokens AS DOUBLE)")} AS avg_tokens,
+  MIN(n_tokens) AS min_tokens,
+  MAX(n_tokens) AS max_tokens,
+  COUNT(DISTINCT lang) AS langs
+FROM base GROUP BY source"""
+    )
+  }
+}

@@ -1,0 +1,196 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the core of any
+  * large-scale training-data pipeline:
+  *
+  *  - exact dedup: group by content fingerprint (sha256 of normalized text);
+  *  - near-dup by n-gram Jaccard: exact, via an inverted-index shuffle join
+  *    on shared 3-grams (full recall — any pair with Jaccard ≥ t shares at
+  *    least one gram);
+  *  - MinHash-LSH near-dup: 128 permutations banded 32×4; candidates from
+  *    band-bucket self-join, then *exact-verified* against true Jaccard, so
+  *    the output is a subset of the exact pairs (at our threshold the planted
+  *    near-dups sit at J ≥ 0.8 where the 32×4 banding miss probability is
+  *    ~(1-0.8⁴)³² ≈ 5e-8 — the LSH output equals the exact output and shares
+  *    its oracle);
+  *  - SimHash near-dup: 64-bit signatures, Hamming ≤ 3 via 4-band pigeonhole
+  *    blocking (3 differing bits can touch at most 3 of 4 bands, so one band
+  *    must match exactly → full recall). Signature depends on Spark's
+  *    xxhash64, so it has no cross-engine oracle; correctness is covered by
+  *    ScalaTest against the Jaccard ground truth.
+  *
+  * Scale posture: nothing here is all-pairs. Exact dedup is one hash
+  * aggregation; Jaccard joins on grams (prune-able by rare-gram selection at
+  * higher scale); MinHash/SimHash block into buckets whose sizes are
+  * data-bounded, and candidate verification touches only bucket-collision
+  * pairs. That is the 100 TB-shaped algorithm; the testdata run just keeps
+  * bucket sizes small.
+  */
+object TextDedup {
+
+  val JaccardThreshold = 0.5
+  private val N = 3
+
+  private val T = Text.tokens(col("text"))
+
+  /** (doc_id, grams) pairs table. */
+  private def gramSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), Text.ngrams(T, N).as("grams"))
+
+  /** Exact Jaccard for a candidate-pair table with columns d1, d2 — joins
+    * the gram sets back in and computes |∩| / |∪| in exact integer math. */
+  private def verifyJaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
+    val g1 = grams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
+    val g2 = grams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
+    pairs
+      .join(g1, "d1").join(g2, "d2")
+      .withColumn("n_shared", size(array_intersect(col("grams1"), col("grams2"))))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (size(col("grams1")) + size(col("grams2")) - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2", "n_shared", "jaccard")
+  }
+
+  /** The shared oracle for both the exact-Jaccard and MinHash queries:
+    * inverted-index exact pairs at the same threshold. */
+  private val jaccardPairsSql: String = s"""
+WITH ng AS (
+  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $JaccardThreshold"""
+
+  // ---- MinHash machinery -------------------------------------------------
+
+  /** 128 fixed random-affine permutations h_i(x) = (a_i·x + b_i) mod p over
+    * the base gram hash, banded 32×4. Constants from a fixed seed; p =
+    * 2^31−1 keeps a·x inside Long. */
+  private val NumPerms = 128
+  private val Bands    = 32
+  private val RowsPerBand = NumPerms / Bands
+  private val P = 2147483647L
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-document 128-wide MinHash signature (one explode + one groupBy). */
+  def signatures(grams: DataFrame): DataFrame = {
+    val x = pmod(xxhash64(col("g")), lit(P))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((x * a + b) % P).as(s"s$i")
+    }
+    grams
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band-bucket candidate pairs (d1 < d2), deduplicated. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bandHashes = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandHashes: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = buckets.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val r = buckets.select(col("band"), col("bh"), col("doc_id").as("d2"))
+    l.join(r, Seq("band", "bh")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by normalized-content fingerprint: one hash aggregation.
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), sha2(array_join(T, " "), 256).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("copies"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    "dedup_jaccard" -> ((s, d) => {
+      val grams = gramSets(s, d)
+      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      val pairs = flat.select(col("doc_id").as("d1"), col("g"))
+        .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      verifyJaccard(pairs, grams)
+    }),
+
+    // MinHash-LSH near-dup: banded signatures → bucket join → exact verify.
+    // Same oracle as dedup_jaccard (see class doc for the recall argument).
+    "dedup_minhash" -> ((s, d) => {
+      val grams = gramSets(s, d)
+      verifyJaccard(candidatePairs(signatures(grams)), grams)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> s"""
+SELECT sha256(array_to_string(${Text.tokensSql("text")}, ' ')) AS fingerprint,
+  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
+FROM documents GROUP BY 1""",
+    "dedup_jaccard" -> jaccardPairsSql,
+    "dedup_minhash" -> jaccardPairsSql
+  )
+
+  // ---- SimHash (no cross-engine oracle; ScalaTest-covered) ---------------
+
+  /** 64-bit SimHash per doc from token-level xxhash64, plus Hamming ≤ k
+    * near-dup pairs via 4-band pigeonhole blocking. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    // per-bit vote: +1 where bit set, −1 otherwise; bit j of the final
+    // signature is 1 iff the vote sum is >= 0
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashes(docs)
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("simhash").as("h1"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("d2"), col("simhash").as("h2"))
+    l.join(r, Seq("band", "bh")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Registered rows-only (driver does a weaker rows>0 check — the
+    * signature hash is engine-specific so no DuckDB oracle is possible). */
+  def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d)))
+  )
+}

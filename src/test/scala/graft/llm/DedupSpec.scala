@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Dedup-operator guarantees: MinHash-LSH must reproduce the exact n-gram
+  * Jaccard pairs (its banding is sized for ~zero miss probability at the
+  * threshold), and SimHash must collapse the planted near-duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private def pairsOf(name: String): Set[(Long, Long)] =
+    TextDedup.queries(name)(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH finds exactly the exact-Jaccard near-dup pairs") {
+    val exact = pairsOf("dedup_jaccard")
+    val mh    = pairsOf("dedup_minhash")
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(mh === exact)
+  }
+
+  test("simhash blocking is complete at its own radius (pigeonhole)") {
+    // The operator's guarantee: EVERY pair at Hamming distance <= 3 is
+    // found (3 differing bits touch at most 3 of the 4 bands). Brute-force
+    // all-pairs Hamming on the driver is the ground truth at this scale.
+    val sigs = TextDedup.simhashes(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (d1, h1) <- sigs; (d2, h2) <- sigs if d1 < d2
+      if java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2)).toSet
+    val sh = TextDedup.simhashPairs(Tables.documents(spark, sf), maxHamming = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh === truth)
+    // and it should still surface a nontrivial share of the planted
+    // near-dups (simhash on tiny-vocab synthetic text is inherently noisy)
+    val exact = pairsOf("dedup_jaccard")
+    assert(exact.count(sh.contains).toDouble / exact.size >= 0.2)
+  }
+
+  test("exact dedup groups every document and keeps the min doc_id") {
+    val docs = Tables.documents(spark, sf).count()
+    val dd = TextDedup.queries("dedup_exact")(spark, sf).cache()
+    assert(dd.agg(sum(col("copies"))).head().getLong(0) === docs)
+    assert(dd.filter(col("keeper_doc_id").isNull).count() === 0)
+  }
+
+  test("near-dup similarity gap: planted pairs >= 0.5, noise well below") {
+    val j = TextDedup.queries("dedup_jaccard")(spark, sf)
+    assert(j.filter(col("jaccard") < 0.5).count() === 0)
+  }
+}

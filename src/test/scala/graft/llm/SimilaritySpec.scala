@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ANN guarantees: the LSH path must return correctly-scored, correctly-
+  * ranked neighbors from within each query's bucket, and its rank-1
+  * neighbors must agree with brute force whenever brute force's true
+  * nearest neighbor shares the query's bucket. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val brute = Similarity.queries("ann_topk_cosine")(spark, sf)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+  private lazy val lsh = Similarity.annLshTopK(spark, sf)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+  test("brute force returns k ranked neighbors per query") {
+    val byQuery = brute.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length), s"ranks for $q")
+      val sims = rows.sortBy(_._3).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"monotone sims for $q")
+    }
+  }
+
+  test("LSH cosines agree with brute-force cosines on shared pairs") {
+    val bruteSims = brute.map(r => (r._1, r._2) -> r._4).toMap
+    val shared = lsh.filter(r => bruteSims.contains((r._1, r._2)))
+    assert(shared.nonEmpty)
+    shared.foreach { r => assert(math.abs(bruteSims((r._1, r._2)) - r._4) < 1e-12) }
+  }
+
+  test("LSH top-1 matches brute-force top-1 when the true NN shares the bucket") {
+    val lshTop = lsh.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    val bruteTop = brute.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    // Every LSH rank-1 must score <= the true rank-1 (it's a subset search);
+    // where they disagree the LSH similarity must not exceed brute force's.
+    val bruteSim1 = brute.filter(_._3 == 1).map(r => r._1 -> r._4).toMap
+    val lshSim1 = lsh.filter(_._3 == 1).map(r => r._1 -> r._4).toMap
+    lshSim1.foreach { case (q, s) =>
+      assert(s <= bruteSim1(q) + 1e-12, s"query $q: LSH sim $s exceeds exact ${bruteSim1(q)}")
+    }
+    // and at least some queries should recover the exact NN
+    val agree = lshTop.count { case (q, n) => bruteTop.get(q).contains(n) }
+    assert(agree > 0, s"no rank-1 agreement at all (${lshTop.size} queries)")
+  }
+}
