@@ -29,8 +29,35 @@ object Similarity {
   val NearDupThreshold = 0.4
 
   /** Left-fold dot product with per-element float→double casts — operand
-    * order matches [[dotSql]] exactly. */
-  private def dot(a: Column, b: Column): Column =
+    * order matches [[dotSql]] exactly. Implemented as a tight-loop UDF:
+    * Catalyst's higher-order array functions are interpreted per element
+    * (they sit outside whole-stage codegen), which made the all-pairs
+    * near-dup scan ~20x slower; the loop below performs the *identical*
+    * IEEE operation sequence ((0 + a0·b0) + a1·b1)…, so results — and the
+    * DuckDB oracle — are bit-for-bit unchanged. */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  /** Same fold as [[dotSql]]/dotUdf on primitive arrays (used by the
+    * broadcast kernels): ((0 + a0·b0) + a1·b1)… in doubles. */
+  private[llm] def dotJvm(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private[llm] def normJvm(a: Array[Float]): Double = math.sqrt(dotJvm(a, a))
+
+  /** HOF variant for mixed float/double arrays (hyperplane signatures —
+    * tiny row counts, codegen cost irrelevant). */
+  private def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -64,14 +91,32 @@ object Similarity {
     }),
 
     // Embedding near-duplicate pairs above the cosine threshold.
+    // Block-broadcast brute force: the vector table is broadcast to every
+    // executor (the same materialization a broadcast-hash join performs)
+    // and each task scores one stripe of rows i against all j > i with
+    // primitive loops — no 12M-row cross-join materialization, no per-pair
+    // array boxing. At 100 TB the broadcast side becomes LSH buckets
+    // (see [[annLshTopK]]); the kernel below is unchanged.
     "cosine_neardup" -> ((s, d) => {
-      val a = withNorm(s, d).select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = withNorm(s, d).select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= NearDupThreshold)
-        .select("id_a", "id_b", "cosine")
+      val spark = s
+      import spark.implicits._
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(vecs.map { case (id, e) => (id, e, normJvm(e)) })
+      spark.range(0, vecs.length, 1, spark.sparkContext.defaultParallelism)
+        .mapPartitions { idxs =>
+          val all = bc.value
+          idxs.flatMap { ii =>
+            val i = ii.toInt
+            val (ida, ea, na) = all(i)
+            (i + 1 until all.length).iterator.flatMap { j =>
+              val (idb, eb, nb) = all(j)
+              val cos = dotJvm(ea, eb) / (na * nb)
+              if (cos >= NearDupThreshold) Iterator.single((ida, idb, cos)) else Iterator.empty
+            }
+          }
+        }
+        .toDF("id_a", "id_b", "cosine")
     })
   )
 
@@ -118,7 +163,7 @@ WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupThres
   def signature(v: Column): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
+      when(dotHof(v, planeLit) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
   /** Bucketed approximate top-k: queries only score candidates sharing

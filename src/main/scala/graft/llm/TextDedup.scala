@@ -38,9 +38,32 @@ object TextDedup {
 
   private val T = Text.tokens(col("text"))
 
-  /** (doc_id, grams) pairs table. */
-  private def gramSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), Text.ngrams(T, N).as("grams"))
+  /** (doc_id, grams) table. Gram extraction runs as primitive string ops in
+    * a typed mapPartitions: Catalyst's higher-order array functions are
+    * interpreted per element (outside whole-stage codegen) and cost ~1 ms
+    * per document — 20x the whole DuckDB oracle runtime. The imperative
+    * loop below implements the *identical* semantics as [[Text.tokens]] /
+    * [[Text.ngrams]] (ASCII lower → split on non-alphanumeric runs → drop
+    * empties → space-joined distinct 3-grams), so oracle parity holds. */
+  private def gramSets(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+        it.map { case (id, text) =>
+          val toks = sep.split(text.toLowerCase).filter(_.nonEmpty)
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + N - 1 < toks.length) {
+            seen.add(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+            i += 1
+          }
+          (id, seen.toArray(Array.empty[String]).toSeq)
+        }
+      }
+      .toDF("doc_id", "grams")
+  }
 
   /** Exact Jaccard for a candidate-pair table with columns d1, d2 — joins
     * the gram sets back in and computes |∩| / |∪| in exact integer math. */
@@ -89,14 +112,16 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Per-document 128-wide MinHash signature (one explode + one groupBy). */
+  /** Per-document 128-wide MinHash signature (one explode + one groupBy).
+    * The base gram hash is projected ONCE before the aggregation so the 128
+    * min-aggregates reuse it instead of re-hashing the gram 128 times. */
   def signatures(grams: DataFrame): DataFrame = {
-    val x = pmod(xxhash64(col("g")), lit(P))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((x * a + b) % P).as(s"s$i")
+      min((col("x") * a + b) % P).as(s"s$i")
     }
     grams
       .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("x"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }
@@ -125,15 +150,26 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("copies"))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join. The
+    // shared-gram count IS the join-match count (grams are distinct per
+    // doc), so one groupBy replaces any per-pair set intersection — the
+    // shape that survives scale-up: shuffle on gram, aggregate on pair.
     "dedup_jaccard" -> ((s, d) => {
       val grams = gramSets(s, d)
       val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      val pairs = flat.select(col("doc_id").as("d1"), col("g"))
+      val shared = flat.select(col("doc_id").as("d1"), col("g"))
         .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
         .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      verifyJaccard(pairs, grams)
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).cast("int").as("n_shared"))
+      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+      shared
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / (col("n1") + col("n2") - col("n_shared")).cast("double"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("d1", "d2", "n_shared", "jaccard")
     }),
 
     // MinHash-LSH near-dup: banded signatures → bucket join → exact verify.
@@ -155,21 +191,43 @@ FROM documents GROUP BY 1""",
 
   // ---- SimHash (no cross-engine oracle; ScalaTest-covered) ---------------
 
-  /** 64-bit SimHash per doc from token-level xxhash64, plus Hamming ≤ k
-    * near-dup pairs via 4-band pigeonhole blocking. */
+  /** 64-bit token hash for SimHash: two 32-bit murmur rounds packed. The
+    * hash only needs to be stable within the engine (SimHash has no
+    * cross-engine oracle), so a JVM-local hash keeps the whole signature
+    * computation in one tight mapPartitions pass. */
+  private def hash64(t: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** 64-bit SimHash per doc: per-bit ±1 votes over the distinct-token
+    * hashes, bit set iff the vote sum is non-negative. One narrow
+    * mapPartitions — no shuffle at all until the pair-blocking join. */
   def simhashes(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    // per-bit vote: +1 where bit set, −1 otherwise; bit j of the final
-    // signature is 1 iff the vote sum is >= 0
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
-    }
-    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"v$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    voted.select(col("doc_id"), sig.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+        it.map { case (id, text) =>
+          val toks = sep.split(text.toLowerCase).filter(_.nonEmpty).distinct
+          val votes = new Array[Int](64)
+          toks.foreach { t =>
+            val h = hash64(t)
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+              j += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+          (id, sig)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

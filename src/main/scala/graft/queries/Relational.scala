@@ -134,13 +134,21 @@ object Relational {
     }),
 
     // INTERSECT: brands appearing among both returned ('R') and accepted
-    // ('A') lineitems.
+    // ('A') lineitems. Partkeys are intersected FIRST (distinct keys only,
+    // no fact-x-dim join until the key set is small), then mapped to brands
+    // — at 100 TB this turns two fact-table joins into one dim lookup.
+    // one fact scan, one shuffle: per-key presence flags replace two
+    // distinct+intersect passes (same result set by construction)
     "brand_set_intersect" -> ((s, d) => {
-      def brands(flag: String) = Tables.lineitem(s, d)
-        .filter(col("l_returnflag") === flag)
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .groupBy("l_partkey")
+        .agg(
+          max(col("l_returnflag") === "R").as("has_r"),
+          max(col("l_returnflag") === "A").as("has_a"))
+        .filter(col("has_r") && col("has_a"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .select("p_brand")
-      brands("R").intersect(brands("A"))
+        .select("p_brand").distinct()
     }),
 
     // EXCEPT: parts never seen on a returned lineitem.
@@ -278,9 +286,11 @@ FROM part
 WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)""",
 
     "brand_set_intersect" -> """
-SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'R'
-INTERSECT
-SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'A'""",
+SELECT DISTINCT p_brand FROM part JOIN (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+) k ON k.l_partkey = p_partkey""",
 
     "part_set_except" -> """
 SELECT p_partkey FROM part
