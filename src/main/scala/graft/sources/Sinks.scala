@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink / materialization / maintenance operators (SURVEY §2.1 rows
+  * S5-S11, §2.9 row T7, §2.10 row M4).
+  *
+  * The reference's layer materializations map onto Spark as: raw append
+  * (dlt `write_disposition="append"`), mart full-refresh overwrite (dbt
+  * `materialized: table` + `full_refresh: True`), staging/intermediate
+  * lazy views (`materialized: view`), 90-day retention DELETE as a
+  * filter-rewrite, and post-run ANALYZE for CBO statistics.
+  */
+object Sinks {
+
+  /** S5: append sink (reference: iot_temperature_pipeline.py:19-23). At
+    * scale, partition by ingest date so retention rewrites touch only
+    * expired partitions. */
+  def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S6: full-refresh table materialization
+    * (reference: dbt mart config, mart_temperature_readings.sql:1-12;
+    * full refresh at iot_temperature_dag.py:236-239). */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S6 (catalog flavor): CREATE TABLE AS into the session catalog. */
+  def saveTable(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").saveAsTable(table)
+
+  /** S7: view materialization — lazy, recomputed per query, exactly the
+    * semantics of the reference's staging/intermediate views
+    * (reference: dbt_project.yml:20-26). */
+  def asView(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** S10/T7: retention filter-rewrite — keep only rows younger than
+    * `days` relative to `now` (reference deletes raw rows older than 90
+    * days, iot_temperature_dag.py:263-272). Rewrites to a staging path
+    * then swaps, since parquet can't delete in place. */
+  def retentionRewrite(
+      spark: SparkSession, path: String, tsCol: String, days: Int,
+      now: java.sql.Timestamp): Unit = {
+    val kept = spark.read.parquet(path)
+      .filter(col(tsCol) >= lit(now) - expr(s"INTERVAL $days DAYS"))
+    val tmp = path.stripSuffix("/") + "__rewrite"
+    kept.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** S11: statistics collection for the cost-based optimizer
+    * (reference: ANALYZE post-run, iot_temperature_dag.py:274-287). */
+  def analyze(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+
+  /** M4: catalog existence probe (reference: macros/table_exists.sql:1-15). */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+}
