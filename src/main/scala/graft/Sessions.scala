@@ -30,6 +30,7 @@ object Sessions {
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .withExtensions(new graft.expr.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

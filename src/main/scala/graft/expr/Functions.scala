@@ -34,6 +34,10 @@ object Functions {
     * (`calculate_data_quality_score` — defined but never called by models;
     * implemented here as declared capability). */
   def dataQualityScore(required: Seq[Column], optional: Seq[Column]): Column = {
+    // totality guard (round-1 ADVICE): empty `required` would divide by
+    // zero and empty-both would make the reduce throw
+    if (required.isEmpty && optional.isEmpty) return lit(0.0)
+    require(required.nonEmpty, "dataQualityScore needs at least one required column")
     val rw = 0.7 / required.size
     val req = required.map(c => when(c.isNotNull, lit(rw)).otherwise(lit(0.0)))
     val opt =

@@ -29,21 +29,11 @@ object Similarity {
   val NearDupThreshold = 0.4
 
   /** Left-fold dot product with per-element float→double casts — operand
-    * order matches [[dotSql]] exactly. Implemented as a tight-loop UDF:
-    * Catalyst's higher-order array functions are interpreted per element
-    * (they sit outside whole-stage codegen), which made the all-pairs
-    * near-dup scan ~20x slower; the loop below performs the *identical*
-    * IEEE operation sequence ((0 + a0·b0) + a1·b1)…, so results — and the
-    * DuckDB oracle — are bit-for-bit unchanged. */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
+    * order matches [[dotSql]] exactly, via the codegen'd native expression
+    * [[graft.expr.DotProductFloat]] (see its doc for why not a UDF or a
+    * higher-order function). */
+  private def dot(a: Column, b: Column): Column =
+    graft.expr.VectorExpressions.dotF(a, b)
 
   /** Same fold as [[dotSql]]/dotUdf on primitive arrays (used by the
     * broadcast kernels): ((0 + a0·b0) + a1·b1)… in doubles. */

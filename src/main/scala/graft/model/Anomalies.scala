@@ -42,7 +42,13 @@ object Anomalies {
   }
 
   def fromStaging(staging: DataFrame): DataFrame = {
+    // `valid` fans out to five consumers (global/device/location/env stats
+    // + the probe side). Spark reuses the dedup-window *exchange* across
+    // them but re-executes the window sort per consumer branch — persist
+    // the post-window result once instead (it is strictly smaller than the
+    // input and bounded by the events table at any SF).
     val valid = validReadings(staging)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t = col("temperature_celsius").cast("double")
 
     // A1 global stats (reference: int_temperature_anomalies.sql:28-34)

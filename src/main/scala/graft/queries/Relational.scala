@@ -204,6 +204,39 @@ object Relational {
         .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // F3 string surgery (the reference's device-id derivation shape,
+    // iot_temperature_pipeline.py:152-165, retargeted at part): split →
+    // last token → substring → upper → concat, plus regexp_replace.
+    "string_ops" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        concat(lit("PART_"),
+          upper(substring(element_at(split(col("p_name"), " "), -1), 1, 8))).as("derived_id"),
+        regexp_replace(col("p_brand"), "[^0-9]", "").as("brand_num"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "o").as("mangled"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+        length(col("p_name")).as("name_len")
+      )
+    }),
+
+    // F5 fixed-format timestamp parse with null-on-fail (try_to_timestamp;
+    // the reference drops rows pandas can't parse,
+    // iot_temperature_pipeline.py:157,203-207). A deterministic subset of
+    // inputs is corrupted so both parse outcomes occur.
+    "timestamp_parse" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("raw", date_format(col("ts"), "dd-MM-yyyy HH:mm"))
+        .withColumn("raw2",
+          when(col("user_id") % 13 === 0, concat(lit("xx"), substring(col("raw"), 3, 100)))
+            .otherwise(col("raw")))
+        .select(
+          col("event_id"), col("raw2").as("raw_string"),
+          try_to_timestamp(col("raw2"), lit("dd-MM-yyyy HH:mm")).as("parsed_ts"),
+          try_to_timestamp(col("raw2"), lit("dd-MM-yyyy HH:mm")).isNotNull.as("is_parsed")
+        )
+    }),
+
     // PIVOT: per-user-cohort event-type counts as columns.
     "pivot_event_counts" -> ((s, d) => {
       Tables.events(s, d)
@@ -327,6 +360,29 @@ SELECT l_returnflag, l_linestatus,
   COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "string_ops" -> """
+SELECT p_partkey,
+  'PART_' || upper(substr(string_split(p_name, ' ')[-1], 1, 8)) AS derived_id,
+  regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+  p_brand || ':' || p_type AS brand_type,
+  regexp_replace(p_name, 'a', 'o', 'g') AS mangled,
+  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+  CAST(length(p_name) AS INT) AS name_len
+FROM part""",
+
+    "timestamp_parse" -> """
+WITH e AS (
+  SELECT event_id, user_id, strftime(ts, '%d-%m-%Y %H:%M') AS raw FROM events
+), e2 AS (
+  SELECT event_id,
+    CASE WHEN user_id % 13 = 0 THEN 'xx' || substr(raw, 3) ELSE raw END AS raw_string
+  FROM e
+)
+SELECT event_id, raw_string,
+  try_strptime(raw_string, '%d-%m-%Y %H:%M') AS parsed_ts,
+  try_strptime(raw_string, '%d-%m-%Y %H:%M') IS NOT NULL AS is_parsed
+FROM e2""",
 
     "pivot_event_counts" -> s"""
 SELECT user_id % 10 AS cohort,

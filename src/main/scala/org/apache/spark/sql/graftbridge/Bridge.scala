@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 wraps Columns in ColumnNodes and gates the Expression
+  * constructors behind `private[sql]` (`org.apache.spark.sql.classic
+  * .ExpressionUtils`). Custom native expressions (graft.expr) need exactly
+  * those two conversions, so this object lives in an `org.apache.spark.sql`
+  * subpackage to satisfy the access modifier — the canonical pattern for
+  * Catalyst extension libraries. Nothing else in the repo uses this
+  * namespace.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
