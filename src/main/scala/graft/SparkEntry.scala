@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.Relational
+import graft.queries.{Relational, Temporal}
 import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,7 +52,17 @@ object SparkEntry {
     "summary_by_load"     -> ((s, d) => PipelineSummary.byLoad(ev(s, d))),
     "summary_by_device"   -> ((s, d) => PipelineSummary.byDevice(martOf(s, d))),
     "summary_by_location" -> ((s, d) => PipelineSummary.byLocation(martOf(s, d))),
-    "anomaly_breakdown"   -> ((s, d) => PipelineSummary.anomalyBreakdown(martOf(s, d)))
+    "anomaly_breakdown"   -> ((s, d) => PipelineSummary.anomalyBreakdown(martOf(s, d))),
+    // U2: 3-way UNION ALL of per-layer row counts (the reference's ops
+    // stats query, run-pipeline.sh:89-109)
+    "ops_row_counts" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      def one(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("row_count")).select(lit(tag).as("layer"), col("row_count"))
+      one("staging", ev(s, d))
+        .unionByName(one("valid", anomOf(s, d)))
+        .unionByName(one("anomalous", anomOf(s, d).filter(col("is_anomaly"))))
+    })
   )
 
   private val iotOracle: Map[String, String] = Map(
@@ -63,12 +73,13 @@ object SparkEntry {
     "summary_by_load"     -> IotOracle.summaryByLoad,
     "summary_by_device"   -> IotOracle.summaryByDevice,
     "summary_by_location" -> IotOracle.summaryByLocation,
-    "anomaly_breakdown"   -> IotOracle.anomalyBreakdown
+    "anomaly_breakdown"   -> IotOracle.anomalyBreakdown,
+    "ops_row_counts"      -> IotOracle.opsRowCounts
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    iotQueries ++ Relational.queries ++
+    iotQueries ++ Relational.queries ++ Temporal.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++ TextDedup.noOracleQueries ++
       Similarity.queries ++ Similarity.noOracleQueries ++ Multimodal.queries
 
@@ -76,7 +87,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops (those
     * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    iotOracle ++ Relational.oracles ++
+    iotOracle ++ Relational.oracles ++ Temporal.oracles ++
       TextAnalysis.oracles ++ TextDedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles
 }

@@ -291,6 +291,15 @@ FROM mart
 WHERE location IS NOT NULL AND environment_type IS NOT NULL
 GROUP BY location, environment_type"""
 
+  /** Mirrors SparkEntry's `ops_row_counts` (U2, run-pipeline.sh:89-109). */
+  val opsRowCounts: String =
+    s"""${chainTo("anomalies")}
+SELECT 'staging' AS layer, COUNT(*) AS row_count FROM staging
+UNION ALL
+SELECT 'valid', COUNT(*) FROM anomalies
+UNION ALL
+SELECT 'anomalous', COUNT(*) FROM anomalies WHERE is_anomaly"""
+
   /** Mirrors [[PipelineSummary.anomalyBreakdown]]. */
   val anomalyBreakdown: String = {
     def scope(tag: String, flag: String, z: String): String =

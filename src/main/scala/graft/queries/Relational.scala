@@ -97,13 +97,16 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
     }),
 
-    // lag/lead window over each customer's order history + day gaps.
+    // lag/lead/first_value/nth_value window over each customer's order
+    // history + day gaps.
     "window_lag_orders" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
         datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev")
       )
     }),
@@ -177,6 +180,18 @@ object Relational {
           Exact.davg(col("value")).as("avg_value"),
           max(col("k")).as("max_k")
         )
+    }),
+
+    // A7 at scale: HyperLogLog approximate distinct beside the exact count
+    // (registered rows-only: HLL estimates are engine-specific, so the
+    // tolerance check lives in RelationalSpec instead of the oracle).
+    "approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps")
+      )
     }),
 
     // F11 sha2 over event attributes (the reference's file-hash op
@@ -297,6 +312,8 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
   lag(o_totalprice, 1) OVER w AS prev_price,
   lead(o_totalprice, 1) OVER w AS next_price,
+  first_value(o_totalprice) OVER w AS first_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price,
   CAST(datediff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",

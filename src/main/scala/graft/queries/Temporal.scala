@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal operators beyond plain windows: as-of join and gap-based
+  * sessionization — the two classic "Spark has no single operator for
+  * this" cases, composed from union + ordered windows exactly as SURVEY
+  * §7.4(a) prescribes (compose existing ops before reaching for a custom
+  * SparkPlan).
+  *
+  * Scale posture: both are one shuffle on (user/key) + one ordered window
+  * within partition — the same shape Flink/kdb-style as-of joins lower to.
+  * No cross join, no per-row subqueries; partition keys are high-cardinality
+  * user ids.
+  */
+object Temporal {
+
+  /** As-of join: for every `error` event, the most recent `purchase` event
+    * of the same user at-or-before it (inclusive). Implemented with the
+    * union trick: tag both streams, sort each user's merged timeline, and
+    * carry the last non-null purchase attributes forward. The tag sorts
+    * purchases before errors at equal timestamps → inclusive semantics; the
+    * trailing event_id makes tie order total, so the result is
+    * deterministic on both engines. */
+  def asofLastPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("side"),
+      col("event_id").as("p_event_id"), col("value").as("p_value"),
+      lit(null).cast("long").as("e_event_id"), lit(null).cast("double").as("e_value"))
+    val errors = ev.filter(col("event_type") === "error").select(
+      col("user_id"), col("ts"), lit(1).as("side"),
+      lit(null).cast("long").as("p_event_id"), lit(null).cast("double").as("p_value"),
+      col("event_id").as("e_event_id"), col("value").as("e_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), coalesce(col("p_event_id"), col("e_event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(errors)
+      .withColumn("asof_purchase_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("asof_purchase_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("e_event_id").as("error_event_id"),
+        col("user_id"),
+        col("ts").as("error_ts"),
+        col("asof_purchase_id"),
+        col("asof_purchase_value"),
+        ((unix_micros(col("ts")) - unix_micros(col("asof_purchase_ts"))) / lit(1e6))
+          .as("secs_since_purchase"))
+  }
+
+  val asofSql: String = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side,
+         event_id AS p_event_id, value AS p_value,
+         CAST(NULL AS BIGINT) AS e_event_id, CAST(NULL AS DOUBLE) AS e_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side,
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         event_id, value
+  FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT *,
+    last_value(p_event_id IGNORE NULLS) OVER w AS asof_purchase_id,
+    last_value(p_value IGNORE NULLS) OVER w AS asof_purchase_value,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS asof_purchase_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, side, COALESCE(p_event_id, e_event_id)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT e_event_id AS error_event_id, user_id, ts AS error_ts,
+  asof_purchase_id, asof_purchase_value,
+  (epoch_us(ts) - epoch_us(asof_purchase_ts)) / CAST(1e6 AS DOUBLE) AS secs_since_purchase
+FROM m WHERE side = 1"""
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than the gap (6h). lag → boundary flag → running sum = session
+    * index, then one aggregate per session. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 6L * 3600 * 1000000
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6))
+          .as("duration_secs"),
+        countDistinct(col("event_type")).as("distinct_event_types"))
+  }
+
+  val sessionizeSql: String = """
+WITH g AS (
+  SELECT *,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+b AS (
+  SELECT *,
+    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+  FROM g
+),
+sess AS (
+  SELECT *,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM b
+)
+SELECT user_id, session_idx,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / CAST(1e6 AS DOUBLE) AS duration_secs,
+  COUNT(DISTINCT event_type) AS distinct_event_types
+FROM sess GROUP BY user_id, session_idx"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_purchase" -> ((s, d) => asofLastPurchase(s, d)),
+    "sessionize_events"  -> ((s, d) => sessionize(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "asof_join_purchase" -> asofSql,
+    "sessionize_events"  -> sessionizeSql
+  )
+}

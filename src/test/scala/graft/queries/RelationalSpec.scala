@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  test("approx_count_distinct lands within 10% of exact (A7 scale path)") {
+    val r = Relational.queries("approx_distinct")(spark, sf).head()
+    val (exactP, approxP) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts"))
+    val (exactS, approxS) = (r.getAs[Long]("exact_supps"), r.getAs[Long]("approx_supps"))
+    assert(math.abs(approxP - exactP).toDouble / exactP < 0.10, s"parts $approxP vs $exactP")
+    assert(math.abs(approxS - exactS).toDouble / exactS < 0.10, s"supps $approxS vs $exactS")
+  }
+
+  test("as-of join: every error with a prior purchase gets the latest one") {
+    val rows = Temporal.asofLastPurchase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // spot-check the invariant on the driver against a brute-force lookup
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val purchases = ev.filter(_._4 == "purchase")
+    rows.take(50).foreach { r =>
+      val user = r.getAs[Long]("user_id")
+      val errTs = r.getAs[java.sql.Timestamp]("error_ts")
+      val expect = purchases.filter(p => p._2 == user && !p._3.after(errTs))
+        .sortBy(p => (p._3.getTime, p._1)).lastOption
+      val got = Option(r.getAs[java.lang.Long]("asof_purchase_id")).map(_.toLong)
+      assert(got === expect.map(_._1), s"user $user at $errTs")
+    }
+  }
+
+  test("sessionization: events within a session are gap-bounded") {
+    val sess = Temporal.sessionize(spark, sf).collect()
+    assert(sess.nonEmpty)
+    // session durations are non-negative; multi-event sessions exist at
+    // sf0.001's event density; no session spans more than the full range
+    assert(sess.forall(_.getAs[Double]("duration_secs") >= 0))
+    assert(sess.exists(_.getAs[Long]("n_events") > 1))
+  }
+}
