@@ -252,6 +252,27 @@ object Relational {
         )
     }),
 
+    // CUBE over (returnflag, linestatus): all grouping-set combinations.
+    "cube_line_status" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.davg(col("l_quantity")).as("avg_qty"))
+    }),
+
+    // SURVEY §3.3 entry point: ad-hoc SQL over registered views, with a
+    // correlated scalar subquery (Catalyst decorrelates it into an
+    // aggregate + left join — no per-row execution).
+    "sql_adhoc" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               (SELECT COUNT(*) FROM graft_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        FROM graft_orders o
+        WHERE o_totalprice > 400000""")
+    }),
+
     // PIVOT: per-user-cohort event-type counts as columns.
     "pivot_event_counts" -> ((s, d) => {
       Tables.events(s, d)
@@ -400,6 +421,18 @@ SELECT event_id, raw_string,
   try_strptime(raw_string, '%d-%m-%Y %H:%M') AS parsed_ts,
   try_strptime(raw_string, '%d-%m-%Y %H:%M') IS NOT NULL AS is_parsed
 FROM e2""",
+
+    "cube_line_status" -> s"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n, ${davgSql("l_quantity")} AS avg_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "sql_adhoc" -> """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+FROM orders o
+WHERE o_totalprice > 400000""",
 
     "pivot_event_counts" -> s"""
 SELECT user_id % 10 AS cohort,

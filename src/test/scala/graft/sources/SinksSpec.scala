@@ -49,6 +49,39 @@ class SinksSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_test_t")
   }
 
+  test("bucketed tables join without a shuffle exchange (S8 co-location)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_bl")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_br")
+    val joined = spark.table("graft_bl").join(spark.table("graft_br"), "k")
+    // disable broadcast so the join strategy must exploit bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE graft_bl"); spark.sql("DROP TABLE graft_br")
+    }
+  }
+
+  test("partition pruning: date-partitioned write scans only matching partitions (S8)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft-part").toString + "/t"
+    val rows = (1 to 100).map(i => (i, s"2024-01-${"%02d".format(i % 5 + 1)}"))
+    Sinks.append(rows.toDF("v", "day"), path, partitionBy = Seq("day"))
+    val pruned = spark.read.parquet(path).filter(col("day") === "2024-01-03")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() === 20)
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), s"expected partition filter:\n$scan")
+  }
+
   test("temp view materialization is lazy and queryable (S7)") {
     val spark0 = spark
     import spark0.implicits._
