@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Relational, Temporal}
-import graft.llm.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.llm.{CorpusClean, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     iotQueries ++ Relational.queries ++ Temporal.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++ TextDedup.noOracleQueries ++
+      CorpusClean.queries ++
       Similarity.queries ++ Similarity.noOracleQueries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,6 +89,6 @@ object SparkEntry {
     * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
     iotOracle ++ Relational.oracles ++ Temporal.oracles ++
-      TextAnalysis.oracles ++ TextDedup.oracles ++
+      TextAnalysis.oracles ++ TextDedup.oracles ++ CorpusClean.oracles ++
       Similarity.oracles ++ Multimodal.oracles
 }

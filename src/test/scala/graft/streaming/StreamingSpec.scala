@@ -18,6 +18,66 @@ class StreamingSpec extends SparkSpec {
   private def write(dir: Path, name: String, content: String): Unit =
     Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
 
+  test("watermarked windowed counts over a file stream match batch windows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-win")
+    val rows = "ts,event_type\n" + (0 until 60).map { i =>
+      f"2024-01-01 10:${i % 60}%02d:00,${if (i % 3 == 0) "click" else "view"}"
+    }.mkString("\n")
+    write(dir, "w1.csv", rows)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.option("header", "true").schema(schema).csv(dir.toString)
+    val out = Files.createTempDirectory("graft-win-out").toString + "/agg"
+    StreamAggregates.windowedTypeCounts(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-win-ckpt").toString)
+      .outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out); ()
+      }.start().awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = StreamAggregates.windowedTypeCounts(
+      spark.read.option("header", "true").schema(schema).csv(dir.toString))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.agg(sum("n")).head().getLong(0) === 60)
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-state")
+    write(dir, "s1.csv", "user_id,value\n1,10.0\n1,5.0\n2,1.0")
+    write(dir, "s2.csv", "user_id,value\n1,2.5\n3,7.0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.option("header", "true").schema(schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .csv(dir.toString).as[(Long, Double)]
+    val out = Files.createTempDirectory("graft-state-out").toString + "/totals"
+    StreamAggregates.runningUserTotals(stream).toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-state-ckpt").toString)
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }.start().awaitTermination()
+    // the LAST state emitted per user must equal the batch totals
+    val finalTotals = spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("events").as("events"),
+           org.apache.spark.sql.functions.max("total_value").as("total_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalTotals(1L) === ((3L, 17.5)))
+    assert(finalTotals(2L) === ((1L, 1.0)))
+    assert(finalTotals(3L) === ((1L, 7.0)))
+  }
+
   test("AvailableNow run equals batch standardize; rerun is a no-op; new files increment") {
     val landing = Files.createTempDirectory("graft-landing")
     val out = Files.createTempDirectory("graft-stream-out").toString + "/raw"
