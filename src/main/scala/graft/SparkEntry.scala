@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Relational, Temporal}
-import graft.llm.{CorpusClean, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.llm.{CorpusClean, IvfAnn, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,7 +82,8 @@ object SparkEntry {
     iotQueries ++ Relational.queries ++ Temporal.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++ TextDedup.noOracleQueries ++
       CorpusClean.queries ++
-      Similarity.queries ++ Similarity.noOracleQueries ++ Multimodal.queries
+      Similarity.queries ++ Similarity.noOracleQueries ++
+      IvfAnn.noOracleQueries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those

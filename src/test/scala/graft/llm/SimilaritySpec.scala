@@ -32,6 +32,23 @@ class SimilaritySpec extends SparkSpec {
     shared.foreach { r => assert(math.abs(bruteSims((r._1, r._2)) - r._4) < 1e-12) }
   }
 
+  test("IVF top-k has useful recall against brute force on clustered data") {
+    val ivf = IvfAnn.annIvfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val ivfSet = ivf.map(r => (r._1, r._2)).toSet
+    assert(ivf.nonEmpty)
+    // cosines must be exact for returned pairs
+    val bruteSims = brute.map(r => (r._1, r._2) -> r._4).toMap
+    ivf.filter(r => bruteSims.contains((r._1, r._2))).foreach { r =>
+      assert(math.abs(bruteSims((r._1, r._2)) - r._4) < 1e-9)
+    }
+    // embeddings are label-clustered, so nprobe=3 of 16 cells should
+    // recover well over half the true top-k set
+    val recall = bruteSet.count(ivfSet.contains).toDouble / bruteSet.size
+    assert(recall >= 0.5, s"IVF recall@k $recall")
+  }
+
   test("LSH top-1 matches brute-force top-1 when the true NN shares the bucket") {
     val lshTop = lsh.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
     val bruteTop = brute.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
