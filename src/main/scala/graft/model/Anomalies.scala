@@ -95,19 +95,15 @@ object Anomalies {
       .join(broadcast(locationStats), Seq("location"), "left")
       .join(broadcast(envStats), Seq("environment_type"), "left")
 
-    // P14 z-scores (reference: int_temperature_anomalies.sql:85-113;
-    // macro form dbt_transform/macros/calculate_anomaly_score.sql:2-8)
-    val gz = when(col("global_stddev_temp") > 0,
-      abs(t - col("global_mean_temp")) / col("global_stddev_temp")).otherwise(lit(0.0))
-    val dz = when(col("device_stddev_temp") > 0 && col("device_reading_count") >= 5,
-      abs(t - col("device_mean_temp")) / col("device_stddev_temp"))
-      .otherwise(lit(null).cast("double"))
-    val lz = when(col("location_stddev_temp") > 0,
-      abs(t - col("location_mean_temp")) / col("location_stddev_temp"))
-      .otherwise(lit(null).cast("double"))
-    val ez = when(col("environment_stddev_temp") > 0,
-      abs(t - col("environment_mean_temp")) / col("environment_stddev_temp"))
-      .otherwise(lit(null).cast("double"))
+    // P14 z-scores via the macro-layer builders (M1,
+    // reference: int_temperature_anomalies.sql:85-113; macro form
+    // dbt_transform/macros/calculate_anomaly_score.sql:2-8)
+    import graft.expr.Functions
+    val gz = Functions.zScoreOrZero(t, col("global_mean_temp"), col("global_stddev_temp"))
+    val dz = Functions.zScoreOrNull(t, col("device_mean_temp"), col("device_stddev_temp"),
+      extraGuard = col("device_reading_count") >= 5)
+    val lz = Functions.zScoreOrNull(t, col("location_mean_temp"), col("location_stddev_temp"))
+    val ez = Functions.zScoreOrNull(t, col("environment_mean_temp"), col("environment_stddev_temp"))
 
     // P15 flags + combined (reference: int_temperature_anomalies.sql:129-158;
     // threshold var dbt_project.yml:38 -> 3, scoped flags at 3 - 0.5)
@@ -116,14 +112,10 @@ object Anomalies {
       .withColumn("device_z_score", dz)
       .withColumn("location_z_score", lz)
       .withColumn("environment_z_score", ez)
-      .withColumn("is_global_anomaly",
-        when(col("global_z_score") > 3.0, true).otherwise(false))
-      .withColumn("is_device_anomaly",
-        when(col("device_z_score") > 2.5, true).otherwise(false))
-      .withColumn("is_location_anomaly",
-        when(col("location_z_score") > 2.5, true).otherwise(false))
-      .withColumn("is_environment_anomaly",
-        when(col("environment_z_score") > 2.5, true).otherwise(false))
+      .withColumn("is_global_anomaly", Functions.isAnomaly(col("global_z_score"), 3.0))
+      .withColumn("is_device_anomaly", Functions.isAnomaly(col("device_z_score"), 2.5))
+      .withColumn("is_location_anomaly", Functions.isAnomaly(col("location_z_score"), 2.5))
+      .withColumn("is_environment_anomaly", Functions.isAnomaly(col("environment_z_score"), 2.5))
       .withColumn("is_anomaly",
         when(col("global_z_score") > 3.0
           || col("device_z_score") > 2.5

@@ -96,14 +96,12 @@ object Staging {
           .when(col("temperature_celsius").isNull, false)
           .otherwise(true)
       )
-      // P6 weighted 0.4/0.4/0.2 quality score, computed in exact integer
-      // tenths so Spark and the DuckDB oracle agree bit-for-bit
-      // (reference: stg_raw_temperature_readings.sql:72-76)
+      // P6 weighted 0.4/0.4/0.2 quality score via the macro-layer builder
+      // (M3 core form; reference: stg_raw_temperature_readings.sql:72-76)
       .withColumn(
         "data_quality_score",
-        (when(col("device_id").isNotNull && trim(col("device_id")) =!= "", 4).otherwise(0) +
-          when(col("reading_timestamp").isNotNull, 4).otherwise(0) +
-          when(col("temperature_celsius").isNotNull, 2).otherwise(0)) / lit(10.0)
+        graft.expr.Functions.coreQualityScore(
+          col("device_id"), col("reading_timestamp"), col("temperature_celsius"))
       )
   }
 
