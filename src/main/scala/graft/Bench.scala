@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // Warm the session (codegen compiler, file index, shuffle machinery)
+    // so the first measured query isn't charged ~3s of JVM warmup.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Tables.lineitem(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write: full execution of every column without sink cost

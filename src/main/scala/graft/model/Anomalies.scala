@@ -51,42 +51,38 @@ object Anomalies {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t = col("temperature_celsius").cast("double")
 
-    // A1 global stats (reference: int_temperature_anomalies.sql:28-34)
-    val globalStats = valid.agg(
-      Exact.davg(t).as("global_mean_temp"),
-      Exact.dstd(t).as("global_stddev_temp")
-    )
-    // A2 per-device stats + HAVING >= 5 (reference: int_temperature_anomalies.sql:37-48)
-    val deviceStats = valid
-      .groupBy("device_id")
+    // A1-A4: all four stats scopes (global / device / location /
+    // environment) in ONE grouping-sets aggregation — one shuffle where
+    // four separate groupBys would each shuffle `valid` again. Per-group
+    // values are identical to per-scope groupBys (Exact aggregates are
+    // order-independent); the reference's per-scope WHERE/HAVING guards
+    // (int_temperature_anomalies.sql:28-74) are applied per grouping id
+    // after the aggregate. grouping_id bit = 1 means the column is
+    // grouped OUT: global=7 (111), device=3 (011), location=5 (101),
+    // environment=6 (110).
+    val statsAll = valid
+      .groupingSets(
+        Seq(Seq.empty, Seq(col("device_id")), Seq(col("location")), Seq(col("environment_type"))),
+        col("device_id"), col("location"), col("environment_type"))
       .agg(
-        Exact.davg(t).as("device_mean_temp"),
-        Exact.dstd(t).as("device_stddev_temp"),
-        count(lit(1)).as("device_reading_count")
-      )
-      .filter(col("device_reading_count") >= 5)
-    // A3 per-location stats + HAVING >= 10 (reference: int_temperature_anomalies.sql:51-61)
-    val locationStats = valid
-      .filter(col("location").isNotNull)
-      .groupBy("location")
-      .agg(
-        Exact.davg(t).as("location_mean_temp"),
-        Exact.dstd(t).as("location_stddev_temp"),
-        count(lit(1)).as("location_reading_count")
-      )
-      .filter(col("location_reading_count") >= 10)
-      .drop("location_reading_count")
-    // A4 per-environment stats + HAVING >= 5 (reference: int_temperature_anomalies.sql:64-74)
-    val envStats = valid
-      .filter(col("environment_type").isNotNull)
-      .groupBy("environment_type")
-      .agg(
-        Exact.davg(t).as("environment_mean_temp"),
-        Exact.dstd(t).as("environment_stddev_temp"),
-        count(lit(1)).as("environment_reading_count")
-      )
-      .filter(col("environment_reading_count") >= 5)
-      .drop("environment_reading_count")
+        Exact.davg(t).as("mean_temp"),
+        Exact.dstd(t).as("stddev_temp"),
+        count(lit(1)).as("cnt"),
+        grouping_id().as("gid"))
+    val globalStats = statsAll.filter(col("gid") === 7)
+      .select(col("mean_temp").as("global_mean_temp"), col("stddev_temp").as("global_stddev_temp"))
+    val deviceStats = statsAll
+      .filter(col("gid") === 3 && col("cnt") >= 5)
+      .select(col("device_id"), col("mean_temp").as("device_mean_temp"),
+        col("stddev_temp").as("device_stddev_temp"), col("cnt").as("device_reading_count"))
+    val locationStats = statsAll
+      .filter(col("gid") === 5 && col("location").isNotNull && col("cnt") >= 10)
+      .select(col("location"), col("mean_temp").as("location_mean_temp"),
+        col("stddev_temp").as("location_stddev_temp"))
+    val envStats = statsAll
+      .filter(col("gid") === 6 && col("environment_type").isNotNull && col("cnt") >= 5)
+      .select(col("environment_type"), col("mean_temp").as("environment_mean_temp"),
+        col("stddev_temp").as("environment_stddev_temp"))
 
     // J1-J4 (reference: int_temperature_anomalies.sql:119-122)
     val joined = valid
