@@ -112,6 +112,29 @@ object Standardize {
       .withColumn("firmware_version", pick(firmwares, 47))
   }
 
+  /** Per-record lineage metadata (reference:
+    * iot_temperature_pipeline.py:54-75 — `file_record_id`, `row_number`,
+    * `file_name/path/size`, `ingestion_timestamp`, `total_records`), built
+    * from the file source's `_metadata` struct plus per-file windows. The
+    * reference's `file_record_id = "{file_hash}_{idx}"` keys idempotent
+    * appends; here the content hash comes from [[fileHashes]] joined on
+    * path. */
+  def withFileMetadata(csvRows: DataFrame, hashes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file_path")).orderBy(monotonically_increasing_id())
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("file_path"))
+    csvRows
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("file_name", col("_metadata.file_name"))
+      .withColumn("file_size_bytes", col("_metadata.file_size"))
+      .drop("_metadata")
+      .join(hashes.select(col("file_path"), col("file_hash")), Seq("file_path"), "left")
+      .withColumn("row_number", row_number().over(w))
+      .withColumn("total_records", count(lit(1)).over(wAll))
+      .withColumn("file_record_id", concat(col("file_hash"), lit("_"), col("row_number")))
+      .withColumn("ingestion_timestamp", current_timestamp())
+  }
+
   /** S4: per-file SHA-256 content hashes via the binaryFile source
     * (reference: iot_temperature_pipeline.py:236-245) — the key for
     * incremental skip-if-processed ingestion. */

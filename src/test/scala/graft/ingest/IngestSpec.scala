@@ -60,6 +60,39 @@ class IngestSpec extends SparkSpec {
     assert(e.filter(!col("device_type").isin("DHT22", "DS18B20", "SHT30", "BME280", "TMP36")).count() === 0)
   }
 
+  test("per-record lineage metadata (file_record_id, row_number, totals)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    Files.write(dir.resolve("a.csv"), KaggleRows.getBytes(StandardCharsets.UTF_8))
+    val csv = Standardize.readCsv(spark, dir.toString)
+    val withMeta = Standardize.withFileMetadata(
+      csv.select(col("*"), col("_metadata")),
+      Standardize.fileHashes(spark, dir.toString)).cache()
+    assert(withMeta.count() === 4)
+    assert(withMeta.filter(col("file_hash").isNull).count() === 0)
+    assert(withMeta.select("total_records").distinct().head().getLong(0) === 4L)
+    val ids = withMeta.select("file_record_id").collect().map(_.getString(0))
+    assert(ids.distinct.length === 4)
+    assert(ids.forall(_.matches("[0-9a-f]{64}_[0-9]+")))
+    assert(withMeta.select("row_number").collect().map(_.getInt(0)).sorted.sameElements(1 to 4))
+  }
+
+  test("end-to-end IotPipeline run: raw append + mart materialization + summary") {
+    val landing = tmpDir()
+    Files.write(landing.resolve("a.csv"), KaggleRows.getBytes(StandardCharsets.UTF_8))
+    val out = tmpDir().toString + "/pipeline"
+    val res = IotPipeline.run(spark, landing.toString, out)
+    assert(res.rawCount === 4)        // raw keeps the bad-date row
+    assert(res.stagedCount === 3)     // standardize drops it
+    assert(res.martCount > 0)
+    val summary = res.summary.head()
+    assert(summary.getAs[Long]("total_processed_records") === res.martCount)
+    // a second run appends raw but fully refreshes the mart
+    val res2 = IotPipeline.run(spark, landing.toString, out)
+    assert(spark.read.parquet(s"$out/raw").count() === 8)
+    assert(res2.martCount === res.martCount)
+  }
+
   test("file hashing + incremental skip (S4)") {
     val dir = tmpDir()
     Files.write(dir.resolve("a.csv"), KaggleRows.getBytes(StandardCharsets.UTF_8))
