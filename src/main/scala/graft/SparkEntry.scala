@@ -36,6 +36,10 @@ object SparkEntry {
     layerCache.getOrElseUpdate((s, key, dir),
       mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // staging IS persisted even though it is a narrow projection: the events
+  // parquet is a single TIMESTAMP(NANOS) row group whose scan+convert costs
+  // ~3.5s at sf0.1, and staging fans out to byLoad + the anomaly build —
+  // caching the projection amortizes the scan (measured 74s -> 48s total)
   private def ev(s: SparkSession, dir: String): DataFrame =
     cached("staging", s, dir)(Staging.fromEvents(Tables.events(s, dir)))
   private def anomOf(s: SparkSession, dir: String): DataFrame =
