@@ -80,6 +80,16 @@ object Similarity {
         .select("query_id", "neighbor_id", "rank", "cosine")
     }),
 
+    // Typed-Aggregator UDAF: decimal-exact element-wise centroid per label
+    // (see graft.expr.VectorCentroid for the merge-order argument).
+    "label_centroids" -> ((s, d) => {
+      val centroid = udaf(graft.expr.VectorCentroid,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"), centroid(col("embedding")).as("centroid"))
+    }),
+
     // Embedding near-duplicate pairs above the cosine threshold.
     // Block-broadcast brute force: the vector table is broadcast to every
     // executor (the same materialization a broadcast-hash join performs)
@@ -124,6 +134,25 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= $TopK""",
+
+    "label_centroids" -> """
+WITH flat AS (
+  -- float -> shortest-repr string -> decimal: DuckDB's direct
+  -- FLOAT->DECIMAL cast multiplies in float32 precision (lossy); the
+  -- VARCHAR hop matches Java Float.toString + HALF_UP exactly
+  SELECT label, i, CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(27,10)) AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+),
+agg AS (
+  SELECT label, i,
+    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_x,
+    COUNT(*) AS cnt
+  FROM flat GROUP BY label, i
+)
+SELECT label,
+  MAX(cnt) AS n_vectors,
+  list(avg_x ORDER BY i) AS centroid
+FROM agg GROUP BY label""",
 
     "cosine_neardup" -> s"""
 WITH e AS (
