@@ -103,6 +103,23 @@ object TextAnalysis {
       )
     }),
 
+    // Generator/UDTF surface: explode tokens into rows, global term counts.
+    "explode_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(T).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("occurrences"))
+    }),
+
+    // Array-function surface: per-doc sorted distinct token arrays.
+    "doc_token_arrays" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        array_sort(array_distinct(T)).as("vocab"),
+        size(array_distinct(T)).as("vocab_size")
+      )
+    }),
+
     // Corpus-level rollup of the text stats (one aggregation pass).
     "corpus_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -183,6 +200,17 @@ SELECT doc_id,
   sha256(text) AS content_sha,
   sha256(array_to_string($TS, ' ')) AS normalized_sha,
   ${Text.rollingHashSql(TS)} AS rolling_hash
+FROM documents""",
+
+      "explode_tokens" -> s"""
+SELECT token, COUNT(*) AS occurrences
+FROM (SELECT unnest($TS) AS token FROM documents)
+GROUP BY token""",
+
+      "doc_token_arrays" -> s"""
+SELECT doc_id,
+  list_sort(list_distinct($TS)) AS vocab,
+  CAST(len(list_distinct($TS)) AS INT) AS vocab_size
 FROM documents""",
 
       "corpus_stats" -> s"""

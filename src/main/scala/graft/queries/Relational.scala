@@ -252,6 +252,19 @@ object Relational {
         )
     }),
 
+    // Exact order statistics per group: median + linear-interpolated
+    // percentile (l_quantity values are small integers-as-doubles, so the
+    // interpolation arithmetic is exact on both engines).
+    "quantiles_by_flag" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("median(l_quantity)").as("median_qty"),
+          expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_qty")
+        )
+    }),
+
     // CUBE over (returnflag, linestatus): all grouping-set combinations.
     "cube_line_status" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -421,6 +434,13 @@ SELECT event_id, raw_string,
   try_strptime(raw_string, '%d-%m-%Y %H:%M') AS parsed_ts,
   try_strptime(raw_string, '%d-%m-%Y %H:%M') IS NOT NULL AS is_parsed
 FROM e2""",
+
+    "quantiles_by_flag" -> """
+SELECT l_returnflag,
+  median(l_quantity) AS median_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  quantile_cont(l_quantity, 0.25) AS p25_qty
+FROM lineitem GROUP BY l_returnflag""",
 
     "cube_line_status" -> s"""
 SELECT l_returnflag, l_linestatus,
