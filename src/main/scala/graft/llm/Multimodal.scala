@@ -73,7 +73,36 @@ object Multimodal {
         .otherwise("video/mp4").as("media_type")
     )
 
+  /** Per-frame record from the stub frame-sampler. */
+  case class MediaFrame(
+      doc_id: Long, frame_idx: Int, frame_len: Int,
+      frame_sha: String, first_byte: Int)
+
+  val FrameBytes = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Frame sampling: split each payload into fixed-size byte frames and
+    // extract per-frame features — the video/audio frame-sample shape
+    // (batched per partition, one digest per partition, frames exploded to
+    // rows). Deterministic features keep it oracle-checkable.
+    "multimodal_frames" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      mediaTable(s, d).as[MediaRow].mapPartitions { it =>
+        val sha = MessageDigest.getInstance("SHA-256")
+        it.flatMap { row =>
+          row.payload.grouped(FrameBytes).zipWithIndex.map { case (frame, idx) =>
+            MediaFrame(
+              doc_id = row.doc_id,
+              frame_idx = idx,
+              frame_len = frame.length,
+              frame_sha = sha.digest(frame).map("%02x".format(_)).mkString,
+              first_byte = if (frame.isEmpty) 0 else frame(0) & 0xff)
+          }
+        }
+      }.toDF()
+    }),
+
     // Batched per-partition "decode" + feature extraction over binary
     // payloads via typed mapPartitions (one digest instance per partition).
     "multimodal_features" -> ((s, d) => {
@@ -87,6 +116,26 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "multimodal_frames" -> s"""
+WITH idx AS (
+  -- list-form generate_series supports correlated bounds (the table
+  -- function form does not in DuckDB v1.0)
+  SELECT doc_id, text,
+    unnest(generate_series(1, CAST(ceil(length(text) / $FrameBytes.0) AS INT))) AS i
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+    CAST(i - 1 AS INT) AS frame_idx,
+    substr(text, (i - 1) * $FrameBytes + 1, $FrameBytes) AS frame
+  FROM idx
+)
+SELECT doc_id, frame_idx,
+  CAST(length(frame) AS INT) AS frame_len,
+  sha256(frame) AS frame_sha,
+  CAST(ascii(substr(frame, 1, 1)) AS INT) AS first_byte
+FROM frames""",
+
     "multimodal_features" -> """
 SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
