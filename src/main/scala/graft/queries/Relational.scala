@@ -252,6 +252,17 @@ object Relational {
         )
     }),
 
+    // Collect-aggregate surface: set-collect + sort + join makes the
+    // string aggregation deterministic for the oracle.
+    "status_concat" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses")
+        )
+    }),
+
     // Exact order statistics per group: median + linear-interpolated
     // percentile (l_quantity values are small integers-as-doubles, so the
     // interpolation arithmetic is exact on both engines).
@@ -434,6 +445,12 @@ SELECT event_id, raw_string,
   try_strptime(raw_string, '%d-%m-%Y %H:%M') AS parsed_ts,
   try_strptime(raw_string, '%d-%m-%Y %H:%M') IS NOT NULL AS is_parsed
 FROM e2""",
+
+    "status_concat" -> """
+SELECT l_returnflag,
+  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+  COUNT(DISTINCT l_linestatus) AS n_statuses
+FROM lineitem GROUP BY l_returnflag""",
 
     "quantiles_by_flag" -> """
 SELECT l_returnflag,
