@@ -170,6 +170,15 @@ object Relational {
         .distinct()
     }),
 
+    // JSON construction + reparse round trip (string/integer fields only —
+    // float JSON formatting is engine-specific).
+    "json_roundtrip" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        to_json(struct(col("event_type"), col("user_id"))).as("j")
+      ).withColumn("user_back", get_json_object(col("j"), "$.user_id").cast("long"))
+    }),
+
     // F-JSON: scalar JSON extraction from events.props + group aggregate.
     "json_props_agg" -> ((s, d) => {
       Tables.events(s, d)
@@ -396,6 +405,12 @@ SELECT l_partkey AS p_partkey FROM lineitem WHERE l_returnflag = 'R'""",
 SELECT l_returnflag AS flag FROM lineitem
 UNION
 SELECT o_orderstatus AS flag FROM orders""",
+
+    "json_roundtrip" -> """
+SELECT event_id,
+  to_json(struct_pack(event_type := event_type, user_id := user_id)) AS j,
+  CAST(json_extract_string(to_json(struct_pack(event_type := event_type, user_id := user_id)), '$.user_id') AS BIGINT) AS user_back
+FROM events""",
 
     "json_props_agg" -> s"""
 WITH ev AS (

@@ -78,6 +78,44 @@ class StreamingSpec extends SparkSpec {
     assert(finalTotals(3L) === ((1L, 7.0)))
   }
 
+  test("stream-stream interval join with watermarks matches the batch join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val pDir = Files.createTempDirectory("graft-ssp")
+    val eDir = Files.createTempDirectory("graft-sse")
+    // purchases at :00/:10/:20…, errors 3 minutes after some of them
+    write(pDir, "p.csv", "ts,user_id\n" +
+      (0 until 6).map(i => s"2024-01-01 10:${i}0:00,${i % 3}").mkString("\n"))
+    write(eDir, "e.csv", "ts,user_id\n" +
+      (0 until 6).map(i => s"2024-01-01 10:${i}3:00,${i % 3}").mkString("\n"))
+    def src(dir: java.nio.file.Path, prefix: String) =
+      spark.readStream.option("header", "true").schema(schema).csv(dir.toString)
+        .withWatermark("ts", "10 minutes")
+        .select(col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
+    // error joins the purchase of the same user within the prior 5 minutes
+    val joined = src(eDir, "e").join(src(pDir, "p"),
+      expr("e_user = p_user AND p_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts"))
+    val out = Files.createTempDirectory("graft-ss-out").toString + "/j"
+    joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ss-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }.start().awaitTermination()
+    val streamed = spark.read.parquet(out)
+    def batchSrc(dir: java.nio.file.Path, prefix: String) =
+      spark.read.option("header", "true").schema(schema).csv(dir.toString)
+        .select(col("ts").as(s"${prefix}_ts"), col("user_id").as(s"${prefix}_user"))
+    val batch = batchSrc(eDir, "e").join(batchSrc(pDir, "p"),
+      expr("e_user = p_user AND p_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts"))
+    assert(batch.count() === 6)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("AvailableNow run equals batch standardize; rerun is a no-op; new files increment") {
     val landing = Files.createTempDirectory("graft-landing")
     val out = Files.createTempDirectory("graft-stream-out").toString + "/raw"
