@@ -127,16 +127,27 @@ object PipelineSummary {
       )
 
   /** U1 4-way UNION ALL anomaly-type breakdown with A6 filtered averages
-    * (dead `anomaly_analysis` CTE, reference: mart_pipeline_summary.sql:106-136). */
+    * (dead `anomaly_analysis` CTE, reference: mart_pipeline_summary.sql:106-136).
+    *
+    * Computed as ONE aggregation over the mart (8 aggregate columns) then
+    * unpivoted with `stack` — the reference's four scalar CTEs would scan
+    * the mart four times; at 100 TB that is three scans saved for an
+    * identical result set. */
   def anomalyBreakdown(mart: DataFrame): DataFrame = {
-    def scope(tag: String, flag: String, z: String): DataFrame =
-      mart.agg(
-        Exact.cntIf(col(flag)).as("anomaly_count"),
-        Exact.davg(when(col(flag), col(z))).as("avg_z_score")
-      ).select(lit(tag).as("anomaly_type"), col("anomaly_count"), col("avg_z_score"))
-    scope("Global Anomalies", "is_global_anomaly", "global_z_score")
-      .unionByName(scope("Device Anomalies", "is_device_anomaly", "device_z_score"))
-      .unionByName(scope("Location Anomalies", "is_location_anomaly", "location_z_score"))
-      .unionByName(scope("Environment Anomalies", "is_environment_anomaly", "environment_z_score"))
+    val scopes = Seq(
+      ("Global Anomalies", "is_global_anomaly", "global_z_score"),
+      ("Device Anomalies", "is_device_anomaly", "device_z_score"),
+      ("Location Anomalies", "is_location_anomaly", "location_z_score"),
+      ("Environment Anomalies", "is_environment_anomaly", "environment_z_score"))
+    val aggs = scopes.zipWithIndex.flatMap { case ((_, flag, z), i) =>
+      Seq(
+        Exact.cntIf(col(flag)).as(s"c$i"),
+        Exact.davg(when(col(flag), col(z))).as(s"a$i"))
+    }
+    val stackArgs = scopes.zipWithIndex
+      .map { case ((tag, _, _), i) => s"'$tag', c$i, a$i" }
+      .mkString(", ")
+    mart.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(4, $stackArgs) AS (anomaly_type, anomaly_count, avg_z_score)")
   }
 }
