@@ -56,6 +56,37 @@ object Sinks {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Small-file compaction: rewrite a table path to ~`targetFileRows` rows
+    * per file. The append sink accumulates one file per batch per
+    * partition; at scale the resulting small-files problem throttles the
+    * scan (footer fetches dominate), so periodic compaction is part of the
+    * sink contract. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compact"
+    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Dynamic partition overwrite: replace only the partitions present in
+    * `df`, leaving sibling partitions untouched — the backfill/late-data
+    * write pattern (vs the default static mode which would drop every
+    * partition). */
+  def overwritePartitions(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** S11: statistics collection for the cost-based optimizer
     * (reference: ANALYZE post-run, iot_temperature_dag.py:274-287). */
   def analyze(spark: SparkSession, table: String): Unit =

@@ -82,6 +82,61 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(day"), s"expected partition filter:\n$scan")
   }
 
+  test("schema evolution: appended batches with new columns merge on read") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // batch 1: the original schema; batch 2 adds a column (dlt-style
+    // schema evolution, SURVEY §1.4)
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(path)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "v"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")))
+    assert(byId(2L).getDouble(merged.columns.indexOf("score")) === 9.5)
+  }
+
+  test("corrupt-record capture: PERMISSIVE keeps bad rows inspectable") {
+    val path = Files.createTempDirectory("graft-corrupt")
+    java.nio.file.Files.write(path.resolve("x.csv"),
+      "id,temp\n1,20.5\nnot-a-long,xx\n3,30.0\n".getBytes("UTF-8"))
+    val schema = "id LONG, temp DOUBLE, _corrupt_record STRING"
+    val df = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(path.toString).cache()
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(df.filter(col("id").isNotNull).count() === 2)
+  }
+
+  test("compaction rewrites many small files into few (S8 maintenance)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft-compact").toString + "/t"
+    (1 to 10).foreach(i => Sinks.append(Seq((i, s"v$i")).toDF("k", "v"), path))
+    def files() = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() >= 10)
+    Sinks.compact(spark, path, targetFiles = 2)
+    assert(files() <= 2)
+    assert(spark.read.parquet(path).count() === 10)
+  }
+
+  test("dynamic partition overwrite touches only the written partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft-dyn").toString + "/t"
+    Sinks.append(Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("v", "day"), path, Seq("day"))
+    // rewrite only day 2 with corrected data
+    Sinks.overwritePartitions(Seq((99, "2024-01-02")).toDF("v", "day"), path, Seq("day"))
+    // partition-column type inference reads "2024-01-01" back as DATE
+    val got = spark.read.parquet(path)
+      .selectExpr("CAST(day AS STRING) AS day", "v").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("2024-01-01" -> 1, "2024-01-02" -> 99))
+  }
+
   test("temp view materialization is lazy and queryable (S7)") {
     val spark0 = spark
     import spark0.implicits._
