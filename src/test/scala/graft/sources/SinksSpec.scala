@@ -82,6 +82,19 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(day"), s"expected partition filter:\n$scan")
   }
 
+  test("alternate formats: JSON-lines and ORC round-trip losslessly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = Files.createTempDirectory("graft-fmt").toString
+    val df = (1 to 50).map(i => (i.toLong, s"name$i", i * 1.5)).toDF("id", "name", "score")
+    df.write.mode("overwrite").json(s"$base/j")
+    df.write.mode("overwrite").orc(s"$base/o")
+    val fromJson = spark.read.schema(df.schema).json(s"$base/j")
+    val fromOrc = spark.read.orc(s"$base/o")
+    assert(fromJson.exceptAll(df).count() === 0 && df.exceptAll(fromJson).count() === 0)
+    assert(fromOrc.exceptAll(df).count() === 0 && df.exceptAll(fromOrc).count() === 0)
+  }
+
   test("schema evolution: appended batches with new columns merge on read") {
     val spark0 = spark
     import spark0.implicits._
