@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it via
+// sbt's logger: the driver parses Bench's single JSON line from stdout, and
+// the default LoggedOutput prefixes every line with "[info] " which broke
+// that parse in rounds 1-2 (BENCH_r*.json "parsed": null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,12 +82,17 @@ object Similarity {
 
     // Typed-Aggregator UDAF: decimal-exact element-wise centroid per label
     // (see graft.expr.VectorCentroid for the merge-order argument).
+    // The centroid vector is unpivoted to (label, dim, x) scalar rows for
+    // the compare: the driver's pandas row-sort cannot handle an
+    // array-typed cell (round-2 oracle crash).
     "label_centroids" -> ((s, d) => {
       val centroid = udaf(graft.expr.VectorCentroid,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
       Tables.embeddings(s, d)
         .groupBy("label")
         .agg(count(lit(1)).as("n_vectors"), centroid(col("embedding")).as("centroid"))
+        .select(col("label"), col("n_vectors"), posexplode(col("centroid")).as(Seq("dim0", "x")))
+        .select(col("label"), col("n_vectors"), (col("dim0") + 1).as("dim"), col("x"))
     }),
 
     // Embedding near-duplicate pairs above the cosine threshold.
@@ -142,17 +147,12 @@ WITH flat AS (
   -- VARCHAR hop matches Java Float.toString + HALF_UP exactly
   SELECT label, i, CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(27,10)) AS x
   FROM embeddings, generate_series(1, 64) AS t(i)
-),
-agg AS (
-  SELECT label, i,
-    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_x,
-    COUNT(*) AS cnt
-  FROM flat GROUP BY label, i
 )
 SELECT label,
-  MAX(cnt) AS n_vectors,
-  list(avg_x ORDER BY i) AS centroid
-FROM agg GROUP BY label""",
+  COUNT(*) AS n_vectors,
+  CAST(i AS INT) AS dim,
+  CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS x
+FROM flat GROUP BY label, i""",
 
     "cosine_neardup" -> s"""
 WITH e AS (

@@ -111,11 +111,14 @@ object TextAnalysis {
         .agg(count(lit(1)).as("occurrences"))
     }),
 
-    // Array-function surface: per-doc sorted distinct token arrays.
+    // Array-function surface: per-doc sorted distinct token vocabulary.
+    // Emitted as a joined string rather than array<string>: the driver's
+    // pandas-based compare cannot sort rows on an ndarray cell (round-2
+    // oracle crash); the join loses nothing since tokens contain no spaces.
     "doc_token_arrays" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
-        array_sort(array_distinct(T)).as("vocab"),
+        array_join(array_sort(array_distinct(T)), " ").as("vocab"),
         size(array_distinct(T)).as("vocab_size")
       )
     }),
@@ -209,7 +212,7 @@ GROUP BY token""",
 
       "doc_token_arrays" -> s"""
 SELECT doc_id,
-  list_sort(list_distinct($TS)) AS vocab,
+  array_to_string(list_sort(list_distinct($TS)), ' ') AS vocab,
   CAST(len(list_distinct($TS)) AS INT) AS vocab_size
 FROM documents""",
 

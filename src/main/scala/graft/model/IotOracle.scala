@@ -41,7 +41,7 @@ cleaned AS (
     record_id, device_id, reading_timestamp,
     CASE WHEN temperature_raw IS NOT NULL
               AND temperature_raw BETWEEN CAST(-50.0 AS DOUBLE) AND CAST(100.0 AS DOUBLE)
-         THEN CAST(temperature_raw AS DECIMAL(5,2)) ELSE NULL END AS temperature_celsius,
+         THEN CAST(CAST(temperature_raw AS DECIMAL(5,2)) AS DOUBLE) ELSE NULL END AS temperature_celsius,
     COALESCE(location_raw, 'Unknown_Room') AS location
   FROM raw_readings
 ),

@@ -63,12 +63,17 @@ object Staging {
   /** Raw readings -> staging rows (the reference staging model proper). */
   def fromRaw(raw: DataFrame): DataFrame = {
     // P2 range-validated cast (reference: stg_raw_temperature_readings.sql:28-33;
-    // bounds from vars, dbt_project.yml:34-35)
+    // bounds from vars, dbt_project.yml:34-35). The numeric(5,2) rounding is
+    // kept (DECIMAL cast, HALF_UP), but the column is carried as DOUBLE:
+    // 2-decimal values are exact in binary doubles, and a DECIMAL output
+    // column renders with trailing zeros ("8.20") in arrow/pandas readers
+    // while DuckDB's float64 prints "8.2" — the round-2 driver compare
+    // mismatched on exactly that.
     val tempC = when(
       col("temperature_raw").isNotNull &&
         col("temperature_raw").between(-50.0, 100.0),
-      col("temperature_raw").cast(DecimalType(5, 2))
-    ).otherwise(lit(null).cast(DecimalType(5, 2)))
+      col("temperature_raw").cast(DecimalType(5, 2)).cast("double")
+    ).otherwise(lit(null).cast("double"))
 
     val cleaned = raw.select(
       col("record_id"),
