@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.{Relational, Temporal}
+import graft.queries.{Analytics, Relational, Temporal}
 import graft.llm.{CorpusClean, IvfAnn, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -92,8 +92,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    iotQueries ++ Relational.queries ++ Temporal.queries ++
-      TextAnalysis.queries ++ TextDedup.queries ++ TextDedup.noOracleQueries ++
+    iotQueries ++ Relational.queries ++ Temporal.queries ++ Analytics.queries ++
+      TextAnalysis.queries ++ TextDedup.queries ++
       CorpusClean.queries ++
       Similarity.queries ++ Similarity.noOracleQueries ++
       IvfAnn.noOracleQueries ++ Multimodal.queries
@@ -102,7 +102,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops (those
     * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    iotOracle ++ Relational.oracles ++ Temporal.oracles ++
+    iotOracle ++ Relational.oracles ++ Temporal.oracles ++ Analytics.oracles ++
       TextAnalysis.oracles ++ TextDedup.oracles ++ CorpusClean.oracles ++
       Similarity.oracles ++ Multimodal.oracles
 }

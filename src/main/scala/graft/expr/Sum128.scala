@@ -1,0 +1,133 @@
+package graft.expr
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Exact, order-independent SUM of fixed-point-quantized doubles on an
+  * int128 accumulator — the performance path behind [[Exact]].
+  *
+  * Motivation: Spark's `sum` over DECIMAL(p>18) leaves the compact-long
+  * representation and allocates a java BigDecimal PER ROW (~0.5 µs each —
+  * measured 3.3s of a 600k-row corr query). This aggregate does the same
+  * exact, associative accumulation with two plain longs:
+  *
+  *  - per row: q = round_half_away(x · 10^scale) as long (one multiply +
+  *    floor — no allocation);
+  *  - accumulate/merge: 128-bit two's-complement add (3 ALU ops);
+  *  - final: int128 → correctly-rounded double, then one divide by 10^scale.
+  *
+  * Determinism: integer addition is associative, so any partial/merge order
+  * yields the same bits. Cross-engine parity: the DuckDB twin
+  * ([[Sum128.sql]]) applies the identical quantization (`round(x * 1e<s>)`
+  * is half-away-from-zero on both engines, on the same IEEE product),
+  * DuckDB's HUGEINT sum is also an int128, and both final conversions are
+  * correctly-rounded-integer→double followed by the same IEEE divide.
+  *
+  * Range contract (documented, not checked per row): |x|·10^scale must stay
+  * below 2^53 so the quantized value is an exact double-integer. The int128
+  * accumulator then holds ~10^22 such rows — no overflow at any realistic
+  * scale (DECIMAL(38) posture without BigDecimal cost).
+  *
+  * TypedImperativeAggregate plans as ObjectHashAggregate — outside
+  * whole-stage codegen, but the per-row work is nanoseconds and the shape
+  * (map-side partial + exchange + final merge) is identical to a native
+  * sum at any cluster size.
+  */
+case class Sum128(
+    child: Expression,
+    scale: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private val factor = math.pow(10.0, scale)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sum128"
+
+  // buffer = (hi, lo, nonNullCount)
+  override def createAggregationBuffer(): Array[Long] = Array(0L, 0L, 0L)
+
+  @inline private def add128(buf: Array[Long], q: Long): Unit = {
+    val lo = buf(1)
+    val newLo = lo + q
+    // unsigned carry-out of lo + q
+    val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
+    buf(0) += (q >> 63) + carry // sign-extend q into the high word
+    buf(1) = newLo
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val scaled = v.asInstanceOf[Double] * factor
+      val q =
+        if (scaled >= 0) math.floor(scaled + 0.5).toLong
+        else -math.floor(-scaled + 0.5).toLong
+      add128(buf, q)
+      buf(2) += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    val lo = buf(1); val olo = other(1)
+    val newLo = lo + olo
+    val carry = ((lo & olo) | ((lo | olo) & ~newLo)) >>> 63
+    buf(0) += other(0) + carry
+    buf(1) = newLo
+    buf(2) += other(2)
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    if (buf(2) == 0) null
+    else {
+      val loBytes = ByteBuffer.allocate(8).putLong(buf(1)).array()
+      val total = BigInteger.valueOf(buf(0)).shiftLeft(64)
+        .add(new BigInteger(1, loBytes)) // lo as unsigned
+      // correctly-rounded integer -> double, then ONE divide (the same two
+      // steps the DuckDB twin performs)
+      new JBigDecimal(total).doubleValue() / factor
+    }
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24)
+    bb.putLong(buf(0)); bb.putLong(buf(1)); bb.putLong(buf(2))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array(bb.getLong(), bb.getLong(), bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): Sum128 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): Sum128 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Sum128 =
+    copy(child = newChild)
+}
+
+object Sum128 {
+  /** Column-API entry point: exact fixed-point sum at the given scale. */
+  def sum128(c: Column, scale: Int): Column =
+    Bridge.column(Sum128(Bridge.expression(c), scale).toAggregateExpression())
+
+  /** DuckDB twin: identical quantization (round is half-away-from-zero on
+    * both engines), HUGEINT (int128) sum, correctly-rounded int→double via
+    * the VARCHAR hop, then the same final divide. */
+  def sql(e: String, scale: Int): String =
+    s"(CAST(CAST(SUM(CAST(round(($e) * 1e$scale) AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1e$scale)"
+}

@@ -151,7 +151,7 @@ WITH flat AS (
 SELECT label,
   COUNT(*) AS n_vectors,
   CAST(i AS INT) AS dim,
-  CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS x
+  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS x
 FROM flat GROUP BY label, i""",
 
     "cosine_neardup" -> s"""

@@ -204,7 +204,11 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     "dedup_minhash" -> ((s, d) => {
       val grams = gramSets(s, d)
       verifyJaccard(candidatePairs(bandBuckets(grams)), grams)
-    })
+    }),
+
+    // SimHash near-dup pairs at Hamming <= 3 (full-recall pigeonhole
+    // blocking; see simhashPairs).
+    "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -213,48 +217,109 @@ SELECT sha256(array_to_string(${Text.tokensSql("text")}, ' ')) AS fingerprint,
   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
 FROM documents GROUP BY 1""",
     "dedup_jaccard" -> jaccardPairsSql,
-    "dedup_minhash" -> jaccardPairsSql
+    "dedup_minhash" -> jaccardPairsSql,
+
+    // Mirrors [[simhashes]]/[[simhashPairs]] fold for fold: same two
+    // polynomial hashes, same 62-bit vote/signature rule, same 16/16/15/15
+    // banding, same Hamming cutoff.
+    "dedup_simhash" -> s"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct(${Text.tokensSql("text")})) AS t FROM documents
+),
+th AS (
+  SELECT doc_id,
+    list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT)), (h, c) -> (h*31 + c) % 2147483647) AS h1,
+    list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT)), (h, c) -> (h*131 + c) % 2147483629) AS h2
+  FROM tk
+),
+votes AS (
+  SELECT doc_id, j,
+    CAST(SUM((CASE WHEN j < 31 THEN (h1 >> j) & 1 ELSE (h2 >> (j-31)) & 1 END) * 2 - 1) AS BIGINT) AS v
+  FROM th CROSS JOIN generate_series(0, 61) AS g(j)
+  GROUP BY doc_id, j
+),
+sigs AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sig, b,
+    CASE b WHEN 0 THEN sig & 65535
+           WHEN 1 THEN (sig >> 16) & 65535
+           WHEN 2 THEN (sig >> 32) & 32767
+           ELSE (sig >> 47) & 32767 END AS bh
+  FROM sigs CROSS JOIN generate_series(0, 3) AS gb(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS s1, b.sig AS s2
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(s1, s2)) <= 3"""
   )
 
-  // ---- SimHash (no cross-engine oracle; ScalaTest-covered) ---------------
+  // ---- SimHash (cross-engine oracle via polynomial token hashes) ---------
 
-  /** 64-bit token hash for SimHash: two 32-bit murmur rounds packed. The
-    * hash only needs to be stable within the engine (SimHash has no
-    * cross-engine oracle), so a JVM-local hash keeps the whole signature
-    * computation in one tight mapPartitions pass. */
-  private def hash64(t: String): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  /** Token hash for SimHash: TWO 31-bit polynomial character folds
+    * (h·m + code) mod p with different (m, p), concatenated to a 62-bit
+    * hash. Chosen over murmur/xxhash precisely because the identical fold
+    * is expressible in DuckDB SQL (`list_reduce` over `string_split`), so
+    * the whole SimHash query gets a real oracle instead of a rows-only
+    * check. Tokens are ASCII [a-z0-9] by construction ([[Text.tokens]]),
+    * so char codes agree across engines. */
+  private val SimBits = 62
+  private def polyHash(t: String, mult: Long, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) { h = (h * mult + t.charAt(i)) % mod; i += 1 }
+    h
   }
 
-  /** 64-bit SimHash per doc: per-bit ±1 votes over the distinct-token
-    * hashes, bit set iff the vote sum is non-negative. One narrow
-    * mapPartitions — no shuffle at all until the pair-blocking join. */
+  /** 62-bit SimHash per doc: per-bit ±1 votes over the distinct-token
+    * hashes, bit set iff the vote sum is non-negative; bits 0-30 from the
+    * (31, 2^31-1) fold, bits 31-61 from the (131, 2147483629) fold. Docs
+    * with zero tokens have no signature (matches the oracle, where they
+    * produce no vote rows). One narrow mapPartitions — no shuffle at all
+    * until the pair-blocking join. */
   def simhashes(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions { it =>
         val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
-        it.map { case (id, text) =>
+        it.flatMap { case (id, text) =>
           val toks = sep.split(text.toLowerCase).filter(_.nonEmpty).distinct
-          val votes = new Array[Int](64)
-          toks.foreach { t =>
-            val h = hash64(t)
-            var j = 0
-            while (j < 64) {
-              if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-              j += 1
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val votes = new Array[Int](SimBits)
+            toks.foreach { t =>
+              val h1 = polyHash(t, 31L, 2147483647L)
+              val h2 = polyHash(t, 131L, 2147483629L)
+              var j = 0
+              while (j < 31) {
+                if (((h1 >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+                if (((h2 >>> j) & 1L) == 1L) votes(31 + j) += 1 else votes(31 + j) -= 1
+                j += 1
+              }
             }
+            var sig = 0L
+            var j = 0
+            while (j < SimBits) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+            Iterator.single((id, sig))
           }
-          var sig = 0L
-          var j = 0
-          while (j < 64) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
-          (id, sig)
         }
       }
       .toDF("doc_id", "simhash")
+  }
+
+  /** 4-band pigeonhole blocking over the 62-bit signature (16/16/15/15
+    * bits): Hamming <= 3 flips at most 3 bands, so one band matches
+    * exactly -> full recall at the radius. */
+  private def simBand(sig: Column, b: Int): Column = b match {
+    case 0 => sig.bitwiseAND(lit(0xFFFFL))
+    case 1 => shiftright(sig, 16).bitwiseAND(lit(0xFFFFL))
+    case 2 => shiftright(sig, 32).bitwiseAND(lit(0x7FFFL))
+    case _ => shiftright(sig, 47).bitwiseAND(lit(0x7FFFL))
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -262,7 +327,7 @@ FROM documents GROUP BY 1""",
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
+        struct(lit(b).as("band"), simBand(col("simhash"), b).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("simhash").as("h1"))
@@ -272,10 +337,4 @@ FROM documents GROUP BY 1""",
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
-
-  /** Registered rows-only (driver does a weaker rows>0 check — the
-    * signature hash is engine-specific so no DuckDB oracle is possible). */
-  def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d)))
-  )
 }

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.Exact
+import graft.expr.Exact._
+
+/** Statistical / temporal analytics beyond the reference's own operator set
+  * (SURVEY §7.3 "general-capability" growth): exact bivariate statistics,
+  * epoch-aligned time bucketing, bitmap-index exact distinct counting,
+  * non-equi band joins, distribution window functions, and a zero-filled
+  * calendar spine.
+  *
+  * Scale shapes: every query is one scan + one (or zero) shuffle.
+  *  - corr/covar are single partial-aggregable passes (decimal-exact sums,
+  *    see [[Exact]]) — no second pass over the data as textbook two-pass
+  *    formulas would need;
+  *  - bitmap distinct is the two-level mergeable pattern (bucket → OR-merge
+  *    bitmaps → popcount-sum) that replaces a full distinct shuffle with
+  *    fixed-size bitmap merges — the way exact distinct survives 100 TB;
+  *  - the band join broadcasts the 3-row band dim under a nested-loop join
+  *    (the only correct plan for non-equi joins against a tiny dim);
+  *  - the calendar spine is generated from a 1-row aggregate, never
+  *    collected to the driver.
+  */
+object Analytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact Pearson correlation + sample covariance of price vs quantity
+    // per return flag — one aggregation pass, order-independent math.
+    "corr_price_qty" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dcovarSamp(col("l_extendedprice"), col("l_quantity")).as("covar_price_qty"),
+          Exact.dcorr(col("l_extendedprice"), col("l_quantity")).as("corr_price_qty"),
+          Exact.dcovarSamp(col("l_discount"), col("l_tax")).as("covar_disc_tax")
+        )
+    }),
+
+    // Epoch-aligned 15-minute tumbling buckets over the event stream via
+    // the native `window()` function (the batch twin of the streaming
+    // windowed aggregation in graft.streaming.StreamAggregates).
+    "time_bucket_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Exact.davg(col("value")).as("avg_value"))
+        .select(
+          col("window.start").as("bucket_start"),
+          col("event_type"), col("n_events"), col("avg_value"))
+    }),
+
+    // Exact distinct via bitmap index structures: bucket the key space,
+    // build one fixed-size bitmap per bucket (partial-aggregable), then
+    // sum popcounts. Same answer as COUNT(DISTINCT) with bounded-size
+    // merge state instead of a key shuffle.
+    "bitmap_distinct" -> ((s, d) => {
+      def exactDistinct(keyCol: String, out: String): DataFrame =
+        Tables.lineitem(s, d)
+          .selectExpr(s"bitmap_bucket_number($keyCol) AS b",
+            s"bitmap_bit_position($keyCol) AS p")
+          .groupBy("b")
+          .agg(expr("bitmap_construct_agg(p)").as("bm"))
+          .agg(sum(expr("bitmap_count(bm)")).as(out))
+      exactDistinct("l_partkey", "distinct_parts")
+        .crossJoin(exactDistinct("l_suppkey", "distinct_supps"))
+    }),
+
+    // Non-equi band join: parts priced into [lo, hi) bands via a
+    // broadcast nested-loop join against an inline 3-row dim.
+    "price_band_join" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val bands = Seq(
+        ("low", 0.0, 1300.0),
+        ("mid", 1300.0, 1700.0),
+        ("high", 1700.0, 1e9)).toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          Exact.davg(col("p_retailprice")).as("avg_price"))
+    }),
+
+    // Distribution window functions: percent_rank / cume_dist of each
+    // part's price within its brand.
+    "price_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+      Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
+    // Calendar spine with zero-filled days: generate the full day range
+    // from a 1-row min/max aggregate (no driver collect), left join the
+    // per-day counts, fill gaps with 0.
+    "calendar_spine" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spine = ev
+        .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val counts = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "corr_price_qty" -> s"""
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  ${dcovarSampSql("l_extendedprice", "l_quantity")} AS covar_price_qty,
+  ${dcorrSql("l_extendedprice", "l_quantity")} AS corr_price_qty,
+  ${dcovarSampSql("l_discount", "l_tax")} AS covar_disc_tax
+FROM lineitem GROUP BY l_returnflag""",
+
+    // make_timestamp(floor-to-15-min of epoch micros) == Spark's
+    // epoch-aligned window().start for positive epochs.
+    "time_bucket_events" -> s"""
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket_start,
+  event_type,
+  COUNT(*) AS n_events,
+  ${davgSql("value")} AS avg_value
+FROM events
+GROUP BY 1, 2""",
+
+    "bitmap_distinct" -> """
+SELECT (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_parts,
+       (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS distinct_supps""",
+
+    "price_band_join" -> s"""
+SELECT band, COUNT(*) AS n_parts, ${davgSql("p_retailprice")} AS avg_price
+FROM part
+JOIN (VALUES ('low', CAST(0.0 AS DOUBLE), CAST(1300.0 AS DOUBLE)),
+             ('mid', CAST(1300.0 AS DOUBLE), CAST(1700.0 AS DOUBLE)),
+             ('high', CAST(1700.0 AS DOUBLE), CAST(1e9 AS DOUBLE))) AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band""",
+
+    "price_distribution" -> """
+SELECT p_partkey, p_brand, p_retailprice,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)""",
+
+    "calendar_spine" -> """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+counts AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN counts USING (day)"""
+  )
+}

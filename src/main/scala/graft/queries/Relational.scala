@@ -374,7 +374,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 
     "window_running_total" -> """
 SELECT o_orderkey, o_custkey, o_orderdate,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE) AS running_spend,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS VARCHAR) AS DOUBLE) AS running_spend,
   COUNT(*) OVER w AS order_seq
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
