@@ -93,6 +93,18 @@ object Exact {
   def dcorrSql(xe: String, ye: String): String =
     s"CASE WHEN COUNT(*) > 1 AND ${dstdSql(xe)} > 0 AND ${dstdSql(ye)} > 0 THEN ${dcovarSampSql(xe, ye)} / (${dstdSql(xe)} * ${dstdSql(ye)}) ELSE NULL END"
 
+  /** Exact SUM over a window frame. Uses the DECIMAL accumulator (not
+    * [[Sum128]] — windowed imperative aggregates re-evaluate per frame):
+    * per-frame sums are small enough that decimal cost is irrelevant, and
+    * the VARCHAR hop in the twin keeps the final conversion single-rounded. */
+  def winSum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 6))).over(w).cast("double")
+
+  /** DuckDB twin of [[winSum]]; interpolate as `winSumSql(e, "w")` with the
+    * WINDOW clause named in the query. */
+  def winSumSql(e: String, win: String = "w"): String =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(27,6))) OVER $win AS VARCHAR) AS DOUBLE)"
+
   /** Integer SUM as BIGINT on both engines (DuckDB SUM(int) is HUGEINT;
     * Spark is LONG — align on LONG/BIGINT). */
   def dsumLong(c: Column): Column = sum(c.cast("long"))

@@ -98,6 +98,42 @@ object Analytics {
         cume_dist().over(w).as("cume"))
     }),
 
+    // Two-phase salted aggregation (graft.operators.Skew): the result is
+    // identical to a plain GROUP BY — which is exactly what the oracle
+    // checks — while the first shuffle fans each hot key across 8 reducers.
+    // events.event_type has 5 values over 100k+ rows: every key is hot,
+    // the worst case for an unsalted shuffle at scale.
+    "salted_event_counts" -> ((s, d) => {
+      graft.operators.Skew.saltedCount(Tables.events(s, d), col("event_type"), 8)
+    }),
+
+    // RANGE-frame window: per-customer rolling 7-day spend. The frame is
+    // driven by integer day offsets (identical on both engines) rather
+    // than row counts — a genuinely different executor path from the
+    // ROWS-frame running total.
+    "rolling_weekly_spend" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-6, 0)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        Exact.winSum(col("o_totalprice"), w).as("weekly_spend"),
+        count(lit(1)).over(w).as("weekly_orders"))
+    }),
+
+    // Explicit GROUPING SETS with grouping_id: per-flag totals, per-status
+    // totals, and the grand total in ONE shuffle (the same pattern the
+    // anomaly stats scopes use internally, surfaced as its own operator).
+    "grouping_sets_status" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum(col("l_extendedprice")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
     // Calendar spine with zero-filled days: generate the full day range
     // from a 1-row min/max aggregate (no driver collect), left join the
     // per-day counts, fill gaps with 0.
@@ -151,6 +187,25 @@ SELECT p_partkey, p_brand, p_retailprice,
   cume_dist() OVER w AS cume
 FROM part
 WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)""",
+
+    "salted_event_counts" -> """
+SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY event_type""",
+
+    "rolling_weekly_spend" -> s"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+  ${Exact.winSumSql("o_totalprice")} AS weekly_spend,
+  COUNT(*) OVER w AS weekly_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "grouping_sets_status" -> s"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  ${dsumSql("l_extendedprice")} AS sum_price,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
 
     "calendar_spine" -> """
 WITH bounds AS (
