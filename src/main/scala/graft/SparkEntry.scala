@@ -36,10 +36,11 @@ object SparkEntry {
     layerCache.getOrElseUpdate((s, key, dir),
       mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  // staging IS persisted even though it is a narrow projection: the events
-  // parquet is a single TIMESTAMP(NANOS) row group whose scan+convert costs
-  // ~3.5s at sf0.1, and staging fans out to byLoad + the anomaly build —
-  // caching the projection amortizes the scan (measured 74s -> 48s total)
+  // staging IS persisted even though it is a narrow projection: the layer
+  // fans out to byLoad, ops_row_counts, AND every window/grouping-sets
+  // consumer inside the anomaly build — re-measured in round 3 (with the
+  // spread scans) and dropping this persist still regressed the chain
+  // 7.3s → 9.3s at sf0.1.
   private def ev(s: SparkSession, dir: String): DataFrame =
     cached("staging", s, dir)(Staging.fromEvents(Tables.events(s, dir)))
   // Only the MART layer is persisted, not the intermediate anomalies frame:
