@@ -134,6 +134,34 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Wide→long unpivot (Dataset.unpivot / melt) of per-flag aggregate
+    // metrics into (flag, metric, value) rows.
+    "unpivot_flag_metrics" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("qty"),
+          Exact.dsum(col("l_extendedprice")).as("price"),
+          Exact.dsum(col("l_discount")).as("disc"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("qty"), col("price"), col("disc")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+    }),
+
+    // Higher-order array-function surface over document tokens: exists /
+    // forall / transform+aggregate, all inside one projection.
+    "hof_token_probe" -> ((s, d) => {
+      val toks = graft.llm.Text.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        exists(toks, t => t.startsWith("a")).as("has_a_word"),
+        forall(toks, t => length(t) < lit(20)).as("all_short"),
+        aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, n) => greatest(acc, n)).as("longest_token"))
+    }),
+
     // Calendar spine with zero-filled days: generate the full day range
     // from a 1-row min/max aggregate (no driver collect), left join the
     // per-day counts, fill gaps with 0.
@@ -206,6 +234,26 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "unpivot_flag_metrics" -> s"""
+WITH agg AS (
+  SELECT l_returnflag,
+    ${dsumSql("l_quantity")} AS qty,
+    ${dsumSql("l_extendedprice")} AS price,
+    ${dsumSql("l_discount")} AS disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+UNION ALL SELECT l_returnflag, 'price', price FROM agg
+UNION ALL SELECT l_returnflag, 'disc', disc FROM agg""",
+
+    "hof_token_probe" -> s"""
+WITH base AS (SELECT doc_id, ${graft.llm.Text.tokensSql("text")} AS toks FROM documents)
+SELECT doc_id,
+  len(list_filter(toks, t -> t LIKE 'a%')) > 0 AS has_a_word,
+  len(list_filter(toks, t -> NOT (length(t) < 20))) = 0 AS all_short,
+  list_reduce([0] || list_transform(toks, t -> CAST(length(t) AS INT)), (a, b) -> greatest(a, b)) AS longest_token
+FROM base""",
 
     "calendar_spine" -> """
 WITH bounds AS (
