@@ -77,5 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+    // exact fixed-point sum: SELECT graft_sum128(x, 6) — scale must be a
+    // literal (it parameterizes the aggregation buffer, not the data)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sum128"),
+      new ExpressionInfo(classOf[Sum128].getName, "graft_sum128"),
+      (children: Seq[Expression]) => {
+        val scale = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case _ => throw new IllegalArgumentException(
+            "graft_sum128(col, scale): scale must be an integer literal")
+        }
+        Sum128(children(0), scale)
+      }))
   }
 }

@@ -51,4 +51,12 @@ class Sum128Spec extends SparkSpec {
     // 3 + (-3) + 1 + (-2) = -1
     assert(s === -1.0)
   }
+
+  test("registered as a SQL function via session extensions") {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(1.25, 2.25, -0.5).toDF("v").createOrReplaceTempView("s128_vals")
+    val r = spark.sql("SELECT graft_sum128(v, 2) AS s FROM s128_vals").head()
+    assert(r.getDouble(0) === 3.0)
+  }
 }
