@@ -134,6 +134,22 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Calendar-arithmetic function breadth: month-add with end-of-month
+    // clamping, last_day, quarter/day-of-year/ISO-week extraction,
+    // quarter truncation.
+    "date_functions" -> ((s, d) => {
+      val od = col("o_orderdate")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        to_date(od).as("order_date"),
+        add_months(od, 3).as("plus3m"),
+        last_day(od).as("month_end"),
+        quarter(od).as("qtr"),
+        dayofyear(od).as("doy"),
+        weekofyear(od).as("iso_week"),
+        to_date(date_trunc("quarter", od)).as("quarter_start"))
+    }),
+
     // Wide→long unpivot (Dataset.unpivot / melt) of per-flag aggregate
     // metrics into (flag, metric, value) rows.
     "unpivot_flag_metrics" -> ((s, d) => {
@@ -234,6 +250,17 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "date_functions" -> """
+SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+FROM orders""",
 
     "unpivot_flag_metrics" -> s"""
 WITH agg AS (

@@ -63,6 +63,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: Sum128 equals a driver-side BigDecimal reference") {
+    val s0 = spark; import s0.implicits._
+    val gen = Gen.zip(Gen.listOfN(300, Gen.choose(-9e8, 9e8)), Gen.choose(1, 32))
+    samples(gen, 8).foreach { case (xs, parts) =>
+      val got = xs.toDF("v").repartition(parts)
+        .agg(graft.expr.Sum128.sum128(col("v"), 6)).head().getDouble(0)
+      // reference: identical quantization, exact integer sum, same 2-step final
+      val total = xs.map { x =>
+        val scaled = x * 1e6
+        if (scaled >= 0) BigInt(math.floor(scaled + 0.5).toLong)
+        else BigInt(-math.floor(-scaled + 0.5).toLong)
+      }.sum
+      val expected = new java.math.BigDecimal(total.bigInteger).doubleValue() / 1e6
+      assert(got === expected)
+    }
+  }
+
   test("property: temperature_category maps every temperature to exactly one bucket") {
     val s0 = spark; import s0.implicits._
     samples(Gen.listOfN(64, Gen.choose(-80.0, 130.0)), 12).foreach { temps =>
