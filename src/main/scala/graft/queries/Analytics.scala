@@ -134,6 +134,40 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // JSON object-key introspection (schema-on-read surface): sorted key
+    // list of each event's props document.
+    "json_keys_probe" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        array_join(array_sort(json_object_keys(col("props"))), ",").as("prop_keys"),
+        size(json_object_keys(col("props"))).as("n_keys"))
+    }),
+
+    // MERGE/upsert semantics as a batch operator (the warehouse "apply
+    // changes" shape): a deterministic change set (updates for every 10th
+    // user + brand-new synthetic keys) is merged into the events base via
+    // one full-outer join on the key — matched rows take the update,
+    // unmatched keep the base, new keys insert. One shuffle on the merge
+    // key at any scale; no driver-side diffing.
+    "merge_upsert_events" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      val changes = Tables.events(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .select(
+          when(col("event_id") % 2 === 0, col("event_id"))
+            .otherwise(col("event_id") + 10000000L).as("event_id"),
+          col("user_id"),
+          (col("value") + 100.0).as("value"))
+      base.as("b").join(changes.as("c"), Seq("event_id"), "full_outer")
+        .select(
+          col("event_id"),
+          coalesce(col("c.user_id"), col("b.user_id")).as("user_id"),
+          coalesce(col("c.value"), col("b.value")).as("value"),
+          when(col("c.value").isNotNull && col("b.value").isNotNull, "updated")
+            .when(col("c.value").isNotNull, "inserted")
+            .otherwise("unchanged").as("merge_action"))
+    }),
+
     // Calendar-arithmetic function breadth: month-add with end-of-month
     // clamping, last_day, quarter/day-of-year/ISO-week extraction,
     // quarter truncation.
@@ -250,6 +284,29 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "json_keys_probe" -> """
+SELECT event_id,
+  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+  CAST(len(json_keys(props)) AS INT) AS n_keys
+FROM events""",
+
+    "merge_upsert_events" -> """
+WITH base AS (
+  SELECT event_id, user_id, value FROM events
+),
+changes AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN event_id ELSE event_id + 10000000 END AS event_id,
+         user_id, value + 100.0 AS value
+  FROM events WHERE user_id % 10 = 0
+)
+SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+  COALESCE(c.user_id, b.user_id) AS user_id,
+  COALESCE(c.value, b.value) AS value,
+  CASE WHEN c.value IS NOT NULL AND b.value IS NOT NULL THEN 'updated'
+       WHEN c.value IS NOT NULL THEN 'inserted'
+       ELSE 'unchanged' END AS merge_action
+FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id""",
 
     "date_functions" -> """
 SELECT o_orderkey,

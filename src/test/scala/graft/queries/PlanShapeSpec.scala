@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan shape assertions for the scale posture (SURVEY §4/§7.5.6):
+  * the properties that make these queries survive a 100 TB input are plan
+  * facts, not hopes — broadcast dims, per-partition top-k, filter pushdown,
+  * one Expand for all grouping-set scopes, codegen'd kernels, and no
+  * cartesian product anywhere in the whole registered surface. A Spark
+  * upgrade or refactor that silently regresses one of these fails here
+  * before it costs a cluster-day. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star_revenue broadcasts the small dims (no shuffle for nation/region)") {
+    assert(plan("star_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("top_customers plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("top_customers")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("int_anomalies: one Expand for all four stats scopes, broadcast joins back") {
+    val p = plan("int_anomalies")
+    assert(p.contains("Expand"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ann_topk_cosine scores with the native codegen dot kernel") {
+    assert(plan("ann_topk_cosine").contains("graft_dot"))
+  }
+
+  test("price_band_join resolves the non-equi join as broadcast nested loop") {
+    assert(plan("price_band_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sql_adhoc's correlated subquery is decorrelated into an aggregate+join") {
+    val p = plan("sql_adhoc")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    assert(p.contains("Join"))
+  }
+
+  test("NO registered query plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"query $name degraded to a cartesian product")
+    }
+  }
+}
