@@ -134,6 +134,15 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // The streaming windowed aggregation (graft.streaming.StreamAggregates
+    // .windowedTypeCounts — the same function StreamingSpec drives through
+    // micro-batches) executed on batch input: watermark is a no-op in
+    // batch, results are the complete window set. One code path, both
+    // execution modes — the point of Structured Streaming's model.
+    "stream_window_counts" -> ((s, d) => {
+      graft.streaming.StreamAggregates.windowedTypeCounts(Tables.events(s, d))
+    }),
+
     // JSON object-key introspection (schema-on-read surface): sorted key
     // list of each event's props document.
     "json_keys_probe" -> ((s, d) => {
@@ -284,6 +293,11 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "stream_window_counts" -> """
+SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+  event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2""",
 
     "json_keys_probe" -> """
 SELECT event_id,
