@@ -8,7 +8,10 @@ object Bench {
     // so the first measured query isn't charged ~3s of JVM warmup.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Tables.lineitem(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) order: hash-map iteration order varied per
+    // build, which moved the shared layer/gram-cache build cost between
+    // queries and made per-round numbers incomparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write: full execution of every column without sink cost
       // (a bare .count() would let Spark skip column materialization).
@@ -18,7 +21,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

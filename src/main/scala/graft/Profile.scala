@@ -16,8 +16,30 @@ object Profile {
       println(f"PROFILE $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
+    time("jvm/session warmup job") {
+      spark.range(0, 1000000, 1, 32).selectExpr("sum(id)").collect()
+      Tables.lineitem(spark, dir).count()
+    }
+    time("events raw scan noop") {
+      spark.read.parquet(s"$dir/events.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("events + tsconv noop") {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("events + tsconv + repartition noop") {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .repartition(32)
+        .write.format("noop").mode("overwrite").save()
+    }
     val ev = time("events scan count") {
       val e = Tables.events(spark, dir); e.count(); e
+    }
+    time("staging compute (no persist)") {
+      model.Staging.fromEvents(ev).write.format("noop").mode("overwrite").save()
     }
     val stg = time("staging persist") {
       val s = model.Staging.fromEvents(ev)
