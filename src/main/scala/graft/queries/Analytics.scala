@@ -134,6 +134,18 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // The custom int128 aggregate through the SQL entry point: the
+    // SparkSessionExtensions-registered graft_sum128 used from plain SQL
+    // (the same function object the DataFrame-side Exact.* builders plan).
+    "sql_exact_sum" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_sum")
+      s.sql("""
+        SELECT l_returnflag,
+               graft_sum128(l_extendedprice, 6) AS total_price,
+               graft_sum128(l_quantity, 6) / COUNT(*) AS avg_qty
+        FROM graft_li_sum GROUP BY l_returnflag""")
+    }),
+
     // The streaming windowed aggregation (graft.streaming.StreamAggregates
     // .windowedTypeCounts — the same function StreamingSpec drives through
     // micro-batches) executed on batch input: watermark is a no-op in
@@ -293,6 +305,12 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "sql_exact_sum" -> s"""
+SELECT l_returnflag,
+  ${graft.expr.Sum128.sql("l_extendedprice", 6)} AS total_price,
+  ${graft.expr.Sum128.sql("l_quantity", 6)} / COUNT(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag""",
 
     "stream_window_counts" -> """
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
