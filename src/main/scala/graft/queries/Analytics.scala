@@ -134,6 +134,22 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Cohort retention: customers bucketed by first-order month, activity
+    // counted by months-since-cohort. Month indices are exact integers
+    // (year·12+month) so the bucketing is engine-independent. Shape: one
+    // per-customer aggregate, one shuffle join back on custkey, one final
+    // aggregate — no windows over the whole fact.
+    "cohort_retention" -> ((s, d) => {
+      val om = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("om")
+      val orders = Tables.orders(s, d).select(col("o_custkey"), om)
+      val cohorts = orders.groupBy("o_custkey").agg(min(col("om")).as("cohort_m"))
+      orders.join(cohorts, "o_custkey")
+        .groupBy(col("cohort_m"), (col("om") - col("cohort_m")).as("months_since"))
+        .agg(
+          countDistinct(col("o_custkey")).as("active_customers"),
+          count(lit(1)).as("orders"))
+    }),
+
     // The custom int128 aggregate through the SQL entry point: the
     // SparkSessionExtensions-registered graft_sum128 used from plain SQL
     // (the same function object the DataFrame-side Exact.* builders plan).
@@ -305,6 +321,20 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "cohort_retention" -> """
+WITH om AS (
+  SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS om
+  FROM orders
+),
+cohorts AS (
+  SELECT o_custkey, MIN(om) AS cohort_m FROM om GROUP BY o_custkey
+)
+SELECT cohort_m, om - cohort_m AS months_since,
+  COUNT(DISTINCT om.o_custkey) AS active_customers,
+  COUNT(*) AS orders
+FROM om JOIN cohorts ON om.o_custkey = cohorts.o_custkey
+GROUP BY cohort_m, om - cohort_m""",
 
     "sql_exact_sum" -> s"""
 SELECT l_returnflag,
