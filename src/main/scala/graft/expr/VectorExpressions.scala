@@ -90,5 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Sum128(children(0), scale)
       }))
+    // whole-operator extension: plans graft.plans.TopKPerGroup logical
+    // nodes as the partial->exchange->final bounded-heap pipeline
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

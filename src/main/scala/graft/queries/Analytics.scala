@@ -134,6 +134,16 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // The custom whole-operator extension (graft.plans.TopKPerGroup:
+    // logical node + strategy + bounded-heap physical operator): top-3
+    // parts by price per brand, no per-group sort, map-side pruned before
+    // the shuffle. The oracle is the window row_number formulation — same
+    // rows by construction.
+    "topk_parts_per_brand" -> ((s, d) => {
+      graft.plans.TopK.perKey(Tables.part(s, d),
+        Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), 3)
+    }),
+
     // Cohort retention: customers bucketed by first-order month, activity
     // counted by months-since-cohort. Month indices are exact integers
     // (year·12+month) so the bucketing is engine-independent. Shape: one
@@ -321,6 +331,13 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "topk_parts_per_brand" -> """
+SELECT * EXCLUDE (rn) FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3""",
 
     "cohort_retention" -> """
 WITH om AS (

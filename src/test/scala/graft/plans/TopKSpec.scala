@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The custom bounded-heap top-k operator must (a) return exactly the rows
+  * the window row_number pattern returns under the same total order, (b)
+  * plan as partial -> exchange -> final with NO sort, and (c) prune
+  * map-side so the exchange carries at most k rows per (partition, group). */
+class TopKSpec extends SparkSpec {
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  private def heapTopK(k: Int) =
+    TopK.perKey(Tables.part(spark, sf),
+      Seq("p_brand"),
+      Seq("p_retailprice" -> false, "p_partkey" -> true), k)
+
+  test("returns exactly the window row_number rows for several k") {
+    for (k <- Seq(1, 3, 7)) {
+      val expected = windowTopK(k).collect().map(_.toSeq).toSet
+      val got = heapTopK(k).collect().map(_.toSeq).toSet
+      assert(got === expected, s"k=$k")
+    }
+  }
+
+  test("plans partial -> exchange -> final, with no Sort operator") {
+    val plan = heapTopK(3).queryExecution.executedPlan.toString
+    assert("TopKPerGroup ".r.findAllIn(plan).size == 2, "partial + final stages")
+    assert(plan.contains("Exchange"))
+    assert(!plan.contains("Sort "), "bounded heaps, not a per-group sort")
+  }
+
+  test("handles groups smaller than k and a single group") {
+    val withG = Tables.region(spark, sf).withColumn("g", lit(1))
+    val all = TopK.perKey(withG, Seq("g"), Seq("r_regionkey" -> true), 100)
+    assert(all.count() === Tables.region(spark, sf).count())
+    val two = TopK.perKey(withG, Seq("g"), Seq("r_regionkey" -> true), 2)
+    assert(two.select("r_regionkey").collect().map(_.get(0).toString.toLong).sorted.toSeq === Seq(0L, 1L))
+  }
+}
