@@ -33,14 +33,16 @@ object IvfAnn {
     }
     var centroids = sample.sortBy(_._1).take(K).map(_._2)
     for (_ <- 1 to Iterations) {
+      // hoist the K centroid norms out of the N-vector loop (norm(v) drops
+      // out of the per-vector argmax entirely — it scales all K scores)
+      val cNorms = centroids.map(Similarity.normJvm)
       val sums = Array.fill(K)(new Array[Double](dim))
       val counts = new Array[Int](K)
       sample.foreach { case (_, v) =>
         var best = 0; var bestSim = Double.MinValue
         var c = 0
         while (c < K) {
-          val s = Similarity.dotJvm(centroids(c), v) /
-            (Similarity.normJvm(centroids(c)) * Similarity.normJvm(v))
+          val s = Similarity.dotJvm(centroids(c), v) / cNorms(c)
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
@@ -89,14 +91,18 @@ object IvfAnn {
     val cands = cells.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
     val dot = graft.expr.VectorExpressions.dotF _
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(cands, "cell")
+    val scored = probes.join(cands, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce")).distinct()
       .withColumn("cosine",
         dot(col("qe"), col("ce")) /
           (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+    // bounded-heap top-k (graft.plans.TopKPerGroup), then rank the <=k
+    // survivors with a trivially small window
+    graft.plans.TopK.perKey(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        Seq("query_id"), Seq("cosine" -> false, "neighbor_id" -> true), k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 

@@ -62,6 +62,21 @@ object Similarity {
     Tables.embeddings(s, d).select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
+  /** Keep the best `k` scored candidates per query via the custom
+    * bounded-heap operator (graft.plans.TopKPerGroup — no per-query sort
+    * of the full candidate set), then rank the surviving ≤k rows with a
+    * trivially small window. Same rows/ranks as the pure window
+    * formulation under the (cosine DESC, neighbor_id ASC) total order. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    graft.plans.TopK.perKey(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        Seq("query_id"), Seq("cosine" -> false, "neighbor_id" -> true), k)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k for every 50th vector as query.
     "ann_topk_cosine" -> ((s, d) => {
@@ -72,12 +87,7 @@ object Similarity {
       val scored = q.crossJoin(c)
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+      rankTopK(scored, TopK)
     }),
 
     // Typed-Aggregator UDAF: decimal-exact element-wise centroid per label
@@ -192,14 +202,10 @@ WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupThres
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("sig"), col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("sig"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, "sig")
+    val scored = q.join(c, "sig")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
