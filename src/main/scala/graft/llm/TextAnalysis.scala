@@ -123,6 +123,40 @@ object TextAnalysis {
       )
     }),
 
+    // Adjacent-token-pair (bigram) frequencies — the counting kernel of a
+    // BPE-style tokenizer-training iteration: explode ordered bigrams, one
+    // hash aggregation, keep pairs seen more than once.
+    "token_bigrams" -> ((s, d) => {
+      val toks = T
+      Tables.documents(s, d)
+        .select(explode(
+          when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat_ws(" ", element_at(toks, i.cast("int")),
+                element_at(toks, (i + 1).cast("int")))))
+            .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("occurrences"))
+        .filter(col("occurrences") > 1)
+    }),
+
+    // Benchmark decontamination: which corpus documents share >= 5
+    // distinct 3-grams with a held-out benchmark doc (every 100th doc)?
+    // Inverted-index shuffle join on the gram — the same no-all-pairs
+    // shape as the Jaccard dedup, but asymmetric (benchmark vs corpus).
+    "contamination_overlap" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.ngrams(T, 3)).as("g"))
+      val bench = grams.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val corpus = grams.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("g"))
+      bench.join(corpus, "g")
+        .groupBy("bench_id", "corpus_id")
+        .agg(count(lit(1)).cast("int").as("shared_grams"))
+        .filter(col("shared_grams") >= 5)
+    }),
+
     // Corpus-level rollup of the text stats (one aggregation pass).
     "corpus_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -215,6 +249,27 @@ SELECT doc_id,
   array_to_string(list_sort(list_distinct($TS)), ' ') AS vocab,
   CAST(len(list_distinct($TS)) AS INT) AS vocab_size
 FROM documents""",
+
+      "token_bigrams" -> s"""
+WITH base AS (SELECT $TS AS w FROM documents),
+bg AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END) AS bigram
+  FROM base
+)
+SELECT bigram, COUNT(*) AS occurrences
+FROM bg GROUP BY bigram HAVING COUNT(*) > 1""",
+
+      "contamination_overlap" -> s"""
+WITH ng AS (
+  SELECT doc_id, unnest(${Text.ngramsSql(TS, 3)}) AS g FROM documents
+)
+SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+  CAST(COUNT(*) AS INT) AS shared_grams
+FROM ng b JOIN ng c ON b.g = c.g AND b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
+GROUP BY b.doc_id, c.doc_id
+HAVING COUNT(*) >= 5""",
 
       "corpus_stats" -> s"""
 WITH base AS (SELECT source, lang, CAST(len($TS) AS INT) AS n_tokens FROM documents)
