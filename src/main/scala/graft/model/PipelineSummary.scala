@@ -29,17 +29,6 @@ object PipelineSummary {
     * `summary_generated_at`/`calculated_at` (current_timestamp) are omitted:
     * nondeterministic, excluded per SURVEY §5 oracle rules. */
   def overall(mart: DataFrame): DataFrame = {
-    // The four COUNT(DISTINCT)s are computed as separate two-phase
-    // distinct aggregations and cross-joined (all 1-row) instead of
-    // mixing them into the main aggregate: mixed multi-distinct plans an
-    // Expand that pushes FIVE copies of every input row through the
-    // aggregation — at 100 TB that quintuples the shuffle; four partial
-    // distinct passes over the (cached) mart are strictly cheaper.
-    // Values are identical, so the oracle SQL is unchanged.
-    def distinctCount(c: org.apache.spark.sql.Column, name: String): DataFrame =
-      mart.select(c.as("k")).filter(col("k").isNotNull) // COUNT(DISTINCT) skips NULLs
-        .groupBy("k").agg(count(lit(1)))
-        .agg(count(lit(1)).as(name))
     val agg = mart.agg(
       count(lit(1)).as("total_processed_records"),
       Exact.cntIf(col("is_valid_record")).as("total_valid_records"),
@@ -52,6 +41,11 @@ object PipelineSummary {
       Exact.davg(q).as("global_avg_quality_score"),
       min(q).as("global_min_quality_score"),
       max(q).as("global_max_quality_score"),
+      countDistinct(col("device_id")).as("total_unique_devices"),
+      countDistinct(col("location")).as("total_unique_locations"),
+      countDistinct(col("environment_type")).as("total_environment_types"),
+      // load batch := ingest day (retarget of _dlt_load_id, SURVEY §7.3)
+      countDistinct(to_date(col("reading_timestamp"))).as("total_load_batches"),
       min(col("reading_timestamp")).as("earliest_reading_timestamp"),
       max(col("reading_timestamp")).as("latest_reading_timestamp"),
       // A9/F9 epoch span — integer micros difference, one double divide
@@ -61,11 +55,6 @@ object PipelineSummary {
       Exact.cntIf(col("environment_type") === "Outdoor").as("outdoor_readings"),
       Exact.cntIf(col("environment_type") === "Unknown").as("unknown_environment_readings")
     )
-      .crossJoin(distinctCount(col("device_id"), "total_unique_devices"))
-      .crossJoin(distinctCount(col("location"), "total_unique_locations"))
-      .crossJoin(distinctCount(col("environment_type"), "total_environment_types"))
-      // load batch := ingest day (retarget of _dlt_load_id, SURVEY §7.3)
-      .crossJoin(distinctCount(to_date(col("reading_timestamp")), "total_load_batches"))
     // P13 percentages (reference: mart_pipeline_summary.sql:143-146)
     def pct(n: String) = round(
       col(n).cast("double") / col("total_processed_records").cast("double") * lit(100.0), 2)
