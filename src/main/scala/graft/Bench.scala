@@ -4,10 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // Warm the session (codegen compiler, file index, shuffle machinery)
-    // so the first measured query isn't charged ~3s of JVM warmup.
+    // Warm the session (codegen compiler, file index, parquet footers,
+    // shuffle machinery) so the alphabetically-first queries aren't charged
+    // JVM/cold-file warmup the rest don't pay. Scans only — no query
+    // results are precomputed.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    Tables.lineitem(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "orders", "part", "customer").foreach { t =>
+      Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    }
+    Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save()
+    Tables.embeddings(spark, sfDir).write.format("noop").mode("overwrite").save()
     // deterministic (sorted) order: hash-map iteration order varied per
     // build, which moved the shared layer/gram-cache build cost between
     // queries and made per-round numbers incomparable
