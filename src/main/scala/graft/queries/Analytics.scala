@@ -134,6 +134,39 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Funnel conversion: per user, first click -> first purchase AFTER that
+    // click, with the conversion lag. Two tiny aggregates + one broadcast-
+    // able join — no window over the whole event stream.
+    "funnel_click_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          clicks("user_id") === purchases("user_id") && col("p_ts") >= col("first_click"),
+          "left")
+        .groupBy(clicks("user_id").as("user_id"), col("first_click"))
+        .agg(min(col("p_ts")).as("first_purchase"))
+        .withColumn("converted", col("first_purchase").isNotNull)
+        .withColumn("minutes_to_convert",
+          when(col("converted"),
+            (unix_micros(col("first_purchase")) - unix_micros(col("first_click"))) / lit(6e7))
+            .otherwise(lit(null).cast("double")))
+    }),
+
+    // Fixed-width histogram binning of the value column (floor arithmetic —
+    // no engine-specific width_bucket semantics), one aggregation pass.
+    "value_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(floor((col("value") - lit(0.0)) / lit(50.0)).cast("int").as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.davg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    }),
+
     // The custom whole-operator extension (graft.plans.TopKPerGroup:
     // logical node + strategy + bounded-heap physical operator): top-3
     // parts by price per brand, no per-group sort, map-side pruned before
@@ -331,6 +364,33 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "funnel_click_purchase" -> """
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+joined AS (
+  SELECT c.user_id, c.first_click, MIN(p.ts) AS first_purchase
+  FROM clicks c LEFT JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.first_click
+  GROUP BY c.user_id, c.first_click
+)
+SELECT user_id, first_click, first_purchase,
+  first_purchase IS NOT NULL AS converted,
+  CASE WHEN first_purchase IS NOT NULL
+       THEN (epoch_us(first_purchase) - epoch_us(first_click)) / CAST(6e7 AS DOUBLE)
+       ELSE NULL END AS minutes_to_convert
+FROM joined""",
+
+    "value_histogram" -> s"""
+SELECT CAST(floor((value - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)) AS INT) AS bin,
+  COUNT(*) AS n,
+  ${davgSql("value")} AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY 1""",
 
     "topk_parts_per_brand" -> """
 SELECT * EXCLUDE (rn) FROM (
