@@ -157,6 +157,15 @@ object TextAnalysis {
         .filter(col("shared_grams") >= 5)
     }),
 
+    // Outer generator semantics: posexplode_outer keeps a (null, null) row
+    // for documents whose token array is empty — the generator variant the
+    // plain explode queries don't exercise.
+    "posexplode_outer_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), posexplode_outer(T).as(Seq("pos", "token")))
+    }),
+
     // Corpus-level rollup of the text stats (one aggregation pass).
     "corpus_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -270,6 +279,18 @@ SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
 FROM ng b JOIN ng c ON b.g = c.g AND b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
 GROUP BY b.doc_id, c.doc_id
 HAVING COUNT(*) >= 5""",
+
+      "posexplode_outer_tokens" -> s"""
+WITH base AS (
+  SELECT doc_id, $TS AS w FROM documents WHERE doc_id % 5 = 0
+),
+e AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) = 0 THEN [{'pos': CAST(NULL AS INT), 'tok': CAST(NULL AS VARCHAR)}]
+           ELSE list_transform(w, (t, i) -> {'pos': CAST(i - 1 AS INT), 'tok': t}) END) AS u
+  FROM base
+)
+SELECT doc_id, u.pos AS pos, u.tok AS token FROM e""",
 
       "corpus_stats" -> s"""
 WITH base AS (SELECT source, lang, CAST(len($TS) AS INT) AS n_tokens FROM documents)
