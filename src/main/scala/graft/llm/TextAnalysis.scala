@@ -157,6 +157,21 @@ object TextAnalysis {
         .filter(col("shared_grams") >= 5)
     }),
 
+    // TF/DF statistics (the integer-exact core of TF-IDF; the log-scoring
+    // composition is left to callers because libm `log` is not
+    // bit-identical across engines): per (doc, term) frequency joined with
+    // corpus-wide document frequency. Two aggregations + one shuffle join
+    // on the term.
+    "tf_df" -> ((s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T).as("token"))
+      val tf = tokens.filter(col("doc_id") % 25 === 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tokens.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df, "token").select("doc_id", "token", "tf", "df")
+    }),
+
     // Outer generator semantics: posexplode_outer keeps a (null, null) row
     // for documents whose token array is empty — the generator variant the
     // plain explode queries don't exercise.
@@ -279,6 +294,20 @@ SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
 FROM ng b JOIN ng c ON b.g = c.g AND b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
 GROUP BY b.doc_id, c.doc_id
 HAVING COUNT(*) >= 5""",
+
+      "tf_df" -> s"""
+WITH tokens AS (
+  SELECT doc_id, unnest($TS) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+  WHERE doc_id % 25 = 0 GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+)
+SELECT tf.doc_id, tf.token, tf.tf, df.df
+FROM tf JOIN df ON tf.token = df.token""",
 
       "posexplode_outer_tokens" -> s"""
 WITH base AS (

@@ -40,6 +40,24 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), "bounded heaps, not a per-group sort")
   }
 
+  test("property: matches the window pattern on random data for random k") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(800)
+      val rows = Seq.fill(n)((rnd.nextInt(12), rnd.nextInt(100).toDouble, rnd.nextLong()))
+      val df = rows.toDF("key", "score", "id").repartition(1 + rnd.nextInt(15))
+      val k = 1 + rnd.nextInt(9)
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .drop("rn").collect().map(_.toSeq).toSet
+      val got = TopK.perKey(df, Seq("key"), Seq("score" -> false, "id" -> true), k)
+        .collect().map(_.toSeq).toSet
+      assert(got === expected, s"trial=$trial k=$k n=$n")
+    }
+  }
+
   test("handles groups smaller than k and a single group") {
     val withG = Tables.region(spark, sf).withColumn("g", lit(1))
     val all = TopK.perKey(withG, Seq("g"), Seq("r_regionkey" -> true), 100)
