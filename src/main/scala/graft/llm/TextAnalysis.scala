@@ -145,8 +145,11 @@ object TextAnalysis {
     // Inverted-index shuffle join on the gram — the same no-all-pairs
     // shape as the Jaccard dedup, but asymmetric (benchmark vs corpus).
     "contamination_overlap" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Text.ngrams(T, 3)).as("g"))
+      // reuse the cached mapPartitions gram sets shared with the dedup
+      // queries (identical distinct-3-gram semantics; the HOF ngrams
+      // builder is interpreted per element and ~1ms/doc)
+      val grams = TextDedup.gramSets(s, d)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
       val bench = grams.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       val corpus = grams.filter(col("doc_id") % 100 =!= 0)

@@ -44,7 +44,7 @@ object TextDedup {
     * in [[graft.SparkEntry]]. */
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def gramSets(s: SparkSession, d: String): DataFrame =
+  private[llm] def gramSets(s: SparkSession, d: String): DataFrame =
     gramCache.getOrElseUpdate((s, d),
       gramSetsUncached(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
