@@ -140,7 +140,7 @@ object TextAnalysis {
         .filter(col("occurrences") > 1)
     }),
 
-    // Benchmark decontamination: which corpus documents share >= 5
+    // Benchmark decontamination: which corpus documents share >= 2
     // distinct 3-grams with a held-out benchmark doc (every 100th doc)?
     // Inverted-index shuffle join on the gram — the same no-all-pairs
     // shape as the Jaccard dedup, but asymmetric (benchmark vs corpus).
@@ -157,7 +157,7 @@ object TextAnalysis {
       bench.join(corpus, "g")
         .groupBy("bench_id", "corpus_id")
         .agg(count(lit(1)).cast("int").as("shared_grams"))
-        .filter(col("shared_grams") >= 5)
+        .filter(col("shared_grams") >= 2)
     }),
 
     // TF/DF statistics (the integer-exact core of TF-IDF; the log-scoring
@@ -296,7 +296,7 @@ SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
   CAST(COUNT(*) AS INT) AS shared_grams
 FROM ng b JOIN ng c ON b.g = c.g AND b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
 GROUP BY b.doc_id, c.doc_id
-HAVING COUNT(*) >= 5""",
+HAVING COUNT(*) >= 2""",
 
       "tf_df" -> s"""
 WITH tokens AS (
