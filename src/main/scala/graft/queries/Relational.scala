@@ -154,11 +154,14 @@ object Relational {
         .select("p_brand").distinct()
     }),
 
-    // EXCEPT: parts never seen on a returned lineitem.
+    // EXCEPT: parts never seen on a large returned lineitem. The quantity
+    // guard keeps the result non-degenerate at every test SF (a plain
+    // returnflag filter matches every partkey, making EXCEPT an empty —
+    // and therefore vacuous — check).
     "part_set_except" -> ((s, d) => {
       val all = Tables.part(s, d).select("p_partkey")
       val returned = Tables.lineitem(s, d)
-        .filter(col("l_returnflag") === "R")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
         .select(col("l_partkey").as("p_partkey"))
       all.except(returned)
     }),
@@ -399,7 +402,8 @@ SELECT DISTINCT p_brand FROM part JOIN (
     "part_set_except" -> """
 SELECT p_partkey FROM part
 EXCEPT
-SELECT l_partkey AS p_partkey FROM lineitem WHERE l_returnflag = 'R'""",
+SELECT l_partkey AS p_partkey FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 45""",
 
     "union_distinct_flags" -> """
 SELECT l_returnflag AS flag FROM lineitem
