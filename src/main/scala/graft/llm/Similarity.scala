@@ -105,6 +105,25 @@ object Similarity {
         .select(col("label"), col("n_vectors"), (col("dim0") + 1).as("dim"), col("x"))
     }),
 
+    // Int8 scalar quantization of the embedding column (the compression
+    // step before shipping vectors to an ANN index): per-vector scale =
+    // max|x|/127, plus reconstruction error of the round-trip. Narrow
+    // per-row arithmetic; HOF cost is fine at this table's cardinality.
+    "embed_quantize" -> ((s, d) => {
+      val x = col("embedding")
+      def absd = transform(x, v => abs(v.cast("double")))
+      Tables.embeddings(s, d)
+        .withColumn("scale", array_max(absd) / lit(127.0))
+        .select(
+          col("vec_id"), col("scale"),
+          array_max(transform(x, v => abs(round(v.cast("double") / col("scale"), 0))))
+            .cast("int").as("max_q"),
+          (aggregate(
+            transform(x, v =>
+              abs(v.cast("double") - round(v.cast("double") / col("scale"), 0) * col("scale"))),
+            lit(0.0), (a, b) => a + b) / lit(64.0)).as("mean_abs_err"))
+    }),
+
     // Embedding near-duplicate pairs above the cosine threshold.
     // Block-broadcast brute force: the vector table is broadcast to every
     // executor (the same materialization a broadcast-hash join performs)
@@ -163,6 +182,19 @@ SELECT label,
   CAST(i AS INT) AS dim,
   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS x
 FROM flat GROUP BY label, i""",
+
+    "embed_quantize" -> """
+WITH m AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127.0 AS DOUBLE) AS scale
+  FROM embeddings
+)
+SELECT e.vec_id, m.scale,
+  CAST(list_max(list_transform(e.embedding, x -> abs(round(CAST(x AS DOUBLE) / m.scale)))) AS INT) AS max_q,
+  list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(e.embedding,
+    x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / m.scale) * m.scale)), (a, b) -> a + b)
+    / CAST(64.0 AS DOUBLE) AS mean_abs_err
+FROM embeddings e JOIN m ON e.vec_id = m.vec_id""",
 
     "cosine_neardup" -> s"""
 WITH e AS (
