@@ -80,7 +80,60 @@ object Multimodal {
 
   val FrameBytes = 64
 
+  /** Content-defined chunking parameters: an 8-byte local-window polynomial
+    * (Gear/Rabin-style) marks a boundary wherever its value mod 64 is 0 —
+    * boundaries depend only on local content, so an insertion early in a
+    * payload shifts at most one chunk (the property that makes CDC dedup
+    * resilient where fixed-size framing is not). Average chunk ≈ 64 bytes
+    * at these constants. */
+  val CdcWindow = 8
+  val CdcMod = 1000003L
+  val CdcMask = 64L
+  private[llm] val CdcPow: Array[Long] =
+    Iterator.iterate(1L)(_ * 31).take(CdcWindow).toArray // 31^0 .. 31^7
+
+  /** Boundary positions (1-based, >= CdcWindow) for a payload string. */
+  private[llm] def cdcBoundaries(text: String): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = CdcWindow
+    while (i <= text.length) {
+      var h = 0L
+      var k = 0
+      while (k < CdcWindow) {
+        h += text.charAt(i - 1 - k).toLong * CdcPow(k)
+        k += 1
+      }
+      if (h % CdcMod % CdcMask == 0) out += i
+      i += 1
+    }
+    out.toArray
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Content-defined chunking of each payload: per-chunk rows with the
+    // chunk fingerprint — the substrate of binary-level dedup (identical
+    // chunks dedupe across payloads even when offsets shift). The boundary
+    // scan runs as a primitive per-row kernel; fingerprints are sha256 of
+    // the chunk content.
+    "multimodal_chunks" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val bs = cdcBoundaries(text)
+            val splits = (0 +: bs.toSeq :+ text.length).distinct.sorted
+            splits.sliding(2).zipWithIndex.collect {
+              case (Seq(a, b), idx) if b > a =>
+                (id, idx, a + 1, b - a, text.substring(a, b))
+            }
+          }
+        }
+        .toDF("doc_id", "chunk_idx", "start", "len", "chunk")
+        .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+          sha2(col("chunk"), 256).as("chunk_sha"))
+    }),
+
     // Frame sampling: split each payload into fixed-size byte frames and
     // extract per-frame features — the video/audio frame-sample shape
     // (batched per partition, one digest per partition, frames exploded to
@@ -116,6 +169,41 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "multimodal_chunks" -> {
+      // h(i) = Σ_{k=0..7} code(char at i-k) · 31^k — mirrors cdcBoundaries
+      val winSum = (0 until CdcWindow)
+        .map(k => s"cs[i-$k] * ${CdcPow(k)}L").mkString(" + ")
+        .replace("L", "") // DuckDB has no long-literal suffix
+      s"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, text, len(cs) AS n,
+    list_filter(generate_series($CdcWindow, len(cs)), i -> ($winSum) % $CdcMod % $CdcMask = 0) AS bs
+  FROM base
+),
+splits AS (
+  -- list_distinct does not preserve order in DuckDB — re-sort the splits
+  SELECT doc_id, text, list_sort(list_distinct([0] || bs || [n])) AS sp FROM bounds
+),
+chunks AS (
+  SELECT doc_id, text,
+    unnest(list_transform(generate_series(1, len(sp) - 1),
+      k -> {'idx': k - 1, 'a': sp[k], 'b': sp[k+1]})) AS u
+  FROM splits
+)
+SELECT doc_id,
+  CAST(u.idx AS INT) AS chunk_idx,
+  CAST(u.a + 1 AS INT) AS start,
+  CAST(u.b - u.a AS INT) AS len,
+  sha256(substr(text, CAST(u.a + 1 AS INT), CAST(u.b - u.a AS INT))) AS chunk_sha
+FROM chunks
+WHERE u.b > u.a"""
+    },
+
     "multimodal_frames" -> s"""
 WITH idx AS (
   -- list-form generate_series supports correlated bounds (the table
