@@ -27,4 +27,25 @@ class MultimodalSpec extends SparkSpec {
       .select("media_type").distinct().collect().map(_.getString(0)).toSet
     assert(types === Set("image/png", "audio/wav", "video/mp4"))
   }
+
+  test("content-defined chunking is shift-resistant (fixed framing is not)") {
+    // insert a prefix into a payload: CDC boundaries re-align after at most
+    // one chunk, so most chunk fingerprints survive; fixed-size framing
+    // shifts every frame
+    def chunkSet(text: String): Set[String] = {
+      val bs = Multimodal.cdcBoundaries(text)
+      val splits = (0 +: bs.toSeq :+ text.length).distinct.sorted
+      splits.sliding(2).collect { case Seq(a, b) if b > a => text.substring(a, b) }.toSet
+    }
+    val base = (1 to 60).map(i => s"token$i word$i item$i").mkString(" ")
+    val shifted = "inserted prefix material " + base
+    val a = chunkSet(base)
+    val b = chunkSet(shifted)
+    val sharedCdc = a.intersect(b).size.toDouble / a.size
+    assert(sharedCdc >= 0.5, s"CDC should retain most chunks, got $sharedCdc")
+    // fixed 64-char frames: nothing survives an unaligned insert
+    val fa = base.grouped(64).toSet
+    val fb = shifted.grouped(64).toSet
+    assert(fa.intersect(fb).size <= 1)
+  }
 }
