@@ -134,6 +134,22 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Forward fill (gap fill): carry each user's last observed purchase
+    // value across subsequent events — last_value with IGNORE NULLS over a
+    // running frame, the canonical time-series imputation pattern.
+    "forward_fill_values" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("purchase_value",
+          when(col("event_type") === "purchase", col("value")))
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          last(col("purchase_value"), ignoreNulls = true).over(w)
+            .as("last_purchase_value"))
+    }),
+
     // Funnel conversion: per user, first click -> first purchase AFTER that
     // click, with the conversion lag. Two tiny aggregates + one broadcast-
     // able join — no window over the whole event stream.
@@ -364,6 +380,14 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "forward_fill_values" -> """
+SELECT event_id, user_id, ts, event_type,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER w
+    AS last_purchase_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "funnel_click_purchase" -> """
 WITH clicks AS (
