@@ -230,6 +230,20 @@ object Analytics {
       graft.streaming.StreamAggregates.windowedTypeCounts(Tables.events(s, d))
     }),
 
+    // Edit-distance + string-transform breadth: levenshtein (classic DP —
+    // identical integer results on both engines), translate, reverse,
+    // repeat, ascii.
+    "string_distance" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#33")).as("dist_to_b33"),
+        levenshtein(col("p_type"), col("p_brand")).as("type_brand_dist"),
+        translate(col("p_brand"), "#B", "_b").as("translated"),
+        reverse(col("p_brand")).as("reversed"),
+        ascii(col("p_name")).as("first_code"),
+        length(concat(col("p_brand"), lit("--"), col("p_brand"))).as("doubled_len"))
+    }),
+
     // JSON object-key introspection (schema-on-read surface): sorted key
     // list of each event's props document.
     "json_keys_probe" -> ((s, d) => {
@@ -447,6 +461,16 @@ FROM lineitem GROUP BY l_returnflag""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
   event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2""",
+
+    "string_distance" -> """
+SELECT p_partkey,
+  CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS dist_to_b33,
+  CAST(levenshtein(p_type, p_brand) AS INT) AS type_brand_dist,
+  translate(p_brand, '#B', '_b') AS translated,
+  reverse(p_brand) AS reversed,
+  CAST(ascii(p_name) AS INT) AS first_code,
+  CAST(length(p_brand || '--' || p_brand) AS INT) AS doubled_len
+FROM part""",
 
     "json_keys_probe" -> """
 SELECT event_id,
