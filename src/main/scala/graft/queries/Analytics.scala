@@ -134,6 +134,23 @@ object Analytics {
           grouping_id().cast("int").as("gid"))
     }),
 
+    // Interval self-join (the batch twin of the stream-stream interval
+    // join in StreamingSpec): ordered same-user event pairs within 5
+    // minutes. Equi-join on user_id carries the heavy lifting; the range
+    // predicate prunes within each key group.
+    "interval_self_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts", "event_type")
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"), col("event_type").as("type_a"))
+      val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id"))
+        .filter(col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .select("user_id", "id_a", "id_b", "type_a", "type_b")
+    }),
+
     // Forward fill (gap fill): carry each user's last observed purchase
     // value across subsequent events — last_value with IGNORE NULLS over a
     // running frame, the canonical time-series imputation pattern.
@@ -394,6 +411,15 @@ SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "interval_self_join" -> """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  a.event_type AS type_a, b.event_type AS type_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE""",
 
     "forward_fill_values" -> """
 SELECT event_id, user_id, ts, event_type,
