@@ -16,6 +16,11 @@ run / fork := true
 // the default LoggedOutput prefixes every line with "[info] " which broke
 // that parse in rounds 1-2 (BENCH_r*.json "parsed": null).
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line: the
+// driver reads Bench's JSON from the END of stdout, and in round 3 that
+// success line landed after the JSON (BENCH_r03.json "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.Bridge
@@ -46,7 +46,13 @@ case class Sum128(
     scale: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  // Fail at analysis (not with a runtime ClassCastException) when the SQL
+  // entry point `graft_sum128` is handed a non-double column; the analyzer
+  // inserts an implicit cast for numeric inputs.
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(DoubleType)
 
   private val factor = math.pow(10.0, scale)
 
@@ -70,9 +76,13 @@ case class Sum128(
     val v = child.eval(input)
     if (v != null) {
       val scaled = v.asInstanceOf[Double] * factor
+      // Half-away-from-zero, matching DuckDB round(): Math.round handles the
+      // scaled=0.49999999999999994 boundary correctly (floor(x+0.5) does not
+      // — x+0.5 rounds up to 1.0 in IEEE arithmetic there), and the
+      // symmetric negative form restores away-from-zero for negatives.
       val q =
-        if (scaled >= 0) math.floor(scaled + 0.5).toLong
-        else -math.floor(-scaled + 0.5).toLong
+        if (scaled >= 0) Math.round(scaled)
+        else -Math.round(-scaled)
       add128(buf, q)
       buf(2) += 1
     }

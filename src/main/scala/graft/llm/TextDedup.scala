@@ -138,6 +138,13 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     val pb = perms.map(_._2).toArray
     grams.as[(Long, Seq[String])].mapPartitions { it =>
       it.flatMap { case (id, gs) =>
+        // A doc with no grams has no signature: emitting its band rows would
+        // give every gram-less doc the identical Long.MaxValue-min bucket in
+        // all 32 bands — an O(m²) candidate-pair blowup on corpora with many
+        // short/empty docs (exact verification would discard the pairs, but
+        // only after paying the quadratic join).
+        if (gs.isEmpty) Iterator.empty
+        else {
         val mins = Array.fill(NumPerms)(Long.MaxValue)
         gs.foreach { g =>
           val h1 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c)
@@ -155,6 +162,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
           var r = 0
           while (r < RowsPerBand) { h = h * 31 + mins(b * RowsPerBand + r); r += 1 }
           (id, b, h)
+        }
         }
       }
     }.toDF("doc_id", "band", "bh")

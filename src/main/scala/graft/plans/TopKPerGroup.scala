@@ -52,6 +52,15 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+object TopKPerGroupExec {
+  /** Partial-stage flush threshold in retained rows (~tens of MB of copied
+    * UnsafeRows at typical widths). Past this, the map-side prune emits its
+    * heaps and resets rather than growing with group cardinality — the
+    * WindowExec it replaces would spill here; we degrade to a weaker prune
+    * instead, which is strictly cheaper than no prune. */
+  val PartialFlushRows: Long = 1L << 20
+}
+
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -65,37 +74,76 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  /** Memory contract: the heap map holds ≤ k rows per group PRESENT IN THE
+    * PARTITION. The final stage is bounded by the shuffle — after the
+    * ClusteredDistribution exchange each partition holds ~|groups|/numParts
+    * groups, so memory is O(k·|groups|/numParts), same as a hash aggregate.
+    * The PARTIAL stage sees every group in every input partition, so with
+    * high group cardinality it flush-and-resets once the retained-row count
+    * passes [[TopKPerGroupExec.PartialFlushRows]]: emit all current heaps
+    * downstream and start fresh. Correct because a row evicted before a
+    * flush was beaten by k same-group rows that ARE all emitted in that
+    * flush — the true top-k can never include it; the flushed stream is a
+    * superset of each group's top-k, which is all a partial prune promises. */
   override protected def doExecute(): RDD[InternalRow] = {
     val ge = groupExprs
     val so = order
     val childOutput = child.output
     val kk = k
+    val flushRows =
+      if (partial) TopKPerGroupExec.PartialFlushRows else Long.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ge, childOutput)
       // "best" row = first under the requested sort order
       val betterFirst = RowOrdering.create(so, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       // max-heap: worst of the kept k at the head, evicted on a better row
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int =
           betterFirst.compare(b, a)
       }
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var retained = 0L
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def drain(): Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          val vs = new java.util.ArrayList(heaps.values())
+          heaps.clear(); retained = 0L
+          vs.iterator().asScala.flatMap(_.iterator().asScala)
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (betterFirst.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        private def advance(): Unit = {
+          while (!out.hasNext && (iter.hasNext || retained > 0)) {
+            var flushed = false
+            while (!flushed && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                heap = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size() < kk) {
+                heap.add(row.copy())
+                retained += 1
+                if (retained >= flushRows) { out = drain(); flushed = true }
+              } else if (betterFirst.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+            }
+            if (!flushed && !iter.hasNext) out = drain()
+          }
+        }
+
+        override def hasNext: Boolean = { if (!out.hasNext) advance(); out.hasNext }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 

@@ -275,14 +275,18 @@ object Analytics {
     // user + brand-new synthetic keys) is merged into the events base via
     // one full-outer join on the key — matched rows take the update,
     // unmatched keep the base, new keys insert. One shuffle on the merge
-    // key at any scale; no driver-side diffing.
+    // key at any scale; no driver-side diffing. Synthetic insert keys are
+    // NEGATIVE (-event_id - 1): generated event_ids are ≥ 0 at every scale
+    // factor, so inserts can never collide with base rows (a fixed
+    // "+10000000" offset would silently turn inserts into updates once real
+    // ids reach 10M).
     "merge_upsert_events" -> ((s, d) => {
       val base = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
       val changes = Tables.events(s, d)
         .filter(col("user_id") % 10 === 0)
         .select(
           when(col("event_id") % 2 === 0, col("event_id"))
-            .otherwise(col("event_id") + 10000000L).as("event_id"),
+            .otherwise(-col("event_id") - 1L).as("event_id"),
           col("user_id"),
           (col("value") + 100.0).as("value"))
       base.as("b").join(changes.as("c"), Seq("event_id"), "full_outer")
@@ -509,7 +513,7 @@ WITH base AS (
   SELECT event_id, user_id, value FROM events
 ),
 changes AS (
-  SELECT CASE WHEN event_id % 2 = 0 THEN event_id ELSE event_id + 10000000 END AS event_id,
+  SELECT CASE WHEN event_id % 2 = 0 THEN event_id ELSE -event_id - 1 END AS event_id,
          user_id, value + 100.0 AS value
   FROM events WHERE user_id % 10 = 0
 )

@@ -15,6 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * namespace.
   */
 object Bridge {
+  /** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]` in
+    * Spark 4; expressions outside the sql package that mix in
+    * `ExpectsInputTypes` need a nameable alias for the `inputTypes`
+    * override's result type. */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
