@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-quality filter guarantees: every heuristic rule fires both ways
+  * on real rows (no dead branches), PII redaction removes every match it
+  * counts, and line dedup keeps exactly one copy of each distinct line. */
+class CorpusQualitySpec extends SparkSpec {
+
+  test("quality rules are non-degenerate: each rule passes AND fails") {
+    val df = CorpusQuality.queries("doc_quality_rules")(spark, sf)
+    for (rule <- Seq("r_wordcount", "r_meanlen", "r_diversity", "r_stopwords", "quality_keep")) {
+      val n    = df.count()
+      val pass = df.filter(col(rule)).count()
+      assert(pass > 0 && pass < n, s"$rule is degenerate: $pass/$n pass")
+    }
+  }
+
+  test("repetition filter flags some docs and dup fraction is in [0,1)") {
+    val df = CorpusQuality.queries("repetition_ngrams")(spark, sf)
+    val flagged = df.filter(col("is_repetitive")).count()
+    assert(flagged > 0 && flagged < df.count())
+    val bad = df.filter(col("dup_bigram_frac") < 0.0 || col("dup_bigram_frac") >= 1.0).count()
+    assert(bad === 0L)
+  }
+
+  test("pii redaction removes every counted match and only injected docs have PII") {
+    val df = CorpusQuality.queries("pii_redact")(spark, sf)
+    // after redaction, no email/phone pattern survives anywhere
+    val survivors = df.filter(
+      regexp_count(col("redacted"), lit(CorpusQuality.EmailPattern)) > 0 ||
+      regexp_count(col("redacted"), lit(CorpusQuality.PhonePattern)) > 0).count()
+    assert(survivors === 0L)
+    // counts follow the deterministic injection: %6 docs have 2 emails,
+    // other %3 docs 1, the rest 0; %5 docs have 1 phone
+    val wrong = df.filter(
+      col("n_emails") =!= when(col("doc_id") % 6 === 0, 2)
+        .when(col("doc_id") % 3 === 0, 1).otherwise(0) ||
+      col("n_phones") =!= when(col("doc_id") % 5 === 0, 1).otherwise(0)).count()
+    assert(wrong === 0L)
+    // redaction placeholders actually appear
+    assert(df.filter(col("redacted").contains("<EMAIL>")).count() > 0)
+    assert(df.filter(col("redacted").contains("<PHONE>")).count() > 0)
+  }
+
+  test("line dedup keeps exactly one copy of every distinct line") {
+    val df = CorpusQuality.queries("line_dedup")(spark, sf).cache()
+    try {
+      val distinctLines = df.select("line").distinct().count()
+      val kept          = df.filter(col("keep")).count()
+      assert(kept === distinctLines)
+      // the planted boilerplate line must be deduped hard: many copies, one kept
+      val bp = df.filter(col("line") === CorpusQuality.BoilerplateLine)
+      assert(bp.count() > 1)
+      assert(bp.filter(col("keep")).count() === 1L)
+      // and the kept copy is the first occurrence (min doc_id among copies)
+      val firstDoc = bp.agg(min("doc_id")).head().getLong(0)
+      assert(bp.filter(col("keep")).head().getAs[Long]("doc_id") === firstDoc)
+    } finally df.unpersist()
+  }
+}
