@@ -355,6 +355,99 @@ object Analytics {
         .agg(count(lit(1)).as("n"))
       spine.join(counts, Seq("day"), "left")
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
+    // Exact simple linear regression (price ~ quantity per return flag)
+    // from Sum128 fixed-point components: slope = (Σxy − ΣxΣy/n) /
+    // (Σx² − (Σx)²/n), intercept = ȳ − slope·x̄. Single partial-aggregable
+    // pass — the same one-scan shape as corr_price_qty, no second pass
+    // over the data. Both engines evaluate the identical IEEE expression
+    // tree over identical exact sums.
+    "regr_price_qty" -> ((s, d) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val n   = count(lit(1)).cast("double")
+      val sx  = Exact.dsum(x);  val sy = Exact.dsum(y)
+      val sxy = graft.expr.Sum128.sum128(x * y, 4)
+      val sxx = graft.expr.Sum128.sum128(x * x, 4)
+      val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          slope.as("slope"),
+          (sy / n - slope * (sx / n)).as("intercept"))
+    }),
+
+    // argmax/argmin aggregation (max_by/min_by): each customer's best and
+    // worst order, deterministic under ties via a composite (price, key)
+    // ordering — the struct/list lexicographic comparison is identical on
+    // both engines. One hash aggregation, no join, no window.
+    "argmax_order" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+          max(col("o_totalprice")).as("best_price"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
+          min(col("o_totalprice")).as("worst_price"))
+    }),
+
+    // Correlated-subquery SQL surface: EXISTS (decorrelated by Catalyst to
+    // a left-semi join) + an uncorrelated scalar subquery (planned as a
+    // 1-row broadcast) — the same physical shapes as the explicit
+    // semi-join queries, but exercising the analyzer's subquery paths.
+    // The scalar threshold uses MAX (exact in IEEE) rather than AVG so
+    // cross-engine float parity holds without the Exact machinery.
+    "exists_high_value" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_ex")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_ex")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM graft_cust_ex c
+        WHERE EXISTS (
+            SELECT 1 FROM graft_ord_ex o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+          AND c_acctbal > (SELECT 0.5 * MAX(c_acctbal) FROM graft_cust_ex)""")
+    }),
+
+    // Bloom-filter join pruning — the runtime-filter pattern that makes
+    // selective fact⋈dim joins survive 100 TB: build a compact Bloom
+    // filter over the selected dim keys (driver-built here, the same
+    // object Spark's own runtime filtering broadcasts), pre-filter the
+    // fact scan with might_contain BEFORE the shuffle, then run the exact
+    // join to discard false positives. The shuffle moves only the ~10% of
+    // lineitem that can match instead of the whole fact table; results are
+    // identical to the plain join by construction.
+    "bloom_prune_join" -> ((s, d) => {
+      import s.implicits._
+      // key-derived 10% dim selection: selective at EVERY scale factor
+      // (p_retailprice grows with p_partkey, so a price threshold is
+      // empty at sf0.001 — and Spark's stat.bloomFilter NPEs on an empty
+      // input)
+      val dim = Tables.part(s, d).filter(col("p_partkey") % 10 === 7)
+      val bf = dim.stat.bloomFilter("p_partkey", 1000000L, 0.01)
+      // Broadcast the filter's SERIALIZED form: the sketch object itself
+      // does not survive Java closure serialization intact (null bit
+      // array on the executor side); executors rebuild it once per
+      // partition from the ~180 KB byte image.
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bytesB = s.sparkContext.broadcast(bos.toByteArray)
+      val pruned = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"))
+        .as[(Long, Double)]
+        .mapPartitions { it =>
+          val localBf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytesB.value))
+          it.filter { case (k, _) => localBf.mightContainLong(k) }
+        }
+        .toDF("l_partkey", "l_extendedprice")
+      pruned
+        .join(broadcast(dim.select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice")).as("revenue"))
     })
   )
 
@@ -568,6 +661,53 @@ counts AS (
   SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
 )
 SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
-FROM spine LEFT JOIN counts USING (day)"""
+FROM spine LEFT JOIN counts USING (day)""",
+
+    "regr_price_qty" -> {
+      val n   = "CAST(COUNT(*) AS DOUBLE)"
+      val sx  = dsumSql("l_quantity")
+      val sy  = dsumSql("l_extendedprice")
+      val sxy = graft.expr.Sum128.sql("(l_quantity) * (l_extendedprice)", 4)
+      val sxx = graft.expr.Sum128.sql("(l_quantity) * (l_quantity)", 4)
+      val slope = s"(($sxy - $sx * $sy / $n) / ($sxx - $sx * $sx / $n))"
+      s"""
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  $slope AS slope,
+  ($sy / $n - $slope * ($sx / $n)) AS intercept
+FROM lineitem GROUP BY l_returnflag"""
+    },
+
+    // DuckDB v1.0 arg_max/arg_min reject composite "by" types, so the twin
+    // expresses the identical (price, key)-lexicographic argmax via
+    // row_number windows: max_by under a unique composite order == the
+    // ORDER BY price DESC, key DESC row 1.
+    "argmax_order" -> """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+  FROM orders
+)
+SELECT o_custkey,
+  MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+  MAX(o_totalprice) AS best_price,
+  MAX(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+  MIN(o_totalprice) AS worst_price
+FROM r GROUP BY o_custkey""",
+
+    "exists_high_value" -> """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+  AND c_acctbal > (SELECT 0.5 * MAX(c_acctbal) FROM customer)""",
+
+    "bloom_prune_join" -> s"""
+SELECT p_brand, COUNT(*) AS n_items, ${dsumSql("l_extendedprice")} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_partkey % 10 = 7
+GROUP BY p_brand"""
   )
 }

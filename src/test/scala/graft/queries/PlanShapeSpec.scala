@@ -49,6 +49,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"))
   }
 
+  test("exists_high_value decorrelates EXISTS to a semi join (no per-row subquery)") {
+    val p = plan("exists_high_value")
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"),
+      s"expected a decorrelated semi join, got:\n$p")
+  }
+
+  test("bloom_prune_join broadcasts the dim and keeps the fact scan 2-column") {
+    val p = plan("bloom_prune_join")
+    assert(p.contains("BroadcastHashJoin"))
+    // column pruning: the lineitem scan must read only join key + measure
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"),
+      s"fact scan reads more than the 2 needed columns:\n$p")
+  }
+
+  test("argmax_order is a single hash aggregation (no window, no join)") {
+    val p = plan("argmax_order")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
