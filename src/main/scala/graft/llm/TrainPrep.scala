@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data assembly operators — the last-mile steps between a cleaned
+  * corpus and a training run:
+  *
+  *  - `hash_split`: deterministic train/val/test assignment (80/10/10) from
+  *    a cross-engine LCG hash of the document id. Hash-based splits are the
+  *    industry pattern because they are stable under re-runs, joins, and
+  *    re-partitioning — no RNG state, no order dependence.
+  *  - `seq_packing`: greedy contiguous sequence packing — assign documents
+  *    to fixed-size context windows (512 tokens — sized so multiple bins are exercised at every tested scale factor) by running token count,
+  *    per source shard. The window cumsum is PARTITIONED BY source: packing
+  *    is per-shard at scale (a single global ORDER BY window would
+  *    serialize on one task at 100 TB).
+  *  - `stratified_sample`: per-language deterministic 20% sample via the
+  *    same hash — one aggregation pass reporting per-stratum totals,
+  *    sampled counts, and achieved fractions.
+  *  - `embed_slice_norm`: Matryoshka-style embedding truncation — L2 norms
+  *    of the 16-dim prefix vs the full 64 dims and the retained-energy
+  *    ratio, the measurement behind "can we serve the short vector".
+  *
+  * All integer/hash arithmetic is exact on both engines (no overflow:
+  * |doc_id·a + c| < 2^63); float folds are identical left-to-right
+  * per-element double ops, and sqrt is correctly rounded IEEE on both.
+  */
+object TrainPrep {
+
+  /** LCG-style mix: (id·1103515245 + 12345) mod (2^31−1). Both engines
+    * evaluate it in exact BIGINT arithmetic. */
+  private def hashOf(id: org.apache.spark.sql.Column) =
+    (id * 1103515245L + 12345L) % 2147483647L
+  private def hashSql(e: String) = s"(($e * 1103515245 + 12345) % 2147483647)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hash_split" -> ((s, d) => {
+      val pct = hashOf(col("doc_id")) % 100L
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        pct.as("bucket"),
+        when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
+    }),
+
+    "seq_packing" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ctx = 512L
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(Text.tokens(col("text"))).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(
+          col("doc_id"), col("source"), col("n_tokens"),
+          (((col("cum") - col("n_tokens")) / ctx).cast("long")).as("pack_bin"),
+          (col("cum") - col("n_tokens")
+            - ((col("cum") - col("n_tokens")) / ctx).cast("long") * ctx).as("pack_offset"))
+    }),
+
+    "stratified_sample" -> ((s, d) => {
+      val sampled = (hashOf(col("doc_id")) % 5L === 0L).cast("int")
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("total_docs"),
+          sum(sampled).as("sampled_docs"),
+          (sum(sampled).cast("double") / count(lit(1)).cast("double")).as("sampled_frac"))
+    }),
+
+    "embed_slice_norm" -> ((s, d) => {
+      def sq(v: org.apache.spark.sql.Column) = {
+        val x = v.cast("double"); x * x
+      }
+      val e16 = aggregate(slice(col("embedding"), 1, 16), lit(0.0), (a, v) => a + sq(v))
+      val e64 = aggregate(col("embedding"), lit(0.0), (a, v) => a + sq(v))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        sqrt(e16).as("norm16"),
+        sqrt(e64).as("norm64"),
+        (e16 / e64).as("energy_ratio"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val h = hashSql("doc_id")
+    Map(
+      "hash_split" -> s"""
+SELECT doc_id,
+  ($h % 100) AS bucket,
+  CASE WHEN ($h % 100) < 80 THEN 'train'
+       WHEN ($h % 100) < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents""",
+
+      "seq_packing" -> s"""
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT doc_id, source, n_tokens,
+  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_bin,
+  CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT) AS pack_offset
+FROM c""",
+
+      "stratified_sample" -> s"""
+SELECT lang,
+  COUNT(*) AS total_docs,
+  CAST(SUM(CASE WHEN ($h % 5) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+  CAST(SUM(CASE WHEN ($h % 5) = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sampled_frac
+FROM documents GROUP BY lang""",
+
+      "embed_slice_norm" -> """
+WITH m AS (
+  SELECT vec_id,
+    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(embedding[1:16],
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS e16,
+    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS e64
+  FROM embeddings
+)
+SELECT vec_id, sqrt(e16) AS norm16, sqrt(e64) AS norm64, (e16 / e64) AS energy_ratio
+FROM m"""
+    )
+  }
+}
