@@ -90,6 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Sum128(children(0), scale)
       }))
+    // z-order clustering key: SELECT graft_zorder(x, y)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder16].getName, "graft_zorder"),
+      (children: Seq[Expression]) => ZOrder16(children(0), children(1))))
     // whole-operator extension: plans graft.plans.TopKPerGroup logical
     // nodes as the partial->exchange->final bounded-heap pipeline
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

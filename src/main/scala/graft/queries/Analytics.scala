@@ -448,6 +448,22 @@ object Analytics {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
           Exact.dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // Z-order (Morton) clustering keys via the native codegen expression
+    // graft.expr.ZOrder16: the space-filling-curve layout key that makes
+    // min/max data skipping work on BOTH join dimensions at once — at
+    // 100 TB you'd `ORDER BY zcluster` when writing the table and let
+    // every later partkey OR suppkey predicate prune files. Narrow per-row
+    // ALU work inside whole-stage codegen; the 2% key-derived subset keeps
+    // the dumped result small, not the computation interesting.
+    "zorder_cluster" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          graft.expr.ZOrder16.zorder(col("l_partkey") % 65536L, col("l_suppkey") % 65536L)
+            .as("zcluster"))
     })
   )
 
@@ -708,6 +724,11 @@ WHERE EXISTS (
 SELECT p_brand, COUNT(*) AS n_items, ${dsumSql("l_extendedprice")} AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_partkey % 10 = 7
-GROUP BY p_brand"""
+GROUP BY p_brand""",
+
+    "zorder_cluster" -> s"""
+SELECT l_orderkey, l_partkey, l_suppkey,
+  ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
+FROM lineitem WHERE l_orderkey % 50 = 0"""
   )
 }
