@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -33,9 +34,18 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, "top-k needs k > 0")
-  override def output: Seq[Attribute] = child.output
+  // Optional native rank emission: the final stage already holds each
+  // group's k rows — sorting k elements per group is O(k log k), free next
+  // to what the window row_number() formulation pays (a full sort of every
+  // group).
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  // the rank column originates HERE, not from the child — declare it so
+  // CheckAnalysis doesn't flag it as a missing input attribute
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
@@ -45,9 +55,11 @@ case class TopKPerGroup(
   * ClusteredDistribution requirement. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+    case TopKPerGroup(g, o, k, child, rank) =>
+      // only the final stage emits ranks — the partial stage's output is a
+      // pre-shuffle superset where ranks are not yet defined
+      val partial = TopKPerGroupExec(g, o, k, partial = true, None, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, rank, partial) :: Nil
     case _ => Nil
   }
 }
@@ -57,8 +69,9 @@ object TopKPerGroupExec {
     * UnsafeRows at typical widths). Past this, the map-side prune emits its
     * heaps and resets rather than growing with group cardinality — the
     * WindowExec it replaces would spill here; we degrade to a weaker prune
-    * instead, which is strictly cheaper than no prune. */
-  val PartialFlushRows: Long = 1L << 20
+    * instead, which is strictly cheaper than no prune. A `var` only so the
+    * spec can force the flush path on small data. */
+  @volatile var PartialFlushRows: Long = 1L << 20
 }
 
 case class TopKPerGroupExec(
@@ -66,9 +79,12 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    rankAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -92,6 +108,8 @@ case class TopKPerGroupExec(
     val kk = k
     val flushRows =
       if (partial) TopKPerGroupExec.PartialFlushRows else Long.MaxValue
+    val ranked = rankAttr.isDefined
+    val outAttrs = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(ge, childOutput)
       // "best" row = first under the requested sort order
@@ -107,11 +125,23 @@ case class TopKPerGroupExec(
         private var retained = 0L
         private var out: Iterator[InternalRow] = Iterator.empty
 
+        // identity projection materializing (row ++ rank) as an UnsafeRow
+        private lazy val rankProj = UnsafeProjection.create(outAttrs, outAttrs)
+        private val joined = new JoinedRow
+
         private def drain(): Iterator[InternalRow] = {
           import scala.jdk.CollectionConverters._
           val vs = new java.util.ArrayList(heaps.values())
           heaps.clear(); retained = 0L
-          vs.iterator().asScala.flatMap(_.iterator().asScala)
+          if (!ranked) vs.iterator().asScala.flatMap(_.iterator().asScala)
+          else vs.iterator().asScala.flatMap { heap =>
+            // k elements: sort best-first, rank 1..k
+            val arr = heap.toArray(new Array[InternalRow](heap.size()))
+            java.util.Arrays.sort(arr, betterFirst)
+            Iterator.tabulate(arr.length) { i =>
+              rankProj(joined(arr(i), new GenericInternalRow(Array[Any](i + 1))))
+            }
+          }
         }
 
         private def advance(): Unit = {
@@ -174,5 +204,26 @@ object TopK {
     }
     Bridge.ofRows(df.sparkSession,
       TopKPerGroup(groupCols.map(attr), order, k, child))
+  }
+
+  /** Like [[perKey]], but appends a 1-based `rankCol` (1 = best under the
+    * requested order) computed natively by the final stage — the operator
+    * already holds each group's k winners, so ranking them is O(k log k)
+    * per group instead of the full-group sort a window function pays. */
+  def perKeyRanked(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int, rankCol: String): DataFrame = {
+    val child = Bridge.logicalPlan(df)
+    def attr(n: String): Attribute =
+      child.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n),
+        if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
+        else org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    val rank = AttributeReference(rankCol, IntegerType, nullable = false)()
+    Bridge.ofRows(df.sparkSession,
+      TopKPerGroup(groupCols.map(attr), order, k, child, Some(rank)))
   }
 }

@@ -210,6 +210,16 @@ object Analytics {
         Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), 3)
     }),
 
+    // Same operator with native rank emission: the final bounded-heap
+    // stage sorts each group's k winners (O(k log k) per group) and
+    // appends a 1-based rank — vs the oracle's window row_number, which
+    // sorts every FULL group to produce the same column.
+    "topk_ranked_brand_parts" -> ((s, d) => {
+      graft.plans.TopK.perKeyRanked(Tables.part(s, d),
+        Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), 5,
+        rankCol = "rank_in_brand")
+    }),
+
     // Cohort retention: customers bucketed by first-order month, activity
     // counted by months-since-cohort. Month indices are exact integers
     // (year·12+month) so the bucketing is engine-independent. Shape: one
@@ -464,6 +474,25 @@ object Analytics {
           col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           graft.expr.ZOrder16.zorder(col("l_partkey") % 65536L, col("l_suppkey") % 65536L)
             .as("zcluster"))
+    }),
+
+    // Error-safe arithmetic surface (Spark 4 runs ANSI mode by default, so
+    // the silent-null semantics the reference's Postgres models rely on
+    // need the try_* family): division that nulls on zero, casts that null
+    // on malformed input, out-of-bounds array access. The DuckDB twin
+    // expresses the same semantics with NULLIF / TRY_CAST / native
+    // out-of-range list access.
+    "try_arithmetic" -> ((s, d) => {
+      val toks = graft.llm.Text.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        try_divide(col("n_chars"), col("doc_id") % 7).as("chars_per_bucket"),
+        try_to_number(
+          when(col("doc_id") % 4 === 0, concat(lit("x"), col("doc_id").cast("string")))
+            .otherwise(col("doc_id").cast("string")),
+          lit("999999999")).cast("double").as("parsed_id"),
+        try_element_at(toks, lit(200)).as("token_200"),
+        try_element_at(toks, lit(3)).as("token_3"))
     })
   )
 
@@ -575,6 +604,13 @@ SELECT * EXCLUDE (rn) FROM (
     ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
   FROM part
 ) WHERE rn <= 3""",
+
+    "topk_ranked_brand_parts" -> """
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand
+    ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank_in_brand
+  FROM part
+) WHERE rank_in_brand <= 5""",
 
     "cohort_retention" -> """
 WITH om AS (
@@ -729,6 +765,15 @@ GROUP BY p_brand""",
     "zorder_cluster" -> s"""
 SELECT l_orderkey, l_partkey, l_suppkey,
   ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
-FROM lineitem WHERE l_orderkey % 50 = 0"""
+FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "try_arithmetic" -> s"""
+WITH base AS (SELECT doc_id, n_chars, ${graft.llm.Text.tokensSql("text")} AS toks FROM documents)
+SELECT doc_id,
+  CAST(n_chars AS DOUBLE) / CAST(NULLIF(doc_id % 7, 0) AS DOUBLE) AS chars_per_bucket,
+  TRY_CAST((CASE WHEN doc_id % 4 = 0 THEN 'x' || doc_id ELSE CAST(doc_id AS VARCHAR) END) AS DOUBLE) AS parsed_id,
+  toks[200] AS token_200,
+  toks[3] AS token_3
+FROM base"""
   )
 }

@@ -58,6 +58,34 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("ranked variant matches the window row_number column exactly") {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val expected = Tables.part(spark, sf)
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter(col("rank_in_brand") <= 5)
+      .collect().map(_.toSeq).toSet
+    val got = TopK.perKeyRanked(Tables.part(spark, sf),
+      Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), 5,
+      rankCol = "rank_in_brand")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+  }
+
+  test("partial-stage flush keeps results exact (forced tiny threshold)") {
+    val saved = TopKPerGroupExec.PartialFlushRows
+    try {
+      // force a flush every 8 retained rows: the map-side prune degrades
+      // to near-passthrough, the final stage must still be exact
+      TopKPerGroupExec.PartialFlushRows = 8L
+      for (k <- Seq(1, 3)) {
+        val expected = windowTopK(k).collect().map(_.toSeq).toSet
+        val got = heapTopK(k).collect().map(_.toSeq).toSet
+        assert(got === expected, s"k=$k under forced flush")
+      }
+    } finally TopKPerGroupExec.PartialFlushRows = saved
+  }
+
   test("handles groups smaller than k and a single group") {
     val withG = Tables.region(spark, sf).withColumn("g", lit(1))
     val all = TopK.perKey(withG, Seq("g"), Seq("r_regionkey" -> true), 100)
