@@ -184,6 +184,30 @@ object TextAnalysis {
         .select(col("doc_id"), posexplode_outer(T).as(Seq("pos", "token")))
     }),
 
+    // Array set-operation surface (union/intersect/except/position) over
+    // each document's first-half vs second-half token sets — narrow
+    // per-row work. Results are sorted and string-joined (driver compare
+    // cannot sort ndarray cells), and DuckDB's missing list_except /
+    // order-sensitive list_intersect are normalized by sorting + explicit
+    // contains-filters on both engines.
+    "array_setops" -> ((s, d) => {
+      val toks = T
+      val half = (size(toks) / 2).cast("int")
+      val a = slice(toks, lit(1), half)
+      val b = slice(toks, half + 1, size(toks) - half)
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(array_sort(c), " ")
+      Tables.documents(s, d)
+        .withColumn("a", a).withColumn("b", b)
+        .select(
+          col("doc_id"),
+          joined(array_distinct(array_intersect(col("a"), col("b")))).as("both_halves"),
+          joined(array_distinct(array_except(col("a"), col("b")))).as("only_first"),
+          joined(array_distinct(array_union(col("a"), col("b")))).as("vocab_union"),
+          coalesce(array_position(col("a"), element_at(col("b"), 1)), lit(0L))
+            .as("b0_pos_in_a"))
+    }),
+
     // Corpus-level rollup of the text stats (one aggregation pass).
     "corpus_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -323,6 +347,23 @@ e AS (
   FROM base
 )
 SELECT doc_id, u.pos AS pos, u.tok AS token FROM e""",
+
+      "array_setops" -> s"""
+WITH base AS (
+  SELECT doc_id, $TS AS w FROM documents
+),
+halves AS (
+  SELECT doc_id,
+    w[1:CAST(len(w) // 2 AS INT)] AS a,
+    w[CAST(len(w) // 2 AS INT) + 1:len(w)] AS b
+  FROM base
+)
+SELECT doc_id,
+  COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ' '), '') AS both_halves,
+  COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ' '), '') AS only_first,
+  COALESCE(array_to_string(list_sort(list_distinct(a || b)), ' '), '') AS vocab_union,
+  CAST(COALESCE(list_position(a, b[1]), 0) AS BIGINT) AS b0_pos_in_a
+FROM halves""",
 
       "corpus_stats" -> s"""
 WITH base AS (SELECT source, lang, CAST(len($TS) AS INT) AS n_tokens FROM documents)

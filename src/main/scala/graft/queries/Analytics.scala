@@ -482,6 +482,61 @@ object Analytics {
     // on malformed input, out-of-bounds array access. The DuckDB twin
     // expresses the same semantics with NULLIF / TRY_CAST / native
     // out-of-range list access.
+    // 2-D skyline (Pareto front): parts not dominated on (price, size).
+    // The naive formulation is an all-pairs NOT EXISTS self-join — O(n²),
+    // dead at scale. This plan is O(n log n): collapse to per-price group
+    // minima (one hash aggregate), run ONE window over the DISTINCT
+    // price values (thousands of rows, not the fact table) to get the
+    // prefix-minimum size over strictly cheaper parts, and broadcast-join
+    // the verdict back. The oracle is the quadratic NOT EXISTS — an
+    // independently-derived formulation, so agreement actually checks the
+    // window algebra.
+    "skyline_parts" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val byPrice = parts.groupBy("p_retailprice")
+        .agg(min(col("p_size")).as("gmin"))
+      val wCum = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLag = Window.orderBy(col("p_retailprice"))
+      val prefix = byPrice
+        .withColumn("cum", min(col("gmin")).over(wCum))
+        .withColumn("m1", lag(col("cum"), 1).over(wLag))
+        .select(col("p_retailprice"), col("gmin"), col("m1"))
+      parts.join(broadcast(prefix), Seq("p_retailprice"))
+        .filter((col("m1").isNull || col("m1") > col("p_size")) &&
+          col("p_size") === col("gmin"))
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    }),
+
+    // Incremental aggregate maintenance (materialized-view refresh): merge
+    // yesterday's per-type partial aggregates with the newest day's delta
+    // instead of recomputing over all history — counts add, and sums merge
+    // EXACTLY because they are kept in the quantized integer domain
+    // (round(value·1e6) as BIGINT), where addition is associative. The
+    // oracle is the full recompute over all events: incremental == full is
+    // the correctness property of the pattern. The max-day scalar comes
+    // from a broadcast 1-row aggregate, never a driver collect.
+    "incremental_agg_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        to_date(col("ts")).as("day"),
+        col("event_type"),
+        round(col("value") * 1e6, 0).cast("long").as("q"))
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      val tagged = ev.crossJoin(broadcast(maxDay))
+      def agg(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("qs"))
+      val oldAgg   = agg(tagged.filter(col("day") < col("max_day")))
+        .withColumnRenamed("n", "n_old").withColumnRenamed("qs", "qs_old")
+      val deltaAgg = agg(tagged.filter(col("day") === col("max_day")))
+        .withColumnRenamed("n", "n_new").withColumnRenamed("qs", "qs_new")
+      oldAgg.join(deltaAgg, Seq("event_type"), "full_outer")
+        .select(
+          col("event_type"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n_events"),
+          ((coalesce(col("qs_old"), lit(0L)) + coalesce(col("qs_new"), lit(0L)))
+            .cast("double") / 1e6).as("value_sum"))
+    }),
+
     "try_arithmetic" -> ((s, d) => {
       val toks = graft.llm.Text.tokens(col("text"))
       Tables.documents(s, d).select(
@@ -766,6 +821,23 @@ GROUP BY p_brand""",
 SELECT l_orderkey, l_partkey, l_suppkey,
   ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
 FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "skyline_parts" -> """
+SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part b
+WHERE NOT EXISTS (
+  SELECT 1 FROM part a
+  WHERE a.p_retailprice <= b.p_retailprice AND a.p_size <= b.p_size
+    AND (a.p_retailprice < b.p_retailprice OR a.p_size < b.p_size))""",
+
+    "incremental_agg_merge" -> """
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS q FROM events
+)
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1e6 AS value_sum
+FROM q GROUP BY event_type""",
 
     "try_arithmetic" -> s"""
 WITH base AS (SELECT doc_id, n_chars, ${graft.llm.Text.tokensSql("text")} AS toks FROM documents)
