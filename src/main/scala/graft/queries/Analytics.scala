@@ -257,6 +257,33 @@ object Analytics {
       graft.streaming.StreamAggregates.windowedTypeCounts(Tables.events(s, d))
     }),
 
+    // The SAME windowed aggregation executed through the ACTUAL streaming
+    // engine: file stream source over the events parquet → watermark +
+    // tumbling window → Trigger.AvailableNow micro-batches → checkpointed
+    // memory sink — exercising T1-T3/T6 (source discovery, exactly-once
+    // checkpointing, bounded-batch trigger) inside the correctness gate,
+    // not just the shared batch twin above. Complete-mode output of a
+    // single AvailableNow pass == the batch result, so the oracle is the
+    // identical full window set.
+    "stream_exec_window_counts" -> ((s, d) => {
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet") // only this table's file
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamAggregates.windowedTypeCounts(src)
+      val name = "graft_stream_exec_sink"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Edit-distance + string-transform breadth: levenshtein (classic DP —
     // identical integer results on both engines), translate, reverse,
     // repeat, ascii.
@@ -688,6 +715,11 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
 
     "stream_window_counts" -> """
+SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+  event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2""",
+
+    "stream_exec_window_counts" -> """
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
   event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2""",
