@@ -90,19 +90,17 @@ object IvfAnn {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
     val cands = cells.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
     val dot = graft.expr.VectorExpressions.dotF _
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     val scored = probes.join(cands, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce")).distinct()
       .withColumn("cosine",
         dot(col("qe"), col("ce")) /
           (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
-    // bounded-heap top-k (graft.plans.TopKPerGroup), then rank the <=k
-    // survivors with a trivially small window
-    graft.plans.TopK.perKey(
+    // bounded-heap top-k with native rank emission (graft.plans.TopKPerGroup)
+    graft.plans.TopK.perKeyRanked(
         scored.select("query_id", "neighbor_id", "cosine"),
-        Seq("query_id"), Seq("cosine" -> false, "neighbor_id" -> true), k)
-      .withColumn("rank", row_number().over(w))
+        Seq("query_id"), Seq("cosine" -> false, "neighbor_id" -> true), k,
+        rankCol = "rank")
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 

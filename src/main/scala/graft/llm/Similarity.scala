@@ -63,19 +63,16 @@ object Similarity {
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
   /** Keep the best `k` scored candidates per query via the custom
-    * bounded-heap operator (graft.plans.TopKPerGroup — no per-query sort
-    * of the full candidate set), then rank the surviving ≤k rows with a
-    * trivially small window. Same rows/ranks as the pure window
-    * formulation under the (cosine DESC, neighbor_id ASC) total order. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    graft.plans.TopK.perKey(
+    * bounded-heap operator (graft.plans.TopKPerGroup) with native rank
+    * emission — no per-query sort of the full candidate set, no follow-up
+    * window. Same rows/ranks as the pure window formulation under the
+    * (cosine DESC, neighbor_id ASC) total order. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKeyRanked(
         scored.select("query_id", "neighbor_id", "cosine"),
-        Seq("query_id"), Seq("cosine" -> false, "neighbor_id" -> true), k)
-      .withColumn("rank", row_number().over(w))
+        Seq("query_id"), Seq("cosine" -> false, "neighbor_id" -> true), k,
+        rankCol = "rank")
       .select("query_id", "neighbor_id", "rank", "cosine")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k for every 50th vector as query.
