@@ -144,6 +144,23 @@ object CorpusQuality {
             PhonePattern, "<PHONE>").as("redacted"))
     }),
 
+    // RAG-style overlapping chunking: split each document into 20-token
+    // windows with stride 10 (50% overlap), the retrieval-index unit a
+    // RAG pipeline embeds. chunk_count = floor(max(n-20,0)/10)+1 — the
+    // last window may be shorter; both engines clamp slices identically.
+    // Narrow generator work: one explode, no shuffle.
+    "rag_chunks" -> ((s, d) => {
+      val toks = T
+      val n = size(toks)
+      val nChunks = (greatest(n - 20, lit(0)) / 10).cast("int") + 1
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * 10 + 1, lit(20)), " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n_tokens"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("n_tokens"), col("chunk_id"), col("chunk_text"),
+          size(split(col("chunk_text"), " ")).as("chunk_tokens"))
+    }),
+
     // C4-style corpus-level line dedup: explode constructed lines, keep
     // only the first occurrence (min (doc_id, line_no)) of each distinct
     // line. One shuffle clustered on the line text.
@@ -234,6 +251,23 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(raw, '$PhonePattern')) AS INT) AS n_phones,
   regexp_replace(regexp_replace(raw, '$EmailPattern', '<EMAIL>', 'g'), '$PhonePattern', '<PHONE>', 'g') AS redacted
 FROM raw""",
+
+    "rag_chunks" -> s"""
+WITH base AS (SELECT doc_id, $TS AS w FROM documents),
+m AS (
+  SELECT doc_id, w, CAST(len(w) AS INT) AS n,
+    CAST(greatest(len(w) - 20, 0) // 10 AS INT) + 1 AS nc
+  FROM base
+),
+e AS (
+  SELECT doc_id, n,
+    unnest(list_transform(generate_series(0, nc - 1),
+      i -> {'cid': CAST(i AS INT), 'txt': array_to_string(w[i*10+1:i*10+20], ' ')})) AS u
+  FROM m
+)
+SELECT doc_id, n AS n_tokens, u.cid AS chunk_id, u.txt AS chunk_text,
+  CAST(len(string_split(u.txt, ' ')) AS INT) AS chunk_tokens
+FROM e""",
 
     "line_dedup" -> s"""
 WITH base AS (SELECT doc_id, $TS AS w FROM documents),

@@ -45,6 +45,27 @@ class CorpusQualitySpec extends SparkSpec {
     assert(df.filter(col("redacted").contains("<PHONE>")).count() > 0)
   }
 
+  test("rag chunks: counts match the stride formula, overlap is real") {
+    val df = CorpusQuality.queries("rag_chunks")(spark, sf).cache()
+    try {
+      assert(df.filter(col("chunk_tokens") < 1 || col("chunk_tokens") > 20).count() === 0L)
+      // per-doc chunk count == floor(max(n-20,0)/10)+1
+      val bad = df.groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("chunks"))
+        .filter(col("chunks") =!=
+          (greatest(col("n_tokens") - 20, lit(0)) / 10).cast("int") + 1)
+      assert(bad.count() === 0L)
+      // overlap: for docs with 2+ full chunks, chunk 1 must start at token 11,
+      // i.e. chunk 0 and chunk 1 share 10 tokens
+      val sample = df.filter(col("doc_id") === df.filter(col("chunk_id") === 1)
+        .select(min("doc_id")).head().getLong(0))
+        .orderBy("chunk_id").collect()
+      val c0 = sample(0).getAs[String]("chunk_text").split(" ")
+      val c1 = sample(1).getAs[String]("chunk_text").split(" ")
+      assert(c0.drop(10).sameElements(c1.take(c0.length - 10)))
+    } finally df.unpersist()
+  }
+
   test("line dedup keeps exactly one copy of every distinct line") {
     val df = CorpusQuality.queries("line_dedup")(spark, sf).cache()
     try {
