@@ -509,6 +509,35 @@ object Analytics {
     // on malformed input, out-of-bounds array access. The DuckDB twin
     // expresses the same semantics with NULLIF / TRY_CAST / native
     // out-of-range list access.
+    // Weighted statistics: quantity-weighted average price per flag —
+    // wavg = Σ(x·w)/Σw with both sums int128-exact (Sum128), one
+    // partial-aggregable pass; plus the plain avg for contrast.
+    "weighted_stats" -> ((s, d) => {
+      val x = col("l_extendedprice"); val w = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (graft.expr.Sum128.sum128(x * w, 4) / Exact.dsum(w)).as("wavg_price"),
+          Exact.davg(x).as("avg_price"))
+    }),
+
+    // Label purity (Gini impurity) per embedding source-cluster, EXACT:
+    // the per-label counts are integers, Σc² stays in BIGINT, and the
+    // final 1 − Σc²/n² is one double division — no order-dependent float
+    // accumulation anywhere. Two hash aggregations, no window.
+    "label_gini" -> ((s, d) => {
+      val counts = Tables.embeddings(s, d)
+        .groupBy((col("vec_id") % 8).as("cluster"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy("cluster")
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("sq"))
+        .select(
+          col("cluster"), col("n"),
+          (lit(1.0) - col("sq").cast("double") / (col("n") * col("n")).cast("double"))
+            .as("gini"))
+    }),
+
     // 2-D skyline (Pareto front): parts not dominated on (price, size).
     // The naive formulation is an all-pairs NOT EXISTS self-join — O(n²),
     // dead at scale. This plan is O(n log n): collapse to per-price group
@@ -853,6 +882,26 @@ GROUP BY p_brand""",
 SELECT l_orderkey, l_partkey, l_suppkey,
   ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
 FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "weighted_stats" -> s"""
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  (${graft.expr.Sum128.sql("(l_extendedprice) * (l_quantity)", 4)} / ${dsumSql("l_quantity")}) AS wavg_price,
+  ${davgSql("l_extendedprice")} AS avg_price
+FROM lineitem GROUP BY l_returnflag""",
+
+    "label_gini" -> """
+WITH counts AS (
+  SELECT vec_id % 8 AS cluster, label, COUNT(*) AS c
+  FROM embeddings GROUP BY 1, 2
+),
+m AS (
+  SELECT cluster, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM counts GROUP BY cluster
+)
+SELECT cluster, n,
+  1.0 - CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+FROM m""",
 
     "skyline_parts" -> """
 SELECT p_partkey, p_brand, p_retailprice, p_size
