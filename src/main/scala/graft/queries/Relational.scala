@@ -316,6 +316,43 @@ object Relational {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0)
+    }),
+
+    // EXCEPT ALL — multiset difference with duplicate counts preserved
+    // (the distinct EXCEPT is part_set_except): supplier keys of R-flag
+    // items minus, occurrence-for-occurrence, those of A-flag items.
+    "except_all_suppliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select((col("l_suppkey") % 500).as("sk"))
+        .exceptAll(
+          li.filter(col("l_returnflag") === "A").select((col("l_suppkey") % 500).as("sk")))
+    }),
+
+    // Deterministic keyset-style pagination: a total order + LIMIT/OFFSET
+    // (Spark plans a single TakeOrderedAndProject over the ordered prefix —
+    // no full materialization of earlier pages).
+    "limit_offset_page" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_page")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graft_ord_page
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 100""")
+    }),
+
+    // Correlated LATERAL join: for every region, its first two nations by
+    // name — the SQL-standard lateral-subquery surface (Catalyst
+    // decorrelates it; same physical family as the EXISTS path).
+    "lateral_top_nations" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("graft_region_lat")
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
+      s.sql("""
+        SELECT r.r_name, t.n_name
+        FROM graft_region_lat r,
+        LATERAL (
+          SELECT n_name FROM graft_nation_lat n
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY n_name LIMIT 2) t""")
     })
   )
 
@@ -497,6 +534,25 @@ SELECT user_id % 10 AS cohort,
   ${cntIfSql("event_type = 'purchase'")} AS purchase,
   ${cntIfSql("event_type = 'signup'")} AS signup,
   ${cntIfSql("event_type = 'view'")} AS "view"
-FROM events GROUP BY user_id % 10"""
+FROM events GROUP BY user_id % 10""",
+
+    "except_all_suppliers" -> """
+SELECT l_suppkey % 500 AS sk FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_suppkey % 500 AS sk FROM lineitem WHERE l_returnflag = 'A'""",
+
+    "limit_offset_page" -> """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 100""",
+
+    "lateral_top_nations" -> """
+SELECT r.r_name, t.n_name
+FROM region r,
+LATERAL (
+  SELECT n_name FROM nation n
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY n_name LIMIT 2) t"""
   )
 }
