@@ -509,6 +509,20 @@ object Analytics {
     // on malformed input, out-of-bounds array access. The DuckDB twin
     // expresses the same semantics with NULLIF / TRY_CAST / native
     // out-of-range list access.
+    // Bitwise aggregate + scalar surface: AND/OR/XOR folds over per-type
+    // user-id masks plus popcount — integer-exact on both engines, one
+    // hash aggregation.
+    "bitwise_masks" -> ((s, d) => {
+      val m = (col("user_id") % 256).as("m")
+      Tables.events(s, d).select(col("event_type"), m)
+        .groupBy("event_type")
+        .agg(
+          bit_and(col("m")).as("mask_and"),
+          bit_or(col("m")).as("mask_or"),
+          bit_xor(col("m")).as("mask_xor"),
+          sum(bit_count(col("m")).cast("long")).as("total_bits"))
+    }),
+
     // Weighted statistics: quantity-weighted average price per flag —
     // wavg = Σ(x·w)/Σw with both sums int128-exact (Sum128), one
     // partial-aggregable pass; plus the plain avg for contrast.
@@ -882,6 +896,14 @@ GROUP BY p_brand""",
 SELECT l_orderkey, l_partkey, l_suppkey,
   ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
 FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "bitwise_masks" -> """
+SELECT event_type,
+  bit_and(user_id % 256) AS mask_and,
+  bit_or(user_id % 256) AS mask_or,
+  bit_xor(user_id % 256) AS mask_xor,
+  CAST(SUM(bit_count(user_id % 256)) AS BIGINT) AS total_bits
+FROM events GROUP BY event_type""",
 
     "weighted_stats" -> s"""
 SELECT l_returnflag,
