@@ -68,6 +68,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("limit_offset_page plans TakeOrderedAndProject (no full sort + collect)") {
+    assert(plan("limit_offset_page").contains("TakeOrderedAndProject"))
+  }
+
+  test("weighted_stats and bitwise_masks are single-aggregation passes") {
+    for (q <- Seq("weighted_stats", "bitwise_masks")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"), s"$q grew extra stages:\n$p")
+      // one aggregation exchange (events-based queries carry one extra
+      // RoundRobin exchange from the deliberate single-row-group spread
+      // in Tables.spreadTable)
+      val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(aggExchanges == 1, s"$q shuffles more than once for the aggregate:\n$p")
+    }
+  }
+
+  test("skyline_parts windows over DISTINCT prices and broadcasts the verdict") {
+    val p = plan("skyline_parts")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("Window"))
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
