@@ -509,6 +509,42 @@ object Analytics {
     // on malformed input, out-of-bounds array access. The DuckDB twin
     // expresses the same semantics with NULLIF / TRY_CAST / native
     // out-of-range list access.
+    // Column-statistics profile (the ANALYZE surface as a query): per
+    // order-status null counts, exact distinct counts, and min/max over
+    // several columns in ONE pass (multi-distinct plans a single Expand).
+    "table_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+          countDistinct(col("o_custkey")).as("distinct_cust"),
+          countDistinct(col("o_orderpriority")).as("distinct_prio"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(to_date(col("o_orderdate"))).as("min_date"),
+          max(to_date(col("o_orderdate"))).as("max_date"))
+    }),
+
+    // NULL-semantics battery over a constructed nullable pair: null-safe
+    // equality (<=> / IS NOT DISTINCT FROM), NULLIF, NVL2, coalesce
+    // chains, and null-aware conditionals — the semantics corner every
+    // engine port gets subtly wrong somewhere.
+    "null_semantics" -> ((s, d) => {
+      val a = when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value"))
+      val b = when(col("event_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("value"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        a.as("a"), b.as("b"),
+        (a <=> b).as("null_safe_eq"),
+        (a === b).as("plain_eq"),
+        nullif(a, b).as("nullif_ab"),
+        nvl2(a, lit("present"), lit("absent")).as("nvl2_a"),
+        coalesce(a, b, lit(-1.0)).as("first_present"))
+    }),
+
     // Bitwise aggregate + scalar surface: AND/OR/XOR folds over per-type
     // user-id masks plus popcount — integer-exact on both engines, one
     // hash aggregation.
@@ -896,6 +932,33 @@ GROUP BY p_brand""",
 SELECT l_orderkey, l_partkey, l_suppkey,
   ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
 FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "table_stats" -> """
+SELECT o_orderstatus,
+  COUNT(*) AS rows,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+  COUNT(DISTINCT o_custkey) AS distinct_cust,
+  COUNT(DISTINCT o_orderpriority) AS distinct_prio,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  MIN(CAST(o_orderdate AS DATE)) AS min_date,
+  MAX(CAST(o_orderdate AS DATE)) AS max_date
+FROM orders GROUP BY o_orderstatus""",
+
+    "null_semantics" -> """
+WITH p AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS a,
+    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS b
+  FROM events
+)
+SELECT event_id, a, b,
+  (a IS NOT DISTINCT FROM b) AS null_safe_eq,
+  (a = b) AS plain_eq,
+  NULLIF(a, b) AS nullif_ab,
+  CASE WHEN a IS NOT NULL THEN 'present' ELSE 'absent' END AS nvl2_a,
+  COALESCE(a, b, -1.0) AS first_present
+FROM p""",
 
     "bitwise_masks" -> """
 SELECT event_type,
