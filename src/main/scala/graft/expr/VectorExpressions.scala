@@ -98,5 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.TopKPerGroup logical
     // nodes as the partial->exchange->final bounded-heap pipeline
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // opt-in optimizer rule: rewrite `row_number() ... WHERE rn <= k`
+    // window patterns into TopKPerGroup (spark.graft.topkRewrite=true)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

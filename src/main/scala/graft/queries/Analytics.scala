@@ -220,6 +220,27 @@ object Analytics {
         rankCol = "rank_in_brand")
     }),
 
+    // The optimizer-rule path: a plain SQL window-top-k idiom
+    // (row_number ... WHERE rn <= 4) run with spark.graft.topkRewrite=true
+    // — graft.plans.RewriteWindowTopK swaps the WindowExec plan for the
+    // bounded-heap TopKPerGroup pipeline while the SQL text stays the
+    // standard pattern. Optimization is forced while the flag is on (it is
+    // read lazily at plan time), then the flag is restored.
+    "auto_topk_rewrite" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("graft_part_auto")
+      s.conf.set(graft.plans.RewriteWindowTopK.ConfKey, "true")
+      try {
+        val df = s.sql("""
+          SELECT * FROM (
+            SELECT p_partkey, p_brand, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                     ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+            FROM graft_part_auto) WHERE rn <= 4""")
+        df.queryExecution.executedPlan // materialize under the flag
+        df
+      } finally s.conf.set(graft.plans.RewriteWindowTopK.ConfKey, "false")
+    }),
+
     // Cohort retention: customers bucketed by first-order month, activity
     // counted by months-since-cohort. Month indices are exact integers
     // (year·12+month) so the bucketing is engine-independent. Shape: one
@@ -765,6 +786,13 @@ SELECT * EXCLUDE (rn) FROM (
     ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
   FROM part
 ) WHERE rn <= 3""",
+
+    "auto_topk_rewrite" -> """
+SELECT * FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+    CAST(row_number() OVER (PARTITION BY p_brand
+      ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rn
+  FROM part) WHERE rn <= 4""",
 
     "topk_ranked_brand_parts" -> """
 SELECT * FROM (

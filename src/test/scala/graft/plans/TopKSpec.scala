@@ -86,6 +86,49 @@ class TopKSpec extends SparkSpec {
     } finally TopKPerGroupExec.PartialFlushRows = saved
   }
 
+  test("optimizer rule rewrites the SQL window idiom to TopKPerGroup, same rows") {
+    Tables.part(spark, sf).createOrReplaceTempView("graft_part_rule")
+    val sql = """
+      SELECT * FROM (
+        SELECT p_partkey, p_brand, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        FROM graft_part_rule) WHERE rn <= 3"""
+    val off = spark.sql(sql)
+    val offPlan = off.queryExecution.executedPlan.toString
+    val offRows = off.collect().map(_.toSeq).toSet
+    assert(!offPlan.contains("TopKPerGroup"), "rule must be off by default")
+    spark.conf.set(RewriteWindowTopK.ConfKey, "true")
+    try {
+      val on = spark.sql(sql)
+      val onPlan = on.queryExecution.executedPlan.toString
+      assert(onPlan.contains("TopKPerGroup"), s"rewrite did not fire:\n$onPlan")
+      assert(!onPlan.contains("Window"), s"window survived the rewrite:\n$onPlan")
+      assert(on.collect().map(_.toSeq).toSet === offRows)
+    } finally spark.conf.set(RewriteWindowTopK.ConfKey, "false")
+  }
+
+  test("optimizer rule leaves rank/multi-window/global patterns alone") {
+    Tables.part(spark, sf).createOrReplaceTempView("graft_part_rule2")
+    spark.conf.set(RewriteWindowTopK.ConfKey, "true")
+    try {
+      // rank() is not row_number: ties semantics differ — must not rewrite
+      val rank = spark.sql("""
+        SELECT * FROM (
+          SELECT p_partkey, rank() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC) AS r
+          FROM graft_part_rule2) WHERE r <= 3""")
+      assert(!rank.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // no PARTITION BY: global top-k is TakeOrdered's job — must not rewrite
+      val global = spark.sql("""
+        SELECT * FROM (
+          SELECT p_partkey, row_number() OVER (
+            ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM graft_part_rule2) WHERE rn <= 3""")
+      assert(!global.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally spark.conf.set(RewriteWindowTopK.ConfKey, "false")
+  }
+
   test("handles groups smaller than k and a single group") {
     val withG = Tables.region(spark, sf).withColumn("g", lit(1))
     val all = TopK.perKey(withG, Seq("g"), Seq("r_regionkey" -> true), 100)
