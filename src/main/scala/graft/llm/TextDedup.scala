@@ -216,7 +216,58 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
 
     // SimHash near-dup pairs at Hamming <= 3 (full-recall pigeonhole
     // blocking; see simhashPairs).
-    "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d)))
+    "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
+
+    // Near-dup CLUSTERING: connected components over the Jaccard pair
+    // graph via iterative min-label propagation — the step that turns
+    // pairwise matches into keep/drop decisions (keep the min doc_id of
+    // each component). The driver loop runs until a fixpoint; iterations
+    // = graph diameter, which for dup clusters is tiny (they are
+    // near-cliques) — the identical loop GraphX/GraphFrames connected
+    // components runs at cluster scale, one edge-shuffle per round, never
+    // an all-pairs closure on the big side. The oracle computes the same
+    // components via a recursive transitive closure (fine at oracle
+    // scale, dead at 100 TB — which is exactly why the engine side
+    // iterates instead).
+    "dedup_clusters" -> ((s, d) => {
+      val grams = gramSets(s, d)
+      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      val shared = flat.select(col("doc_id").as("d1"), col("g"))
+        .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("ns"))
+      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+      val pairs = shared
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .filter(col("ns").cast("double")
+          / (col("n1") + col("n2") - col("ns")).cast("double") >= JaccardThreshold)
+        .select("d1", "d2")
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      var prev: Option[DataFrame] = None
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
+          .groupBy("src").agg(min(col("dlbl")).as("nl"))
+          .select(col("src").as("node"), col("nl"))
+        val next = labels
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.select(col("node"), col("lbl").as("old")), "node")
+          .filter(col("lbl") =!= col("old")).count() // materializes `next`
+        prev.foreach(_.unpersist())
+        prev = Some(next)
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_rep"),
+        (col("node") === col("lbl")).as("is_kept"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -226,6 +277,35 @@ SELECT sha256(array_to_string(${Text.tokensSql("text")}, ' ')) AS fingerprint,
 FROM documents GROUP BY 1""",
     "dedup_jaccard" -> jaccardPairsSql,
     "dedup_minhash" -> jaccardPairsSql,
+
+    // Same pair CTEs, then the component via recursive transitive
+    // closure + min — an independently-derived formulation of the
+    // label-propagation fixpoint.
+    "dedup_clusters" -> s"""
+WITH RECURSIVE ng AS (
+  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $JaccardThreshold
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS cluster_rep,
+  a = least(a, MIN(b)) AS is_kept
+FROM reach GROUP BY a""",
 
     // Mirrors [[simhashes]]/[[simhashPairs]] fold for fold: same two
     // polynomial hashes, same 62-bit vote/signature rule, same 16/16/15/15

@@ -530,6 +530,38 @@ object Analytics {
     // on malformed input, out-of-bounds array access. The DuckDB twin
     // expresses the same semantics with NULLIF / TRY_CAST / native
     // out-of-range list access.
+    // Gaps-and-islands: longest consecutive-day activity streak per user
+    // via the classic day − row_number island id — all integer arithmetic
+    // (epoch days), one distinct + two aggregations, window partitioned
+    // per user (parallel, no global sort).
+    "user_streaks" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val days = Tables.events(s, d)
+        .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .distinct()
+      days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+    }),
+
+    // Corpus mixing by integer up-sampling weights (the training-mixture
+    // step: replicate high-quality sources w× before shuffling into the
+    // final training order): one generator per row, no shuffle. copy_id
+    // keeps replicas addressable (epoch-varied seeds downstream).
+    "corpus_mix_upsample" -> ((s, d) => {
+      val w = when(col("source").isin("src0", "src1", "src2"), 3)
+        .when(col("source").isin("src3", "src4"), 2)
+        .otherwise(1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), w.as("weight"))
+        .select(col("doc_id"), col("source"), col("weight"),
+          explode(sequence(lit(1), col("weight"))).as("copy_id"))
+    }),
+
     // Column-statistics profile (the ANALYZE surface as a query): per
     // order-status null counts, exact distinct counts, and min/max over
     // several columns in ONE pass (multi-distinct plans a single Expand).
@@ -960,6 +992,34 @@ GROUP BY p_brand""",
 SELECT l_orderkey, l_partkey, l_suppkey,
   ${graft.expr.ZOrder16.sql("l_partkey % 65536", "l_suppkey % 65536")} AS zcluster
 FROM lineitem WHERE l_orderkey % 50 = 0""",
+
+    "user_streaks" -> """
+WITH days AS (
+  SELECT DISTINCT user_id,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY user_id, island
+)
+SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+FROM runs GROUP BY user_id""",
+
+    "corpus_mix_upsample" -> """
+WITH wts AS (
+  SELECT doc_id, source,
+    CASE WHEN source IN ('src0','src1','src2') THEN 3
+         WHEN source IN ('src3','src4') THEN 2
+         ELSE 1 END AS weight
+  FROM documents
+)
+SELECT doc_id, source, weight, CAST(g AS INT) AS copy_id
+FROM (SELECT doc_id, source, weight, unnest(generate_series(1, weight)) AS g FROM wts)""",
 
     "table_stats" -> """
 SELECT o_orderstatus,
