@@ -598,6 +598,18 @@ object Analytics {
         coalesce(a, b, lit(-1.0)).as("first_present"))
     }),
 
+    // Boolean aggregate surface: bool_and/bool_or (SQL EVERY/ANY) and
+    // count_if per group — one hash aggregation.
+    "bool_flags_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+          bool_or(col("l_discount") > 0.09).as("any_high_discount"),
+          bool_and(col("l_tax") < 0.05).as("all_low_tax"),
+          count_if(col("l_quantity") >= 25).as("n_bulk"))
+    }),
+
     // Bitwise aggregate + scalar surface: AND/OR/XOR folds over per-type
     // user-id masks plus popcount — integer-exact on both engines, one
     // hash aggregation.
@@ -1047,6 +1059,14 @@ SELECT event_id, a, b,
   CASE WHEN a IS NOT NULL THEN 'present' ELSE 'absent' END AS nvl2_a,
   COALESCE(a, b, -1.0) AS first_present
 FROM p""",
+
+    "bool_flags_agg" -> """
+SELECT l_returnflag,
+  bool_and(l_quantity > 0) AS all_positive_qty,
+  bool_or(l_discount > 0.09) AS any_high_discount,
+  bool_and(l_tax < 0.05) AS all_low_tax,
+  CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk
+FROM lineitem GROUP BY l_returnflag""",
 
     "bitwise_masks" -> """
 SELECT event_type,
