@@ -598,6 +598,23 @@ object Analytics {
         coalesce(a, b, lit(-1.0)).as("first_present"))
     }),
 
+    // Join-strategy control surface: a SHUFFLE_HASH hint forces the
+    // hash-join family where the optimizer would pick sort-merge or
+    // broadcast — the knob for "build side fits executor memory but not
+    // driver/broadcast memory" at scale. Results are hint-invariant (the
+    // oracle is the plain join); PlanShapeSpec pins the physical strategy.
+    "hinted_join" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_hint")
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_hint")
+      s.sql("""
+        SELECT /*+ SHUFFLE_HASH(c) */ c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               MAX(o.o_totalprice) AS max_price
+        FROM graft_ord_hint o JOIN graft_cust_hint c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""")
+    }),
+
     // Boolean aggregate surface: bool_and/bool_or (SQL EVERY/ANY) and
     // count_if per group — one hash aggregation.
     "bool_flags_agg" -> ((s, d) => {
@@ -1059,6 +1076,13 @@ SELECT event_id, a, b,
   CASE WHEN a IS NOT NULL THEN 'present' ELSE 'absent' END AS nvl2_a,
   COALESCE(a, b, -1.0) AS first_present
 FROM p""",
+
+    "hinted_join" -> """
+SELECT c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  MAX(o.o_totalprice) AS max_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""",
 
     "bool_flags_agg" -> """
 SELECT l_returnflag,

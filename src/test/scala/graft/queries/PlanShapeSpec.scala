@@ -90,6 +90,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("hinted_join honors the SHUFFLE_HASH hint") {
+    assert(plan("hinted_join").contains("ShuffledHashJoin"))
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
