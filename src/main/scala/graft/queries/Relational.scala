@@ -206,6 +206,18 @@ object Relational {
       )
     }),
 
+    // Quantile sketch beside the exact order statistics (registered
+    // rows-only like approx_distinct: approx_percentile's internal
+    // QuantileSummaries is engine-specific; RelationalSpec bounds the
+    // error against the exact percentiles instead). The sketch is the
+    // 100 TB path — mergeable fixed-size state vs a full sort.
+    "approx_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95"),
+        expr("approx_percentile(l_quantity, 0.99, 1000)").as("approx_qty_p99"))
+    }),
+
     // F11 sha2 over event attributes (the reference's file-hash op
     // retargeted to row scope — iot_temperature_pipeline.py:236-245).
     "sha2_events" -> ((s, d) => {

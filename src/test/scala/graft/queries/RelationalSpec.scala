@@ -12,6 +12,20 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(approxS - exactS).toDouble / exactS < 0.10, s"supps $approxS vs $exactS")
   }
 
+  test("approx_percentile lands within 2% of the exact order statistic") {
+    val r = Relational.queries("approx_quantiles")(spark, sf).head()
+    val exact = graft.Tables.lineitem(spark, sf).agg(
+      org.apache.spark.sql.functions.expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+      org.apache.spark.sql.functions.expr(
+        "percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95")).head()
+    for (p <- Seq("p50", "p95")) {
+      val e = exact.getAs[Double](p)
+      val a = r.getAs[Double](s"approx_$p")
+      assert(math.abs(a - e) / e < 0.02, s"$p: $a vs $e")
+    }
+  }
+
   test("as-of join: every error with a prior purchase gets the latest one") {
     val rows = Temporal.asofLastPurchase(spark, sf).collect()
     assert(rows.nonEmpty)
