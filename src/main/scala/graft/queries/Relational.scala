@@ -218,6 +218,32 @@ object Relational {
         expr("approx_percentile(l_quantity, 0.99, 1000)").as("approx_qty_p99"))
     }),
 
+    // Recursive CTE (new in Spark 4): iterative ancestor walk over a
+    // synthesized key/2 binary hierarchy — the recursive-query surface
+    // (BOM explosions, org charts, graph reachability) in pure integer
+    // arithmetic. Each recursion step is one self-union micro-batch, the
+    // same fixpoint execution DuckDB runs.
+    "recursive_ancestors" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("graft_part_rec")
+      s.sql("""
+        WITH RECURSIVE anc(part, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM graft_part_rec WHERE p_partkey % 97 = 0
+          UNION ALL
+          SELECT part, node div 2, depth + 1 FROM anc WHERE node > 0
+        )
+        SELECT part, node, depth FROM anc""")
+    }),
+
+    // unionByName with missing columns: schema-evolution-tolerant union —
+    // each side contributes its own columns, absent ones become null.
+    "union_missing_cols" -> ((s, d) => {
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val errors = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("props"))
+      clicks.unionByName(errors, allowMissingColumns = true)
+    }),
+
     // F11 sha2 over event attributes (the reference's file-hash op
     // retargeted to row scope — iot_temperature_pipeline.py:236-245).
     "sha2_events" -> ((s, d) => {
@@ -474,6 +500,21 @@ SELECT k % 10 AS k_bucket,
   ${davgSql("value")} AS avg_value,
   MAX(k) AS max_k
 FROM ev GROUP BY k % 10""",
+
+    "recursive_ancestors" -> """
+WITH RECURSIVE anc(part, node, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+  UNION ALL
+  SELECT part, node // 2, depth + 1 FROM anc WHERE node > 0
+)
+SELECT part, node, depth FROM anc""",
+
+    "union_missing_cols" -> """
+SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS props
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value, props
+FROM events WHERE event_type = 'error'""",
 
     "sha2_events" -> """
 SELECT event_id,
