@@ -218,6 +218,26 @@ object Relational {
         expr("approx_percentile(l_quantity, 0.99, 1000)").as("approx_qty_p99"))
     }),
 
+    // VARIANT semi-structured type (new in Spark 4): parse the props JSON
+    // into the binary variant encoding, extract typed fields by path, and
+    // classify malformed documents via try_parse_json (a deterministic
+    // ~9% of rows get a corrupted payload injected). At scale VARIANT
+    // beats string-JSON re-parsing per access — parse once, extract many.
+    "variant_extract" -> ((s, d) => {
+      // leading garbage, not a trailing brace: Spark's variant parser is
+      // lenient about trailing characters after a complete value, so only
+      // an invalid leading token is malformed on BOTH engines
+      val raw = when(col("event_id") % 11 === 0, concat(lit("corrupt "), col("props")))
+        .otherwise(col("props"))
+      Tables.events(s, d)
+        .withColumn("v", try_parse_json(raw))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k_val"),
+          col("v").isNull.as("is_malformed"),
+          variant_get(col("v"), "$.missing", "string").as("missing_field"))
+    }),
+
     // Recursive CTE (new in Spark 4): iterative ancestor walk over a
     // synthesized key/2 binary hierarchy — the recursive-query surface
     // (BOM explosions, org charts, graph reachability) in pure integer
@@ -500,6 +520,18 @@ SELECT k % 10 AS k_bucket,
   ${davgSql("value")} AS avg_value,
   MAX(k) AS max_k
 FROM ev GROUP BY k % 10""",
+
+    "variant_extract" -> """
+WITH r AS (
+  SELECT event_id,
+    CASE WHEN event_id % 11 = 0 THEN 'corrupt ' || props ELSE props END AS raw
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN json_valid(raw) THEN CAST(json_extract(raw, '$.k') AS BIGINT) ELSE NULL END AS k_val,
+  NOT json_valid(raw) AS is_malformed,
+  CAST(NULL AS VARCHAR) AS missing_field
+FROM r""",
 
     "recursive_ancestors" -> """
 WITH RECURSIVE anc(part, node, depth) AS (
