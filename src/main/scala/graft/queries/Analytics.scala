@@ -120,6 +120,21 @@ object Analytics {
         count(lit(1)).over(w).as("weekly_orders"))
     }),
 
+    // Centered ROWS-frame moving average (the smoothing window): 3 before
+    // + self + 3 after under a total order per customer — the symmetric
+    // frame variant the trailing RANGE window above doesn't exercise.
+    // Exact decimal window sum / exact row count, one final division.
+    "moving_avg_centered" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, 3)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        (Exact.winSum(col("o_totalprice"), w)
+          / count(lit(1)).over(w).cast("double")).as("centered_avg"),
+        count(lit(1)).over(w).as("frame_rows"))
+    }),
+
     // Explicit GROUPING SETS with grouping_id: per-flag totals, per-status
     // totals, and the grand total in ONE shuffle (the same pattern the
     // anomaly stats scopes use internally, surfaced as its own operator).
@@ -788,6 +803,14 @@ SELECT o_orderkey, o_custkey, o_orderdate,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "moving_avg_centered" -> s"""
+SELECT o_orderkey, o_custkey,
+  (${Exact.winSumSql("o_totalprice")} / CAST(COUNT(*) OVER w AS DOUBLE)) AS centered_avg,
+  COUNT(*) OVER w AS frame_rows
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
 
     "grouping_sets_status" -> s"""
 SELECT l_returnflag, l_linestatus,
