@@ -26,10 +26,22 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail on its own (non-final) line for humans; the
+    // driver's log tail keeps only the last 2000 chars of stdout and parses
+    // the last line, so the FINAL line must be a compact JSON that fits.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""BENCH_FULL {"total":$total,"n":${results.size},"queries":$fullQs}""")
+    def r3(v: Double): String = "%.3f".format(v)
+    val slow = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val mean = if (results.nonEmpty) total / results.size else 0.0
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"queries":$slow,"sf":"$sfDir"}"""
+    require(line.length < 1900, s"bench line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }
