@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.{Analytics, Relational, Temporal}
+import graft.queries.{Analytics, Relational, Temporal, Windowed}
 import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, Multimodal, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -94,6 +94,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     iotQueries ++ Relational.queries ++ Temporal.queries ++ Analytics.queries ++
+      Windowed.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       Similarity.queries ++ Similarity.noOracleQueries ++
@@ -104,6 +105,7 @@ object SparkEntry {
     * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
     iotOracle ++ Relational.oracles ++ Temporal.oracles ++ Analytics.oracles ++
+      Windowed.oracles ++
       TextAnalysis.oracles ++ TextDedup.oracles ++ CorpusClean.oracles ++
       CorpusQuality.oracles ++ TrainPrep.oracles ++
       Similarity.oracles ++ Multimodal.oracles

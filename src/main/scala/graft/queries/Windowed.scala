@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.Exact
+
+/** Ordered-analytics operators rounding out the window-function surface
+  * (SURVEY §2.5/§2.6): relative-rank families, IGNORE NULLS navigation,
+  * windowed distinct counts, robust statistics (MAD, discrete percentile,
+  * deterministic mode), null-safe equality join, and the IoT flagship
+  * gap-fill + linear interpolation over an hourly spine.
+  *
+  * Scale posture: every query here is one hash shuffle on its partition
+  * key followed by a sorted window within partitions — no cross joins, no
+  * driver-side loops. Partition keys (user_id, order status/priority) keep
+  * per-partition state bounded; the interpolation spine is generated
+  * per-user with `sequence()` (a generator, not a driver collect) so the
+  * row blow-up is distributed with the users.
+  */
+object Windowed {
+
+  /** Relative-rank family: percent_rank / cume_dist / ntile over a total
+    * (tie-free) order — o_orderkey breaks price ties so both engines see
+    * identical rank denominators. */
+  private def percentRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** IGNORE NULLS navigation: running first non-null, 2nd non-null over the
+    * whole partition, lag with an explicit default. Nulls are injected
+    * deterministically (event_id % 7) so the testdata exercises both
+    * branches; injection is mirrored in the oracle. */
+  private def nthValues(s: SparkSession, d: String): DataFrame = {
+    val wOrd  = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun  = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+      .select(
+        col("event_id"), col("user_id"), col("v"),
+        first(col("v"), ignoreNulls = true).over(wRun).as("first_seen"),
+        nth_value(col("v"), 2, ignoreNulls = true).over(wFull).as("second_value"),
+        lag(col("v"), 1, -1d).over(wOrd).as("prev_or_default"))
+  }
+
+  /** Windowed distinct count: how many distinct event types a user has
+    * produced up to each event — collect_set sized per frame. Spark has no
+    * COUNT(DISTINCT) OVER; the set-collection form is the standard rewrite
+    * and stays bounded (≤5 event types). */
+  private def windowDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      size(array_distinct(collect_list(col("event_type")).over(w)))
+        .as("distinct_types_so_far"))
+  }
+
+  /** Deterministic mode: most frequent l_quantity per return flag, ties
+    * broken toward the smallest value. Built from count + max_by over a
+    * (count, -value) struct — DuckDB v1.0 arg_max rejects composite by-args
+    * (see memory), so the oracle uses the row_number twin. */
+  private def modePerFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_quantity"), struct(col("cnt"), negate(col("l_quantity"))))
+          .as("mode_qty"),
+        max(col("cnt")).as("mode_count"))
+
+  /** Median absolute deviation of order totals per status: median via
+    * percentile_cont, then the median of absolute deviations — the robust
+    * spread statistic. Two exact passes; DuckDB's mad() implements the
+    * identical definition. */
+  private def madByStatus(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val med = o.groupBy("o_orderstatus")
+      .agg(expr("median(o_totalprice)").as("med_price"))
+    o.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("median(o_totalprice)").as("median_price"),
+        expr("median(abs(o_totalprice - med_price))").as("mad_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Discrete percentiles (no interpolation — an actual data value is
+    * returned), alongside the continuous twin for contrast. */
+  private def percentileDisc(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_cont"))
+
+  /** Null-safe equality join (`<=>`): both sides aggregated to one row per
+    * (nullable) bucket first, then joined so the NULL bucket matches NULL —
+    * the semantics plain `=` silently drops. */
+  private def nullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    val ok = nullif(col("o_custkey") % 7, lit(3)).as("k")
+    val ck = nullif(col("c_custkey") % 7, lit(3)).as("k")
+    val l = Tables.orders(s, d).select(ok).groupBy("k").agg(count(lit(1)).as("n_orders"))
+    val r = Tables.customer(s, d).select(ck).groupBy("k").agg(count(lit(1)).as("n_customers"))
+    l.join(r, l("k") <=> r("k"), "inner")
+      .select(l("k").as("bucket"), col("n_orders"), col("n_customers"))
+  }
+
+  /** IoT gap-fill: hourly spine per user (sequence generator between the
+    * user's first and last active hour), left-joined hourly averages, then
+    * LINEAR INTERPOLATION of missing hours between the surrounding
+    * observations — the canonical sensor-data repair operator. Hours
+    * outside the observed range stay null. Restricted to a deterministic
+    * user decile so output stays oracle-sized at every SF. */
+  private def gapfillInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 10 === 3)
+      .withColumn("h", (unix_micros(col("ts")) / lit(3600000000L)).cast("long"))
+    val hourly = ev.groupBy("user_id", "h")
+      .agg(Exact.davg(col("value")).as("v"))
+    val spine = ev.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wPast = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPast))
+      .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wPast))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+    joined.select(
+      col("user_id"), col("h"), col("v").as("v_raw"),
+      when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) *
+          ((col("h") - col("ph")).cast("double") / (col("nh") - col("ph")).cast("double")))
+        .as("v_filled"),
+      (col("v").isNull && col("pv").isNotNull && col("nv").isNotNull).as("interpolated"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_percent_ranks"  -> ((s, d) => percentRanks(s, d)),
+    "window_nth_values"     -> ((s, d) => nthValues(s, d)),
+    "window_distinct_count" -> ((s, d) => windowDistinct(s, d)),
+    "mode_per_flag"         -> ((s, d) => modePerFlag(s, d)),
+    "mad_by_status"         -> ((s, d) => madByStatus(s, d)),
+    "percentile_disc_status"-> ((s, d) => percentileDisc(s, d)),
+    "nullsafe_join_buckets" -> ((s, d) => nullsafeJoin(s, d)),
+    "gapfill_interpolate"   -> ((s, d) => gapfillInterpolate(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "window_percent_ranks" -> """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+
+    "window_nth_values" -> """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, v,
+  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen,
+  nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_value,
+  lag(v, 1, CAST(-1 AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_or_default
+FROM e""",
+
+    "window_distinct_count" -> """
+SELECT event_id, user_id,
+  CAST(len(list_distinct(list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS INTEGER) AS distinct_types_so_far
+FROM events""",
+
+    "mode_per_flag" -> """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY cnt DESC, l_quantity ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+FROM r WHERE rn = 1""",
+
+    "mad_by_status" -> """
+WITH med AS (
+  SELECT o_orderstatus, median(o_totalprice) AS med_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+  median(o_totalprice) AS median_price,
+  median(abs(o_totalprice - med_price)) AS mad_price,
+  COUNT(*) AS n
+FROM orders o JOIN med USING (o_orderstatus)
+GROUP BY o.o_orderstatus""",
+
+    "percentile_disc_status" -> """
+SELECT o_orderstatus,
+  quantile_disc(o_totalprice, 0.5) AS p50_disc,
+  quantile_disc(o_totalprice, 0.9) AS p90_disc,
+  quantile_cont(o_totalprice, 0.5) AS p50_cont
+FROM orders GROUP BY o_orderstatus""",
+
+    "nullsafe_join_buckets" -> """
+WITH l AS (
+  SELECT nullif(o_custkey % 7, 3) AS k, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT nullif(c_custkey % 7, 3) AS k, COUNT(*) AS n_customers
+  FROM customer GROUP BY 1
+)
+SELECT l.k AS bucket, n_orders, n_customers
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""",
+
+    "gapfill_interpolate" -> s"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h, value
+  FROM events WHERE user_id % 10 = 3
+),
+hourly AS (
+  SELECT user_id, h, ${Exact.davgSql("value")} AS v
+  FROM ev GROUP BY user_id, h
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+  FROM ev GROUP BY user_id
+),
+j AS (
+  SELECT s.user_id, s.h, hourly.v,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS) OVER wp AS ph,
+    first_value(v IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS) OVER wn AS nh
+  FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+  WINDOW
+    wp AS (PARTITION BY s.user_id ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY s.user_id ORDER BY s.h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h, v AS v_raw,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL OR nv IS NULL THEN NULL
+       ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+  END AS v_filled,
+  (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+FROM j"""
+  )
+}
