@@ -320,6 +320,62 @@ object Analytics {
       s.table(name)
     }),
 
+    // Streaming DEDUPLICATION through the actual engine: the source is
+    // read TWICE and unioned, so every event arrives as a true duplicate;
+    // dropDuplicates keyed on event_id maintains seen-key state across
+    // micro-batches and must collapse the stream back to one copy —
+    // verified by the downstream per-type counts equalling the batch
+    // (single-copy) counts. Exercises T2/T3 plus the stateful-dedup
+    // operator (the streaming half of W1) end-to-end.
+    "stream_exec_dedup" -> ((s, d) => {
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = src.union(src)
+        .dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val name = "graft_stream_dedup_sink"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_dd_").toString
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
+    // mapGroupsWithState through the actual engine: per-user event counts
+    // held in explicit GroupState, emitted in update mode each micro-batch;
+    // the final state per key (max events snapshot) must equal the batch
+    // group-by — the T4-style custom-state surface inside the gate rather
+    // than only in ScalaTest.
+    "stream_exec_state" -> ((s, d) => {
+      import s.implicits._
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val totals = graft.streaming.StreamAggregates.runningUserTotals(src)
+        .select(col("user_id"), col("events"))
+      val name = "graft_stream_state_sink"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_st_").toString
+      val q = totals.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update-mode sink holds one state snapshot per (key, micro-batch);
+      // the final state is the max (counts grow monotonically)
+      s.table(name).groupBy("user_id").agg(max(col("events")).as("n_events"))
+    }),
+
     // Edit-distance + string-transform breadth: levenshtein (classic DP —
     // identical integer results on both engines), translate, reverse,
     // repeat, ascii.
@@ -914,6 +970,13 @@ FROM events GROUP BY 1, 2""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
   event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2""",
+
+    // the doubled stream deduplicates back to exactly the source rows
+    "stream_exec_dedup" -> """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
+
+    "stream_exec_state" -> """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
 
     "string_distance" -> """
 SELECT p_partkey,
