@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Analytics, Relational, Temporal, Windowed}
-import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, Multimodal, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, LangModel, Multimodal, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,7 +95,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     iotQueries ++ Relational.queries ++ Temporal.queries ++ Analytics.queries ++
       Windowed.queries ++
-      TextAnalysis.queries ++ TextDedup.queries ++
+      TextAnalysis.queries ++ TextDedup.queries ++ LangModel.queries ++
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       Similarity.queries ++ Similarity.noOracleQueries ++
       IvfAnn.noOracleQueries ++ Multimodal.queries
@@ -106,7 +106,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     iotOracle ++ Relational.oracles ++ Temporal.oracles ++ Analytics.oracles ++
       Windowed.oracles ++
-      TextAnalysis.oracles ++ TextDedup.oracles ++ CorpusClean.oracles ++
+      TextAnalysis.oracles ++ TextDedup.oracles ++ LangModel.oracles ++
+      CorpusClean.oracles ++
       CorpusQuality.oracles ++ TrainPrep.oracles ++
       Similarity.oracles ++ Multimodal.oracles
 }

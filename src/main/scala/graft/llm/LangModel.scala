@@ -1,0 +1,197 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+
+import graft.Tables
+
+/** Statistical language-model training primitives over the documents
+  * corpus: bigram conditional-probability tables (the classic count-based
+  * n-gram LM estimation step) and iterative BPE merge induction (the
+  * tokenizer-training loop of modern LLM pipelines, Sennrich et al. 2016).
+  *
+  * Scale posture: bigram estimation is explode → two hash aggregations —
+  * the same shape as word count, fully distributed. BPE iterates over the
+  * WORD-TYPE table (vocabulary), not the corpus: the corpus is collapsed
+  * to (word, freq) once, so each merge iteration shuffles only |vocab|
+  * rows no matter how many petabytes the raw text was; only the single
+  * best pair per iteration ever reaches the driver.
+  */
+object LangModel {
+
+  private val T  = Text.tokens(col("text"))
+  private val TS = Text.tokensSql("text")
+
+  /** Bigram LM: P(w2 | w1) with count-based MLE, top-3 continuations per
+    * context ranked by count (ties toward the lexicographically smaller
+    * token — total order, so both engines agree). The denominator is the
+    * context's total CONTINUATION count (sum of its bigram counts), the
+    * proper LM normalizer (doc-final tokens have no continuation). */
+  def bigramTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(T.as("w"))
+      .select(explode(
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => struct(
+              element_at(col("w"), i.cast("int")).as("w1"),
+              element_at(col("w"), (i + 1).cast("int")).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val wCtx = Window.partitionBy("w1")
+    val ranked = c12
+      .withColumn("c1", sum(col("c12")).over(wCtx))
+      .withColumn("rank", row_number().over(
+        wCtx.orderBy(col("c12").desc, col("w2").asc)))
+      .filter(col("rank") <= k)
+    ranked.select(
+      col("w1"), col("w2"), col("rank"), col("c12"), col("c1"),
+      (col("c12").cast("double") / col("c1").cast("double")).as("cond_prob"))
+  }
+
+  val bigramTopKSql: String = s"""
+WITH tk AS (SELECT $TS AS w FROM documents),
+bg AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w)-1), i -> w[i]) ELSE [] END) AS w1,
+         unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w)-1), i -> w[i+1]) ELSE [] END) AS w2
+  FROM tk
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+r AS (
+  SELECT w1, w2, c12,
+    CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+    CAST(row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2 ASC) AS INTEGER) AS rank
+  FROM c12
+)
+SELECT w1, w2, rank, c12, c1,
+  CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_prob
+FROM r WHERE rank <= 3"""
+
+  // ---- BPE merge induction -----------------------------------------------
+
+  /** Symbol-sequence string representation shared with the oracle: every
+    * symbol wrapped in single spaces, symbols separated by DOUBLE spaces
+    * (" a  b  c "). The double separator keeps each symbol's delimiters
+    * independent, so one `replace` call merges every non-overlapping
+    * occurrence left-to-right — including consecutive ones — exactly the
+    * greedy order real BPE training applies, and Java `String.replace` and
+    * DuckDB `replace` agree on it. */
+  private def symRepr(word: org.apache.spark.sql.Column) =
+    concat(lit(" "), array_join(split(word, ""), "  "), lit(" "))
+
+  /** `iters` BPE merge iterations over the corpus vocabulary: each round
+    * counts adjacent symbol pairs weighted by word frequency, picks the
+    * global best (max count, lexicographic tie-break), and rewrites every
+    * word's symbol sequence with the merged token. Returns the merge
+    * table — (iteration, left_sym, right_sym, merged, pair_count) — i.e.
+    * the learned tokenizer. */
+  def bpeMerges(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(T).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    var syms = words.select(col("word"), col("freq"), symRepr(col("word")).as("sym"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < iters && !exhausted) {
+      val parts = syms.select(col("freq"), split(trim(col("sym")), "  ").as("p"))
+      val pairCounts = parts
+        .select(col("freq"), explode(
+          when(size(col("p")) >= 2,
+            transform(sequence(lit(1), size(col("p")) - 1),
+              j => struct(
+                element_at(col("p"), j.cast("int")).as("l"),
+                element_at(col("p"), (j + 1).cast("int")).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairCounts
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Row(l: String, r: String, cnt: Long) = best(0)
+        merges += ((i, l, r, cnt))
+        val from = s" $l  $r "
+        val to   = s" $l$r "
+        val next = syms
+          .withColumn("sym", regexp_replace(col("sym"), java.util.regex.Pattern.quote(from), to))
+          .persist()
+        next.count() // materialize before unpersisting the parent
+        syms.unpersist()
+        syms = next
+        i += 1
+      }
+    }
+    syms.unpersist()
+    words.unpersist()
+    val schema = StructType(Seq(
+      StructField("iteration", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    s.createDataFrame(
+      java.util.Arrays.asList(merges.toSeq.map { case (it, l, r, c) =>
+        Row(it, l, r, l + r, c) }: _*),
+      schema)
+  }
+
+  /** Oracle: the identical loop macro-expanded to `iters` CTE stages —
+    * same pair counting, same (count desc, pair asc) selection, same
+    * string-replace merge on the shared symbol representation. */
+  def bpeMergesSql(iters: Int = 6): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+WITH w0 AS (
+  SELECT token AS word, COUNT(*) AS freq
+  FROM (SELECT unnest($TS) AS token FROM documents) GROUP BY token
+),
+s0 AS (
+  SELECT word, freq,
+    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
+  FROM w0
+)"""
+    for (i <- 0 until iters) {
+      sb ++= s""",
+p$i AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+      unnest(CASE WHEN len(p) >= 2
+        THEN list_transform(generate_series(1, len(p)-1), j -> p[j]) ELSE [] END) AS l,
+      unnest(CASE WHEN len(p) >= 2
+        THEN list_transform(generate_series(1, len(p)-1), j -> p[j+1]) ELSE [] END) AS r
+    FROM (SELECT freq, string_split(trim(sym), '  ') AS p FROM s$i)
+  ) GROUP BY l, r
+),
+b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s${i + 1} AS (
+  SELECT word, freq,
+    replace(sym, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sym
+  FROM s$i CROSS JOIN b$i b
+)"""
+    }
+    sb ++= (0 until iters).map { i =>
+      s"""
+SELECT CAST($i AS INTEGER) AS iteration, l AS left_sym, r AS right_sym,
+  l || r AS merged, cnt AS pair_count FROM b$i"""
+    }.mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_lm_topk" -> ((s, d) => bigramTopK(s, d)),
+    "bpe_merges"    -> ((s, d) => bpeMerges(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ngram_lm_topk" -> bigramTopKSql,
+    "bpe_merges"    -> bpeMergesSql()
+  )
+}
