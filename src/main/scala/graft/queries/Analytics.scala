@@ -376,6 +376,45 @@ object Analytics {
       s.table(name).groupBy("user_id").agg(max(col("events")).as("n_events"))
     }),
 
+    // regexp_extract_all / regexp_count / regexp_like breadth. The corpus
+    // has no digits by construction, so deterministic numeric spans are
+    // injected from doc_id first (same convention as pii_redact) — the
+    // oracle mirrors the injection, so the check exercises the regexp
+    // machinery on identical inputs.
+    "regex_extract_spans" -> ((s, d) => {
+      val ids = col("doc_id").cast("string")
+      val injected = concat(
+        lit("ref"), ids, lit(" "), col("text"), lit(" code"),
+        (col("doc_id") % 97).cast("string"),
+        when(col("doc_id") % 3 === 0, concat(lit(" v"), (col("doc_id") % 10).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("raw", injected)
+        .select(
+          col("doc_id"),
+          array_join(regexp_extract_all(col("raw"), lit("[0-9]+"), lit(0)), ";")
+            .as("numbers"),
+          regexp_count(col("raw"), lit("[0-9]+")).as("n_spans"),
+          col("raw").rlike("v[0-9]").as("has_version"))
+    }),
+
+    // MapType plumbing: per-doc token frequencies materialized as a real
+    // map<string,bigint> column (collect_list of entries →
+    // map_from_entries), then exploded back to scalar rows — the encode /
+    // decode round-trip a feature-store column would take. Restricted to a
+    // doc_id stride so output stays oracle-sized at every SF.
+    "map_token_freqs" -> ((s, d) => {
+      val toks = graft.llm.Text.tokens(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+          .as("freqs"))
+        .select(col("doc_id"), explode(col("freqs")).as(Seq("token", "n")))
+    }),
+
     // Edit-distance + string-transform breadth: levenshtein (classic DP —
     // identical integer results on both engines), translate, reverse,
     // repeat, ascii.
@@ -977,6 +1016,25 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "regex_extract_spans" -> """
+WITH raw AS (
+  SELECT doc_id,
+    'ref' || doc_id || ' ' || text || ' code' || (doc_id % 97) ||
+    (CASE WHEN doc_id % 3 = 0 THEN ' v' || (doc_id % 10) ELSE '' END) AS raw
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(regexp_extract_all(raw, '[0-9]+'), ';') AS numbers,
+  CAST(len(regexp_extract_all(raw, '[0-9]+')) AS INTEGER) AS n_spans,
+  regexp_matches(raw, 'v[0-9]') AS has_version
+FROM raw""",
+
+    "map_token_freqs" -> s"""
+SELECT doc_id, token, COUNT(*) AS n
+FROM (SELECT doc_id, unnest(${graft.llm.Text.tokensSql("text")}) AS token
+      FROM documents WHERE doc_id % 50 = 0)
+GROUP BY doc_id, token""",
 
     "string_distance" -> """
 SELECT p_partkey,

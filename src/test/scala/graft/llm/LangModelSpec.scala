@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class LangModelSpec extends SparkSpec {
+
+  test("bigram LM: per-context probabilities are a valid ranked MLE head") {
+    val rows = LangModel.bigramTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("w1")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      // ranks are 1..k dense, counts non-increasing, probs in (0,1]
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Long]("c12"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val p = r.getAs[Double]("cond_prob")
+        assert(p > 0.0 && p <= 1.0)
+        assert(p == r.getAs[Long]("c12").toDouble / r.getAs[Long]("c1").toDouble)
+      }
+    }
+  }
+
+  test("BPE: merges on a hand-computed corpus match the classic algorithm") {
+    val s0 = spark; import s0.implicits._
+    // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3 (the standard
+    // BPE walkthrough example, space-free). Expected first merges:
+    //   e+s (9: newest 6 + widest 3), then es+t (9), then l+o (7)
+    val docs = Seq.fill(5)("low").zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq.fill(2)("lower").zipWithIndex.map { case (t, i) => (100L + i, t) } ++
+      Seq.fill(6)("newest").zipWithIndex.map { case (t, i) => (200L + i, t) } ++
+      Seq.fill(3)("widest").zipWithIndex.map { case (t, i) => (300L + i, t) }
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = LangModel.bpeMerges(spark, dir, iters = 3).collect()
+      .sortBy(_.getAs[Int]("iteration"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count")))
+    // note: word-TYPE counting (each distinct word counted once per corpus
+    // occurrence via freq) — identical to Sennrich's reference algorithm
+    assert(merges(0) == (("e", "s", 9L)), s"got ${merges.toSeq}")
+    assert(merges(1) == (("es", "t", 9L)), s"got ${merges.toSeq}")
+    assert(merges(2) == (("l", "o", 7L)), s"got ${merges.toSeq}")
+  }
+
+  test("BPE: consecutive pair occurrences merge greedily left-to-right") {
+    val s0 = spark; import s0.implicits._
+    // "aaaa" x3: pairs (a,a) count 9 (3 per word-occurrence x 3)... after
+    // merge the word becomes "aa aa" (greedy non-overlapping), so round 2's
+    // best pair is (aa, aa)
+    val df = Seq.fill(3)("aaaa").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe2_").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = LangModel.bpeMerges(spark, dir, iters = 2).collect()
+      .sortBy(_.getAs[Int]("iteration"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[String]("merged").length.toLong))
+    assert(merges(0)._1 == "a" && merges(0)._2 == "a")
+    assert(merges(1) == (("aa", "aa", 4L)), s"got ${merges.toSeq}")
+  }
+}
