@@ -415,6 +415,73 @@ object Analytics {
         .select(col("doc_id"), explode(col("freqs")).as(Seq("token", "n")))
     }),
 
+    // Multiple COUNT(DISTINCT) in one aggregate — Catalyst plans this via
+    // Expand (one row replicated per distinct-clause), the distributed
+    // multi-distinct strategy; verified against single-pass DuckDB.
+    "multi_distinct_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("distinct_users"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          countDistinct(col("user_id") % 10).as("user_buckets"),
+          count(lit(1)).as("n"))
+    }),
+
+    // FULL OUTER join: per-customer order aggregates against a filtered
+    // customer dim — unmatched rows survive on BOTH sides (customers with
+    // no orders; order keys whose dim row was filtered out).
+    "full_outer_balance" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("spend"))
+      val c = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "full_outer")
+        .select(
+          coalesce(o("o_custkey"), c("c_custkey")).as("custkey"),
+          o("o_custkey").isNotNull.as("has_orders"),
+          c("c_custkey").isNotNull.as("in_dim"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("spend"), col("c_acctbal"))
+    }),
+
+    // NOT IN with a nullable subquery — the null-aware anti-join trap: a
+    // single NULL in the IN-list makes NOT IN unknowable for every row
+    // (count drops to 0), while the null-free variant anti-joins normally.
+    // Spark plans the null-aware branch as NAAJ; both counts in one row.
+    "not_in_null_aware" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_ni")
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_ni")
+      s.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM graft_ord_ni
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM graft_cust_ni WHERE c_custkey % 5 = 0)) AS n_clean,
+          (SELECT COUNT(*) FROM graft_ord_ni
+           WHERE o_custkey NOT IN
+             (SELECT nullif(c_custkey, 10) FROM graft_cust_ni WHERE c_custkey % 5 = 0)) AS n_with_null
+      """)
+    }),
+
+    // Value-based RANGE window frame: all rows whose price lies within
+    // ±100 of the current row's, per return flag — peers join the frame
+    // regardless of tie order, so the result is deterministic without a
+    // unique sort key. Exact windowed sum via the decimal accumulator.
+    "range_frame_sum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("l_extendedprice"))
+        .rangeBetween(-100L, 100L)
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 20 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          count(lit(1)).over(w).as("n_near_price"),
+          Exact.winSum(col("l_quantity"), w).as("qty_near_price"))
+    }),
+
     // Edit-distance + string-transform breadth: levenshtein (classic DP —
     // identical integer results on both engines), translate, reverse,
     // repeat, ascii.
@@ -1016,6 +1083,46 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "multi_distinct_stats" -> """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS distinct_users,
+  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+  COUNT(DISTINCT user_id % 10) AS user_buckets,
+  COUNT(*) AS n
+FROM events GROUP BY event_type""",
+
+    "full_outer_balance" -> s"""
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS spend
+  FROM orders GROUP BY o_custkey
+),
+c AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+  o.o_custkey IS NOT NULL AS has_orders,
+  c.c_custkey IS NOT NULL AS in_dim,
+  coalesce(n_orders, 0) AS n_orders,
+  spend, c_acctbal
+FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey""",
+
+    "not_in_null_aware" -> """
+SELECT
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)) AS n_clean,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT nullif(c_custkey, 10) FROM customer WHERE c_custkey % 5 = 0)) AS n_with_null""",
+
+    "range_frame_sum" -> s"""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+  COUNT(*) OVER w AS n_near_price,
+  ${graft.expr.Exact.winSumSql("l_quantity")} AS qty_near_price
+FROM lineitem WHERE l_partkey % 20 = 0
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice
+             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)""",
 
     "regex_extract_spans" -> """
 WITH raw AS (
