@@ -415,6 +415,45 @@ object Analytics {
         .select(col("doc_id"), explode(col("freqs")).as(Seq("token", "n")))
     }),
 
+    // Stream-stream INTERVAL JOIN through the actual engine: click and
+    // purchase streams (two file sources over the same table), both
+    // watermarked, joined on user with the purchase constrained to the
+    // hour after the click. Both sides buffer keyed state until the
+    // watermark passes — the canonical two-stream correlation operator —
+    // and the append-mode output of one AvailableNow pass over a static
+    // file equals the batch interval join.
+    "stream_exec_join" -> ((s, d) => {
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"), col("purchase_value"))
+      val name = "graft_stream_join_sink"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sj_").toString
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Multiple COUNT(DISTINCT) in one aggregate — Catalyst plans this via
     // Expand (one row replicated per distinct-clause), the distributed
     // multi-distinct strategy; verified against single-pass DuckDB.
@@ -1083,6 +1122,14 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "stream_exec_join" -> """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+  c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
 
     "multi_distinct_stats" -> """
 SELECT event_type,
