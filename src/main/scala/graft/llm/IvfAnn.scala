@@ -79,8 +79,18 @@ object IvfAnn {
 
   /** Approximate top-k: candidates share at least one of the query's
     * NProbe cells. */
+  /** Training-sample cap: only this many vectors ever reach the driver,
+    * selected by a deterministic vec_id stride — at 100 TB the stride
+    * grows with the table but the collected sample stays ~4k vectors
+    * (the IVF recipe: quantizer quality needs a bounded sample, not the
+    * corpus). */
+  val TrainSampleCap = 4096
+
   def annIvfTopK(s: SparkSession, d: String, k: Int = Similarity.TopK): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val stride = math.max(1L, n / TrainSampleCap)
     val sample = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .filter(col("vec_id") % stride === 0)
       .as[(Long, Array[Float])](org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
       .collect()
     val centroids = trainCentroids(sample)
@@ -90,12 +100,18 @@ object IvfAnn {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
     val cands = cells.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
     val dot = graft.expr.VectorExpressions.dotF _
+    // a candidate sharing several probed cells appears once per cell:
+    // dedup on the (query, neighbor) KEY PAIR after scoring — hashing two
+    // longs — rather than `distinct()` over rows that still carry both
+    // 64-float embeddings (array-hashing the wide rows costs more than
+    // re-scoring the few multi-cell duplicates)
     val scored = probes.join(cands, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce")).distinct()
       .withColumn("cosine",
         dot(col("qe"), col("ce")) /
           (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cosine")).as("cosine"))
     // bounded-heap top-k with native rank emission (graft.plans.TopKPerGroup)
     graft.plans.TopK.perKeyRanked(
         scored.select("query_id", "neighbor_id", "cosine"),
