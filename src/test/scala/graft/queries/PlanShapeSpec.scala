@@ -94,6 +94,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("hinted_join").contains("ShuffledHashJoin"))
   }
 
+  test("multi_distinct_stats plans one Expand for all distinct clauses") {
+    val p = plan("multi_distinct_stats")
+    assert(p.contains("Expand"))
+    assert(!p.contains("Join"), s"multi-distinct must not rewrite to joins:\n$p")
+  }
+
+  test("not_in_null_aware rewrites NOT IN to a null-aware anti join, not a per-row subquery") {
+    // the null-aware condition `(k = c) OR isnull(k = c)` lives on the
+    // LeftAnti join in the optimized plan (the physical NAAJ tag is not
+    // printed inside hosted-subquery sections)
+    val p = SparkEntry.queries("not_in_null_aware")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Join LeftAnti"))
+    assert(p.contains("OR isnull"), s"expected the null-aware anti-join condition:\n$p")
+  }
+
+  test("gapfill_interpolate generates the spine distributed (explode, no cartesian)") {
+    val p = plan("gapfill_interpolate")
+    assert(p.contains("Generate"))
+    assert(p.contains("Window"))
+  }
+
+  test("range_frame_sum is a single window pass (no join, no extra shuffle)") {
+    val p = plan("range_frame_sum")
+    assert(!p.contains("Join"))
+    assert("Window".r.findAllIn(p).size >= 1)
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(aggExchanges == 1, s"one shuffle onto the partition key expected:\n$p")
+  }
+
+  test("full_outer_balance keeps both unmatched sides (FullOuter join)") {
+    assert(plan("full_outer_balance").contains("FullOuter"))
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
