@@ -454,6 +454,39 @@ object Analytics {
       s.table(name)
     }),
 
+    // Deterministic pseudo-random sample: order by md5(key) and take the
+    // first N — the distributed "reservoir" that every engine can
+    // reproduce bit-for-bit (the complement of hash_split's train/held-out
+    // assignment). Plans TakeOrderedAndProject: per-partition top-N, never
+    // a global sort.
+    "hash_sample_docs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"))
+        .limit(100)
+    }),
+
+    // SCD2 interval construction: collapse each customer's order-status
+    // timeline into validity ranges [valid_from, valid_to) with lead();
+    // the open (current) interval keeps valid_to NULL — the
+    // slowly-changing-dimension build every warehouse ETL runs.
+    "scd2_intervals" -> ((s, d) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val runs = Tables.orders(s, d)
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(wOrd))
+        .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      runs.select(
+        col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(wRun).as("valid_to"),
+        (lead(col("o_orderdate"), 1).over(wRun).isNull).as("is_current"))
+    }),
+
     // Multiple COUNT(DISTINCT) in one aggregate — Catalyst plans this via
     // Expand (one row replicated per distinct-clause), the distributed
     // multi-distinct strategy; verified against single-pass DuckDB.
@@ -1122,6 +1155,27 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "hash_sample_docs" -> """
+SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents ORDER BY h LIMIT 100""",
+
+    "scd2_intervals" -> """
+WITH runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_status
+  FROM orders
+),
+changes AS (
+  SELECT * FROM runs WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey AS custkey, o_orderstatus AS status,
+  o_orderdate AS valid_from,
+  lead(o_orderdate) OVER w AS valid_to,
+  lead(o_orderdate) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 
     "stream_exec_join" -> """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id,
