@@ -454,6 +454,39 @@ object Analytics {
       s.table(name)
     }),
 
+    // Year-over-year comparison: yearly exact revenue, previous year via
+    // lag, absolute and relative deltas — the standard reporting window.
+    "yoy_revenue" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("yr"))
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(Exact.dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("yoy_delta", col("revenue") - col("prev_revenue"))
+        .withColumn("yoy_pct",
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+    }),
+
+    // Top-k WITH TIES: rank() (not row_number) keeps every row tied at the
+    // boundary — the ANSI FETCH ... WITH TIES semantics per group.
+    "topk_with_ties" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+      Tables.part(s, d)
+        .withColumn("rnk", rank().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    }),
+
+    // PIVOT with MULTIPLE aggregates per pivot value (count + exact sum
+    // for each line status) — wide-table reshaping with compound measures.
+    "pivot_multi_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_extendedprice")).as("rev"))
+    }),
+
     // Deterministic pseudo-random sample: order by md5(key) and take the
     // first N — the distributed "reservoir" that every engine can
     // reproduce bit-for-bit (the complement of hash_split's train/held-out
@@ -1155,6 +1188,34 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "yoy_revenue" -> s"""
+WITH y AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+    ${dsumSql("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT yr, revenue,
+  lag(revenue) OVER (ORDER BY yr) AS prev_revenue,
+  revenue - lag(revenue) OVER (ORDER BY yr) AS yoy_delta,
+  (revenue - lag(revenue) OVER (ORDER BY yr)) / lag(revenue) OVER (ORDER BY yr) AS yoy_pct
+FROM y""",
+
+    "topk_with_ties" -> """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+    CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS rnk
+  FROM part
+)
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM r WHERE rnk <= 3""",
+
+    "pivot_multi_agg" -> s"""
+SELECT l_returnflag,
+  CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS "O_n",
+  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")} AS "O_rev",
+  CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS "F_n",
+  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")} AS "F_rev"
+FROM lineitem GROUP BY l_returnflag""",
 
     "hash_sample_docs" -> """
 SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
