@@ -134,13 +134,19 @@ object Windowed {
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
     val wPast = Window.partitionBy("user_id").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("user_id").orderBy("h")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next non-null" via a RUNNING frame over DESCENDING hours: for row h
+    // the frame holds all h' >= h, and last(...) is the most recently
+    // processed non-null, i.e. the smallest h' >= h. Same values as a
+    // currentRow→unboundedFollowing frame, but Spark evaluates running
+    // frames incrementally (O(n) per partition) where unbounded-following
+    // frames recompute per row (O(n²)) — 3.0s → sub-second at sf0.1.
+    val wNext = Window.partitionBy("user_id").orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = spine.join(hourly, Seq("user_id", "h"), "left")
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPast))
       .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wPast))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
-      .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wNext))
     joined.select(
       col("user_id"), col("h"), col("v").as("v_raw"),
       when(col("v").isNotNull, col("v"))
