@@ -415,6 +415,37 @@ object Analytics {
         .select(col("doc_id"), explode(col("freqs")).as(Seq("token", "n")))
     }),
 
+    // Gap-based SESSIONIZATION through the actual engine: per-user event
+    // history sessionized inside flatMapGroupsWithState (sort + 6h-gap
+    // cut, identical rule to the batch Temporal.sessionize whose SQL is
+    // the oracle). Event times travel as epoch-micros longs to preserve
+    // sub-millisecond parity.
+    "stream_exec_session" -> ((s, d) => {
+      import s.implicits._
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val sessions = graft.streaming.StreamAggregates.sessionized(src)
+      val name = "graft_stream_session_sink"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ss_").toString
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(
+        col("user_id"), col("session_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("duration_secs"), col("distinct_event_types"))
+    }),
+
     // Stream-stream INTERVAL JOIN through the actual engine: click and
     // purchase streams (two file sources over the same table), both
     // watermarked, joined on user with the purchase constrained to the
@@ -1237,6 +1268,8 @@ SELECT o_custkey AS custkey, o_orderstatus AS status,
   lead(o_orderdate) OVER w IS NULL AS is_current
 FROM changes
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "stream_exec_session" -> graft.queries.Temporal.sessionizeSql,
 
     "stream_exec_join" -> """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id,
