@@ -185,13 +185,46 @@ SELECT CAST($i AS INTEGER) AS iteration, l AS left_sym, r AS right_sym,
     sb.toString
   }
 
+  /** Per-document lexical diversity: token count, in-doc vocabulary,
+    * hapax legomena (once-in-doc tokens), and type-token ratio — the
+    * quality signals a data-curation pipeline thresholds on (repetitive
+    * machine-generated text has low TTR and few hapaxes). */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), explode(T).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+  }
+
+  val lexicalDiversitySql: String = s"""
+WITH c AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest($TS) AS token FROM documents WHERE doc_id % 25 = 0)
+  GROUP BY doc_id, token
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS vocab,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS ttr
+FROM c GROUP BY doc_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ngram_lm_topk" -> ((s, d) => bigramTopK(s, d)),
-    "bpe_merges"    -> ((s, d) => bpeMerges(s, d))
+    "ngram_lm_topk"     -> ((s, d) => bigramTopK(s, d)),
+    "bpe_merges"        -> ((s, d) => bpeMerges(s, d)),
+    "lexical_diversity" -> ((s, d) => lexicalDiversity(s, d))
   )
 
   def oracles: Map[String, String] = Map(
-    "ngram_lm_topk" -> bigramTopKSql,
-    "bpe_merges"    -> bpeMergesSql()
+    "ngram_lm_topk"     -> bigramTopKSql,
+    "bpe_merges"        -> bpeMergesSql(),
+    "lexical_diversity" -> lexicalDiversitySql
   )
 }
