@@ -485,6 +485,39 @@ object Analytics {
       s.table(name)
     }),
 
+    // Iterative PageRank in INTEGER mass units — the power-iteration graph
+    // algorithm with bit-exact cross-engine parity: node mass starts at
+    // 1e6, each round a node keeps 15% (150000) and routes
+    // floor(mass*85 / (100*outdeg)) along each out-edge (floor remainder
+    // deliberately evaporates — deterministic, order-independent integer
+    // sums, no float drift). Three rounds over the supplier graph (edges:
+    // supplier → partkey folded into the supplier id space). The engine
+    // iterates a driver loop of joins+aggregates — one edge shuffle per
+    // round, the GraphX/Pregel shape that scales to 100 TB edge lists —
+    // while the oracle macro-expands the same three rounds as CTE stages.
+    "pagerank_integer" -> ((s, d) => {
+      val nSupp = Tables.supplier(s, d).count()
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % nSupp).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+      var mass = nodes.withColumn("mass", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(deg, "src")
+          .join(mass.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("(mass * 85) div (100 * outdeg)")).as("contrib"))
+        mass = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("contrib"), lit(0L))).as("mass"))
+      }
+      val out = mass
+      edges.unpersist()
+      out
+    }),
+
     // Year-over-year comparison: yearly exact revenue, previous year via
     // lag, absolute and relative deltas — the standard reporting window.
     "yoy_revenue" -> ((s, d) => {
@@ -1219,6 +1252,31 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "pagerank_integer" -> {
+      def step(prev: String, cur: String): String = s"""
+$cur AS (
+  SELECT n.node,
+    CAST(150000 + COALESCE(c.contrib, 0) AS BIGINT) AS mass
+  FROM (SELECT node FROM m0) n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+      SUM((m.mass * 85) // (100 * d.outdeg)) AS contrib
+    FROM edges e JOIN deg d ON e.src = d.src JOIN $prev m ON m.node = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+      s"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS src,
+    l_partkey % (SELECT COUNT(*) FROM supplier) AS dst
+  FROM lineitem
+  WHERE l_suppkey <> l_partkey % (SELECT COUNT(*) FROM supplier)
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+m0 AS (SELECT s_suppkey AS node, CAST(1000000 AS BIGINT) AS mass FROM supplier),${step("m0", "m1")},${step("m1", "m2")},${step("m2", "m3")}
+SELECT node, mass FROM m3"""
+    },
 
     "yoy_revenue" -> s"""
 WITH y AS (
