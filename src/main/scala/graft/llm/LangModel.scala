@@ -120,16 +120,16 @@ FROM r WHERE rank <= 3"""
         merges += ((i, l, r, cnt))
         val from = s" $l  $r "
         val to   = s" $l$r "
-        val next = syms
-          .withColumn("sym", regexp_replace(col("sym"), java.util.regex.Pattern.quote(from), to))
-          .persist()
-        next.count() // materialize before unpersisting the parent
-        syms.unpersist()
-        syms = next
+        // no per-iteration persist: the chain re-derives from the persisted
+        // word-frequency table (|vocab| rows), and K chained narrow
+        // replaces cost less than K extra materialization jobs — at real
+        // scale the vocabulary table is still tiny relative to the corpus,
+        // which is only ever scanned ONCE (for `words`)
+        syms = syms.withColumn("sym",
+          regexp_replace(col("sym"), java.util.regex.Pattern.quote(from), to))
         i += 1
       }
     }
-    syms.unpersist()
     words.unpersist()
     val schema = StructType(Seq(
       StructField("iteration", IntegerType, nullable = false),

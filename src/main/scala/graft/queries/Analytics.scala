@@ -485,6 +485,29 @@ object Analytics {
       s.table(name)
     }),
 
+    // INTERSECT ALL: bag-semantics intersection (multiplicity = min of the
+    // two sides), vs the distinct INTERSECT already covered — Spark plans
+    // the generate+count rewrite distributed on the key.
+    "intersect_all_parts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_orderkey") % 2 === 0).select(col("l_partkey"))
+      val b = li.filter(col("l_suppkey") % 3 === 0).select(col("l_partkey"))
+      a.intersectAll(b)
+        .groupBy("l_partkey").agg(count(lit(1)).as("multiplicity"))
+    }),
+
+    // Explicit null ordering: ASC NULLS LAST with a unique tiebreak —
+    // Spark's ASC default is NULLS FIRST while DuckDB's is NULLS LAST, so
+    // portable pagination must pin it (plans TakeOrderedAndProject).
+    "null_ordering_page" -> ((s, d) => {
+      val a = when(col("event_id") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("value"))
+      Tables.events(s, d)
+        .select(col("event_id"), a.as("v"))
+        .orderBy(col("v").asc_nulls_last, col("event_id").asc)
+        .limit(50)
+    }),
+
     // Iterative PageRank in INTEGER mass units — the power-iteration graph
     // algorithm with bit-exact cross-engine parity: node mass starts at
     // 1e6, each round a node keeps 15% (150000) and routes
@@ -1252,6 +1275,20 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "intersect_all_parts" -> """
+SELECT l_partkey, COUNT(*) AS multiplicity FROM (
+  SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+  INTERSECT ALL
+  SELECT l_partkey FROM lineitem WHERE l_suppkey % 3 = 0
+) GROUP BY l_partkey""",
+
+    "null_ordering_page" -> """
+SELECT event_id,
+  CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+FROM events
+ORDER BY v ASC NULLS LAST, event_id ASC
+LIMIT 50""",
 
     "pagerank_integer" -> {
       def step(prev: String, cur: String): String = s"""
