@@ -185,6 +185,60 @@ SELECT CAST($i AS INTEGER) AS iteration, l AS left_sym, r AS right_sym,
     sb.toString
   }
 
+  /** LM-evaluation analog with integer-exact parity: rank every bigram
+    * continuation within its context (count desc, token asc — the model's
+    * "predicted order"), then score each held-out document by the ranks of
+    * its actual continuations. Lower mean rank = more predictable text —
+    * the shape of perplexity scoring without cross-engine log() drift
+    * (ranks are integers; the mean uses the exact fixed-point average). */
+  def continuationRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = docs
+      .select(col("doc_id"), T.as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => struct(
+              element_at(col("w"), i.cast("int")).as("w1"),
+              element_at(col("w"), (i + 1).cast("int")).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ranks = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("w1").orderBy(col("c12").desc, col("w2").asc)))
+      .select("w1", "w2", "rank")
+    pairs.filter(col("doc_id") % 20 === 0)
+      .join(ranks, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.expr.Exact.davg(col("rank").cast("double")).as("avg_rank"),
+        max(col("rank")).as("max_rank"))
+  }
+
+  val continuationRankSql: String = s"""
+WITH tk AS (SELECT doc_id, $TS AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) >= 2
+      THEN list_transform(generate_series(1, len(w)-1), i -> w[i]) ELSE [] END) AS w1,
+    unnest(CASE WHEN len(w) >= 2
+      THEN list_transform(generate_series(1, len(w)-1), i -> w[i+1]) ELSE [] END) AS w2
+  FROM tk
+),
+ranks AS (
+  SELECT w1, w2,
+    CAST(row_number() OVER (PARTITION BY w1 ORDER BY COUNT(*) DESC, w2 ASC) AS INTEGER) AS rank
+  FROM bg GROUP BY w1, w2
+)
+SELECT b.doc_id,
+  COUNT(*) AS n_bigrams,
+  ${graft.expr.Exact.davgSql("CAST(rank AS DOUBLE)")} AS avg_rank,
+  CAST(MAX(rank) AS INTEGER) AS max_rank
+FROM bg b JOIN ranks r ON b.w1 = r.w1 AND b.w2 = r.w2
+WHERE b.doc_id % 20 = 0
+GROUP BY b.doc_id"""
+
   /** Per-document lexical diversity: token count, in-doc vocabulary,
     * hapax legomena (once-in-doc tokens), and type-token ratio — the
     * quality signals a data-curation pipeline thresholds on (repetitive
@@ -219,12 +273,14 @@ FROM c GROUP BY doc_id"""
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_lm_topk"     -> ((s, d) => bigramTopK(s, d)),
     "bpe_merges"        -> ((s, d) => bpeMerges(s, d)),
-    "lexical_diversity" -> ((s, d) => lexicalDiversity(s, d))
+    "lexical_diversity" -> ((s, d) => lexicalDiversity(s, d)),
+    "continuation_rank" -> ((s, d) => continuationRank(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "ngram_lm_topk"     -> bigramTopKSql,
     "bpe_merges"        -> bpeMergesSql(),
-    "lexical_diversity" -> lexicalDiversitySql
+    "lexical_diversity" -> lexicalDiversitySql,
+    "continuation_rank" -> continuationRankSql
   )
 }
