@@ -485,6 +485,28 @@ object Analytics {
       s.table(name)
     }),
 
+    // Sequence-pattern matching (the MATCH_RECOGNIZE analog): each user's
+    // event history collapsed to an ordered initial-letter string
+    // (c=click, p=purchase, ...), then regex counting of behavioral
+    // patterns — view-to-purchase funnels with any clicks between, and
+    // immediate error-after-purchase. One shuffle on user, per-row regex.
+    "event_pattern_match" -> ((s, d) => {
+      val initial = substring(col("event_type"), 1, 1)
+      val seqStr = concat_ws("",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), initial.as("i")))),
+          e => e.getField("i")))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(seqStr.as("seq"))
+        .select(
+          col("user_id"),
+          length(col("seq")).as("n_events"),
+          regexp_count(col("seq"), lit("vc*p")).as("view_to_purchase"),
+          regexp_count(col("seq"), lit("pe")).as("error_after_purchase"),
+          col("seq").rlike("s.*p").as("signup_then_purchase"))
+    }),
+
     // INTERSECT ALL: bag-semantics intersection (multiplicity = min of the
     // two sides), vs the distinct INTERSECT already covered — Spark plans
     // the generate+count rewrite distributed on the key.
@@ -1275,6 +1297,19 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "event_pattern_match" -> """
+WITH s AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  CAST(length(seq) AS INTEGER) AS n_events,
+  CAST(len(regexp_extract_all(seq, 'vc*p')) AS INTEGER) AS view_to_purchase,
+  CAST(len(regexp_extract_all(seq, 'pe')) AS INTEGER) AS error_after_purchase,
+  regexp_matches(seq, 's.*p') AS signup_then_purchase
+FROM s""",
 
     "intersect_all_parts" -> """
 SELECT l_partkey, COUNT(*) AS multiplicity FROM (
