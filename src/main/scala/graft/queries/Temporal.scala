@@ -130,13 +130,86 @@ SELECT user_id, session_idx,
   COUNT(DISTINCT event_type) AS distinct_event_types
 FROM sess GROUP BY user_id, session_idx"""
 
+  /** FORWARD as-of join with tolerance: for every `error` event, the
+    * EARLIEST `purchase` of the same user at-or-after it, kept only when it
+    * lands within 2h (the pandas merge_asof direction='forward' analog).
+    * Same union trick as [[asofLastPurchase]] but the merged timeline is
+    * processed in DESCENDING time order, so the running last-non-null is
+    * the nearest later purchase; ids ordered DESC make ties resolve to the
+    * smallest event_id on both engines. */
+  def asofNextPurchase(s: SparkSession, d: String): DataFrame = {
+    val TolUs = 2L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("side"),
+      col("event_id").as("p_event_id"), col("value").as("p_value"),
+      lit(null).cast("long").as("e_event_id"))
+    val errors = ev.filter(col("event_type") === "error").select(
+      col("user_id"), col("ts"), lit(1).as("side"),
+      lit(null).cast("long").as("p_event_id"), lit(null).cast("double").as("p_value"),
+      col("event_id").as("e_event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("side").asc,
+        coalesce(col("p_event_id"), col("e_event_id")).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hit = purchases.unionByName(errors)
+      .withColumn("np_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("np_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("np_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+    val withinTol = col("np_id").isNotNull &&
+      (unix_micros(col("np_ts")) - unix_micros(col("ts"))) <= TolUs
+    hit.select(
+      col("e_event_id").as("error_event_id"),
+      col("user_id"),
+      col("ts").as("error_ts"),
+      when(withinTol, col("np_id")).as("next_purchase_id"),
+      when(withinTol, col("np_value")).as("next_purchase_value"),
+      when(withinTol,
+        (unix_micros(col("np_ts")) - unix_micros(col("ts"))) / lit(1e6))
+        .as("secs_until_purchase"))
+  }
+
+  val asofForwardSql: String = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side,
+         event_id AS p_event_id, value AS p_value,
+         CAST(NULL AS BIGINT) AS e_event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side,
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         event_id
+  FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT *,
+    last_value(p_event_id IGNORE NULLS) OVER w AS np_id,
+    last_value(p_value IGNORE NULLS) OVER w AS np_value,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS np_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts DESC, side ASC, COALESCE(p_event_id, e_event_id) DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT e_event_id AS error_event_id, user_id, ts AS error_ts,
+  CASE WHEN np_id IS NOT NULL AND epoch_us(np_ts) - epoch_us(ts) <= 7200000000
+       THEN np_id END AS next_purchase_id,
+  CASE WHEN np_id IS NOT NULL AND epoch_us(np_ts) - epoch_us(ts) <= 7200000000
+       THEN np_value END AS next_purchase_value,
+  CASE WHEN np_id IS NOT NULL AND epoch_us(np_ts) - epoch_us(ts) <= 7200000000
+       THEN (epoch_us(np_ts) - epoch_us(ts)) / CAST(1e6 AS DOUBLE) END AS secs_until_purchase
+FROM m WHERE side = 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_purchase" -> ((s, d) => asofLastPurchase(s, d)),
+    "asof_next_purchase" -> ((s, d) => asofNextPurchase(s, d)),
     "sessionize_events"  -> ((s, d) => sessionize(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "asof_join_purchase" -> asofSql,
+    "asof_next_purchase" -> asofForwardSql,
     "sessionize_events"  -> sessionizeSql
   )
 }
