@@ -94,12 +94,17 @@ object IvfAnn {
       .as[(Long, Array[Float])](org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
       .collect()
     val centroids = trainCentroids(sample)
+    val dot = graft.expr.VectorExpressions.dotF _
+    // norms precomputed once per SIDE (|vectors| + |queries| array passes),
+    // not per candidate pair — the pair scoring below is then a single
+    // array traversal per pair instead of three
     val cells = assign(s, d, centroids, top = 1)
     val probes = assign(s, d, centroids, top = NProbe)
       .filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
-    val cands = cells.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
-    val dot = graft.expr.VectorExpressions.dotF _
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val cands = cells.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     // a candidate sharing several probed cells appears once per cell:
     // dedup on the (query, neighbor) KEY PAIR after scoring — hashing two
     // longs — rather than `distinct()` over rows that still carry both
@@ -107,9 +112,7 @@ object IvfAnn {
     // re-scoring the few multi-cell duplicates)
     val scored = probes.join(cands, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("qe"), col("ce")) /
-          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .groupBy("query_id", "neighbor_id")
       .agg(max(col("cosine")).as("cosine"))
     // bounded-heap top-k with native rank emission (graft.plans.TopKPerGroup)
