@@ -128,6 +128,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("full_outer_balance").contains("FullOuter"))
   }
 
+  test("hash_sample_docs and null_ordering_page plan TakeOrderedAndProject") {
+    for (q <- Seq("hash_sample_docs", "null_ordering_page"))
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q should be a per-partition top-N, not a global sort")
+  }
+
+  test("event_pattern_match is one shuffle onto user_id") {
+    val p = plan("event_pattern_match")
+    assert(!p.contains("Join"))
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(aggExchanges == 1, s"expected a single hash exchange:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
