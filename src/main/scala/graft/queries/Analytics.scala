@@ -485,6 +485,22 @@ object Analytics {
       s.table(name)
     }),
 
+    // Partition-pruned scan, end to end: write the events table
+    // hive-partitioned by event_type, read it back with a partition
+    // predicate — the layout discipline (S8) that turns a 100 TB scan into
+    // a one-partition scan. The filter must land in PartitionFilters (file
+    // listing), not a row filter (PlanShapeSpec pins it); results equal the
+    // unpartitioned filtered aggregate.
+    "partition_pruned_counts" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part_ev_").toString
+      Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "click")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_clicks"))
+    }),
+
     // Sequence-pattern matching (the MATCH_RECOGNIZE analog): each user's
     // event history collapsed to an ordered initial-letter string
     // (c=click, p=purchase, ...), then regex counting of behavioral
@@ -1297,6 +1313,10 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "partition_pruned_counts" -> """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+FROM events WHERE event_type = 'click' GROUP BY 1""",
 
     "event_pattern_match" -> """
 WITH s AS (

@@ -141,6 +141,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggExchanges == 1, s"expected a single hash exchange:\n$p")
   }
 
+  test("partition_pruned_counts prunes at file listing (PartitionFilters, no row filter)") {
+    val p = plan("partition_pruned_counts")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"event_type predicate must prune partitions:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
