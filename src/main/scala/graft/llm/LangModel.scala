@@ -270,7 +270,43 @@ SELECT doc_id,
   CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS ttr
 FROM c GROUP BY doc_id"""
 
+  /** Per-language top-5 token bigrams via the custom bounded-heap top-k
+    * operator (graft.plans.TopKPerGroup) — the per-group frequent-phrase
+    * report, never a full sort of the phrase table. */
+  def topNgramsPerLang(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("lang"), T.as("w"))
+      .select(col("lang"), explode(
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i.cast("int")),
+              element_at(col("w"), (i + 1).cast("int")))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+    val counts = pairs.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.perKeyRanked(
+        counts, Seq("lang"), Seq("cnt" -> false, "bigram" -> true), 5,
+        rankCol = "rank")
+      .select(col("lang"), col("bigram"), col("rank"), col("cnt"))
+  }
+
+  val topNgramsPerLangSql: String = s"""
+WITH tk AS (SELECT lang, $TS AS w FROM documents),
+bg AS (
+  SELECT lang, unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END) AS bigram
+  FROM tk
+),
+c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram),
+r AS (
+  SELECT lang, bigram, cnt,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS INTEGER) AS rank
+  FROM c
+)
+SELECT lang, bigram, rank, cnt FROM r WHERE rank <= 5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_ngrams_per_lang" -> ((s, d) => topNgramsPerLang(s, d)),
     "ngram_lm_topk"     -> ((s, d) => bigramTopK(s, d)),
     "bpe_merges"        -> ((s, d) => bpeMerges(s, d)),
     "lexical_diversity" -> ((s, d) => lexicalDiversity(s, d)),
@@ -278,6 +314,7 @@ FROM c GROUP BY doc_id"""
   )
 
   def oracles: Map[String, String] = Map(
+    "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "ngram_lm_topk"     -> bigramTopKSql,
     "bpe_merges"        -> bpeMergesSql(),
     "lexical_diversity" -> lexicalDiversitySql,

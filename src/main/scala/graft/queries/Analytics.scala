@@ -485,6 +485,41 @@ object Analytics {
       s.table(name)
     }),
 
+    // IQR-fence outlier detection (Tukey's rule): exact quartiles per
+    // return flag, fences at 1.5×IQR, count of prices outside — the robust
+    // complement to the z-score anomaly chain. Expression order for the
+    // fences is written identically on both engines.
+    "outlier_iqr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val q = li.groupBy("l_returnflag").agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("q1"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("q3"))
+      li.join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("q1"), col("q3"))
+        .agg(
+          Exact.cntIf(col("l_extendedprice") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+            col("l_extendedprice") > col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("n_outliers"),
+          count(lit(1)).as("n"))
+    }),
+
+    // CUSUM drift detection: per-user running sum of deviations from the
+    // global mean, in QUANTIZED integer units (round((x-μ)·1e6) longs) so
+    // the running accumulation is exact and order-stable on both engines —
+    // a sequential drift statistic with bit-exact distributed parity.
+    "cusum_deviation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mean = ev.agg(Exact.davg(col("value")).as("mu"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      ev.crossJoin(broadcast(mean))
+        .withColumn("dev_q", round((col("value") - col("mu")) * lit(1e6), 0).cast("long"))
+        .select(
+          col("event_id"), col("user_id"),
+          (sum(col("dev_q")).over(w).cast("double") / lit(1e6)).as("cusum"))
+    }),
+
     // Partition-pruned scan, end to end: write the events table
     // hive-partitioned by event_type, read it back with a partition
     // predicate — the layout discipline (S8) that turns a 100 TB scan into
@@ -1313,6 +1348,27 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "outlier_iqr" -> s"""
+WITH q AS (
+  SELECT l_returnflag,
+    quantile_cont(l_extendedprice, 0.25) AS q1,
+    quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, q1, q3,
+  ${Exact.cntIfSql("l_extendedprice < q1 - 1.5 * (q3 - q1) OR l_extendedprice > q3 + 1.5 * (q3 - q1)")} AS n_outliers,
+  COUNT(*) AS n
+FROM lineitem l JOIN q USING (l_returnflag)
+GROUP BY l.l_returnflag, q1, q3""",
+
+    "cusum_deviation" -> s"""
+WITH m AS (SELECT ${davgSql("value")} AS mu FROM events)
+SELECT event_id, user_id,
+  CAST(SUM(CAST(round((value - mu) * 1e6) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6 AS cusum
+FROM events CROSS JOIN m""",
 
     "partition_pruned_counts" -> """
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
