@@ -485,6 +485,32 @@ object Analytics {
       s.table(name)
     }),
 
+    // Distributed triangle counting: canonicalized (a<b) supplier edges,
+    // wedges by joining on the middle node under a<b<c ordering, closed by
+    // a second join — each triangle counted exactly once, two hash joins
+    // total (the standard MR/GraphX shape; no node ever materializes its
+    // full neighborhood cross-product beyond its wedge set). The edge list
+    // is sampled by order key to keep wedge counts bounded at every SF.
+    "triangle_count" -> ((s, d) => {
+      val nSupp = Tables.supplier(s, d).count()
+      val raw = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_suppkey").as("x"), (col("l_partkey") % nSupp).as("y"))
+        .filter(col("x") =!= col("y"))
+      val edges = raw.select(
+          least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct().persist()
+      val e1 = edges
+      val e2 = edges.select(col("a").as("b"), col("b").as("c"))
+      val e3 = edges.select(col("a").as("a2"), col("b").as("c2"))
+      val triangles = e1.join(e2, "b")
+        .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val out = triangles.crossJoin(
+        edges.agg(count(lit(1)).as("n_edges")))
+      out
+    }),
+
     // IQR-fence outlier detection (Tukey's rule): exact quartiles per
     // return flag, fences at 1.5×IQR, count of prices outside — the robust
     // complement to the z-score anomaly chain. Expression order for the
@@ -1348,6 +1374,23 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "triangle_count" -> """
+WITH raw AS (
+  SELECT l_suppkey AS x, l_partkey % (SELECT COUNT(*) FROM supplier) AS y
+  FROM lineitem WHERE l_orderkey % 10 = 0
+),
+edges AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM raw WHERE x <> y
+),
+t AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_triangles, (SELECT COUNT(*) FROM edges) AS n_edges FROM t""",
 
     "outlier_iqr" -> s"""
 WITH q AS (
