@@ -485,6 +485,28 @@ object Analytics {
       s.table(name)
     }),
 
+    // HOPPING (sliding) windows: 30-minute windows every 10 minutes —
+    // each event lands in 3 overlapping windows via Spark's native
+    // window(ts, len, slide) generator; the oracle expands the same 3
+    // window starts per event arithmetically.
+    "hopping_window_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    }),
+
+    // Native SESSION windows: Spark's session_window(ts, gap) dynamic-gap
+    // operator, checked against the same sessions derived by the manual
+    // lag/boundary construction (start = min ts, end = max ts + gap).
+    "session_window_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+    }),
+
     // Distributed triangle counting: canonicalized (a<b) supplier edges,
     // wedges by joining on the middle node under a<b<c ordering, closed by
     // a second join — each triangle counted exactly once, two hash joins
@@ -1374,6 +1396,36 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "hopping_window_counts" -> """
+WITH h AS (
+  SELECT event_type,
+    unnest(list_transform(generate_series(0, 2),
+      k -> make_timestamp(((epoch_us(ts) // 600000000) - k) * 600000000))) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM h GROUP BY window_start, event_type""",
+
+    "session_window_counts" -> """
+WITH g AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+b AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM g
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM b
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 6 HOUR AS session_end,
+  COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx""",
 
     "triangle_count" -> """
 WITH raw AS (
