@@ -485,6 +485,28 @@ object Analytics {
       s.table(name)
     }),
 
+    // Bootstrap resampling, distributed: 10 pseudo-Poisson resamples in
+    // ONE pass — each row gets an integer weight 0..2 from a deterministic
+    // arithmetic hash of (row id, replicate), so every replicate's
+    // weighted mean is exact and cross-engine reproducible (no RNG state,
+    // no per-replicate scan). The spread of the replicate means is the
+    // bootstrap standard-error estimate — the embarrassingly parallel
+    // shape resampling takes at 100 TB.
+    "bootstrap_means" -> ((s, d) => {
+      val rowId = col("l_orderkey") * 10 + col("l_linenumber")
+      Tables.lineitem(s, d)
+        .select(rowId.as("rid"), col("l_quantity"))
+        .select(col("rid"), col("l_quantity"),
+          explode(sequence(lit(0L), lit(9L))).as("b"))
+        .withColumn("w",
+          ((col("rid") * 2654435761L + col("b") * 40503L) % 1000003L) % 3L)
+        .groupBy("b")
+        .agg(
+          (Exact.dsum(col("l_quantity") * col("w").cast("double")) /
+            sum(col("w")).cast("double")).as("boot_mean"),
+          sum(col("w")).as("n_eff"))
+    }),
+
     // HOPPING (sliding) windows: 30-minute windows every 10 minutes —
     // each event lands in 3 overlapping windows via Spark's native
     // window(ts, len, slide) generator; the oracle expands the same 3
@@ -1396,6 +1418,22 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "bootstrap_means" -> s"""
+WITH r AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity,
+    unnest(generate_series(0, 9)) AS b
+  FROM lineitem
+),
+w AS (
+  SELECT b, l_quantity,
+    ((rid * 2654435761 + b * 40503) % 1000003) % 3 AS w
+  FROM r
+)
+SELECT b,
+  ${graft.expr.Exact.dsumSql("l_quantity * CAST(w AS DOUBLE)")} / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS boot_mean,
+  CAST(SUM(w) AS BIGINT) AS n_eff
+FROM w GROUP BY b""",
 
     "hopping_window_counts" -> """
 WITH h AS (
