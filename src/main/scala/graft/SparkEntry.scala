@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.{Analytics, Relational, Temporal, Windowed}
+import graft.queries.{Analytics, Diagnostics, Graph, Relational, Temporal, Windowed}
 import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, LangModel, Multimodal, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -94,7 +94,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     iotQueries ++ Relational.queries ++ Temporal.queries ++ Analytics.queries ++
-      Windowed.queries ++
+      Windowed.queries ++ Diagnostics.queries ++ Graph.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++ LangModel.queries ++
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       Similarity.queries ++ Similarity.noOracleQueries ++
@@ -105,7 +105,7 @@ object SparkEntry {
     * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
     iotOracle ++ Relational.oracles ++ Temporal.oracles ++ Analytics.oracles ++
-      Windowed.oracles ++
+      Windowed.oracles ++ Diagnostics.oracles ++ Graph.oracles ++
       TextAnalysis.oracles ++ TextDedup.oracles ++ LangModel.oracles ++
       CorpusClean.oracles ++
       CorpusQuality.oracles ++ TrainPrep.oracles ++

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.Text
+
+/** Data-quality diagnostics and similarity operators a production pipeline
+  * runs continuously over incoming data: Benford first-digit drift, a
+  * chi-square independence test, heavy-hitter detection with a mergeable
+  * sketch plus exact verification, exact rolling medians, and a blocked
+  * edit-distance similarity self-join.
+  *
+  * Scale shapes:
+  *  - Benford / chi-square reduce to tiny grouped counts (9 / |types|×4
+  *    rows) — one map-side-combinable shuffle each, float math only on the
+  *    reduced cells;
+  *  - heavy hitters is the sketch-then-verify pattern: a per-partition
+  *    Misra–Gries pass (bounded memory, superset guarantee) nominates
+  *    candidates, and only candidate tokens are exactly counted — the full
+  *    token shuffle is replaced by a broadcast-filtered one;
+  *  - the edit-distance join blocks on (first token, ±2 length band) so
+  *    candidate generation is an equi-join, never an all-pairs cross join;
+  *    Spark's thresholded levenshtein stops each comparison at distance 2;
+  *  - the rolling median sorts only the 5-row frame, never the partition.
+  */
+object Diagnostics {
+
+  /** Benford expected first-digit proportions log10(1+1/d), d=1..9, as
+    * shared literals (both engines parse the identical decimal string). */
+  private val benfordExpected: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benford's-law first-digit profile of order totals: exact per-digit
+    // counts, observed fraction, and the quantized deviation from the
+    // Benford expectation — the classic fraud/drift screen. The aggregate
+    // is 9 rows; all float math happens after the reduction.
+    "benford_digits" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("lead_digit"))
+        .groupBy("lead_digit").agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      val expected = element_at(
+        array(benfordExpected.map(lit): _*), col("lead_digit"))
+      digits
+        .withColumn("frac",
+          col("n").cast("double") / sum(col("n")).over(wAll).cast("double"))
+        .select(
+          col("lead_digit"), col("n"), col("frac"),
+          round((col("frac") - expected) * lit(1e9), 0).cast("long")
+            .as("dev_benford_q"))
+    }),
+
+    // Chi-square test of independence between event_type and a user
+    // cohort (user_id % 4): contingency cells by one grouped count,
+    // marginals by windows over the tiny cell table, per-cell statistic
+    // quantized to 1e-6 so the final sum is integer-exact and
+    // order-independent.
+    "chi_square_independence" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 4).as("grp"))
+        .groupBy("event_type", "grp").agg(count(lit(1)).as("n_cell"))
+      val rt  = sum(col("n_cell")).over(Window.partitionBy("event_type"))
+      val ct  = sum(col("n_cell")).over(Window.partitionBy("grp"))
+      val tot = sum(col("n_cell")).over(Window.partitionBy())
+      val e = rt.cast("double") * ct.cast("double") / tot.cast("double")
+      val o = col("n_cell").cast("double")
+      val cellStat = (o - e) * (o - e) / e
+      cells
+        .withColumn("q", round(cellStat * lit(1e6), 0).cast("long"))
+        .agg(
+          (sum(col("q")).cast("double") / lit(1e6)).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("grp")) - 1)).as("dof"),
+          count(lit(1)).as("n_cells"))
+    }),
+
+    // Heavy hitters over document tokens: a per-partition Misra–Gries
+    // sketch (64 counters — bounded memory regardless of vocabulary size)
+    // nominates candidates, which is a guaranteed superset of every token
+    // with frequency > N/50 (pigeonhole across partitions); only the
+    // candidates are then exactly counted and thresholded, so the answer
+    // is exact while the shuffle carries candidate tokens only. The
+    // threshold compare is integer (cnt*50 > N) — no float boundary.
+    "heavy_hitters_tokens" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val cands = toks.as[String].mapPartitions(misraGries(64, _)).toDF("tok")
+        .distinct()
+      val tot = toks.agg(count(lit(1)).as("n_tokens"))
+      toks.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 50 > col("n_tokens"))
+        .select(col("tok"), col("cnt"))
+    }),
+
+    // Exact rolling median of event values over the trailing 5-row frame
+    // per user — robust smoothing where a windowed mean would chase
+    // outliers. Only the 5-element frame is collected and sorted; the
+    // even-count interpolation lo + (hi-lo)*0.5 is written identically on
+    // both engines (IEEE ops are deterministic; expression shape matters).
+    "rolling_median_value" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val arr = sort_array(collect_list(col("value")).over(w))
+      val df = ev.select(col("event_id"), col("user_id"), col("value"),
+        arr.as("arr"))
+        .withColumn("n", size(col("arr")))
+      val mid  = element_at(col("arr"), ((col("n") + 1) / 2).cast("int"))
+      val lo   = element_at(col("arr"), (col("n") / 2).cast("int"))
+      val hi   = element_at(col("arr"), (col("n") / 2 + 1).cast("int"))
+      df.select(
+        col("event_id"), col("user_id"), col("value"),
+        when(col("n") % 2 === 1, mid)
+          .otherwise(lo + (hi - lo) * lit(0.5)).as("roll_median"))
+    }),
+
+    // Edit-distance similarity self-join over part names, dedupe-before-
+    // join: rows collapse to DISTINCT names with multiplicities first (the
+    // id-level pair set is inherently quadratic when values repeat — at
+    // sf0.1 it is 3.1M pairs over only 64 distinct names), then distinct
+    // names are candidate-blocked on (first token, length within ±2) — an
+    // equi-join, never a cross join — and verified with a threshold-bounded
+    // levenshtein (Spark's 3-arg form abandons each cell at distance > 2).
+    // The ±2 band is emitted on ONE side only, so each unordered pair is
+    // produced exactly once under name_a < name_b; pair_count = n_a·n_b
+    // recovers the row-level pair cardinality without materializing it.
+    "editdist_simjoin" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .select(concat(col("p_name"), lit("#"),
+          col("p_size").cast("string")).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .select(col("key").as("name"), col("n"),
+          split(col("key"), " ").getItem(0).as("tok1"),
+          length(col("key")).as("len"))
+      val a = names
+        .withColumn("klen", explode(sequence(col("len") - 2, col("len") + 2)))
+        .select(col("name").as("name_a"), col("n").as("n_a"),
+          col("tok1").as("tok_a"), col("klen"))
+      val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+        col("tok1").as("tok_b"), col("len").as("len_b"))
+      a.join(b,
+          col("tok_a") === col("tok_b") && col("klen") === col("len_b") &&
+            col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("pair_count"))
+    })
+  )
+
+  /** Misra–Gries frequent-items pass over one partition: at most k live
+    * counters; survivors are every element whose partition-local count
+    * exceeds (partition size)/(k+1). Deterministic output SET (the exact
+    * recount downstream makes counter values irrelevant). */
+  private def misraGries(k: Int, it: Iterator[String]): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { x =>
+      counters.get(x) match {
+        case Some(c) => counters.update(x, c + 1)
+        case None if counters.size < k => counters.update(x, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          counters.mapValuesInPlace((_, c) => c - 1)
+          counters.foreach { case (key, c) => if (c == 0) dead += key }
+          dead.result().foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  def oracles: Map[String, String] = Map(
+    "benford_digits" -> {
+      val cases = benfordExpected.zipWithIndex
+        .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ")
+      s"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS lead_digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1.0
+  GROUP BY 1
+), f AS (
+  SELECT lead_digit, n,
+    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS frac,
+    CASE lead_digit $cases END AS expected
+  FROM digits
+)
+SELECT lead_digit, n, frac,
+  CAST(round((frac - expected) * 1e9, 0) AS BIGINT) AS dev_benford_q
+FROM f"""
+    },
+
+    "chi_square_independence" -> """
+WITH cells AS (
+  SELECT event_type, user_id % 4 AS grp, count(*) AS n_cell
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT n_cell,
+    event_type, grp,
+    CAST(sum(n_cell) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+    CAST(sum(n_cell) OVER (PARTITION BY grp) AS DOUBLE) AS ct,
+    CAST(sum(n_cell) OVER () AS DOUBLE) AS tot
+  FROM cells
+), q AS (
+  SELECT event_type, grp,
+    CAST(round(
+      (CAST(n_cell AS DOUBLE) - rt * ct / tot) *
+      (CAST(n_cell AS DOUBLE) - rt * ct / tot) / (rt * ct / tot) * 1e6, 0)
+    AS BIGINT) AS qv
+  FROM m
+)
+SELECT CAST(sum(qv) AS DOUBLE) / 1e6 AS chi2,
+  (count(DISTINCT event_type) - 1) * (count(DISTINCT grp) - 1) AS dof,
+  count(*) AS n_cells
+FROM q""",
+
+    "heavy_hitters_tokens" -> s"""
+WITH toks AS (
+  SELECT unnest(${Text.tokensSql("text")}) AS tok FROM documents
+)
+SELECT tok, count(*) AS cnt
+FROM toks
+GROUP BY tok
+HAVING count(*) * 50 > (SELECT count(*) FROM toks)""",
+
+    "rolling_median_value" -> """
+WITH m AS (
+  SELECT event_id, user_id, value,
+    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+  FROM events WHERE value IS NOT NULL
+), n AS (
+  SELECT event_id, user_id, value, arr, len(arr) AS nn FROM m
+)
+SELECT event_id, user_id, value,
+  CASE WHEN nn % 2 = 1 THEN arr[(nn + 1) // 2]
+       ELSE arr[nn // 2] + (arr[nn // 2 + 1] - arr[nn // 2]) * 0.5
+  END AS roll_median
+FROM n""",
+
+    "editdist_simjoin" -> """
+WITH keys AS (
+  SELECT p_name || '#' || CAST(p_size AS VARCHAR) AS name FROM part
+), names AS (
+  SELECT name, count(*) AS n,
+    split_part(name, ' ', 1) AS tok1, length(name) AS len
+  FROM keys GROUP BY 1, 3, 4
+)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+  a.n AS n_a, b.n AS n_b, a.n * b.n AS pair_count
+FROM names a JOIN names b
+  ON a.tok1 = b.tok1
+ AND a.name < b.name
+ AND abs(a.len - b.len) <= 2
+ AND levenshtein(a.name, b.name) <= 2"""
+  )
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expr.Exact
 
 /** Temporal operators beyond plain windows: as-of join and gap-based
   * sessionization — the two classic "Spark has no single operator for
@@ -201,15 +202,109 @@ SELECT e_event_id AS error_event_id, user_id, ts AS error_ts,
        THEN (epoch_us(np_ts) - epoch_us(ts)) / CAST(1e6 AS DOUBLE) END AS secs_until_purchase
 FROM m WHERE side = 1"""
 
+  /** Sweep-line max concurrency: each event opens a half-open 30-minute
+    * interval [ts, ts+30m); +1/-1 boundary deltas are ordered (t, delta,
+    * event_id) — ends sort before starts at the same instant, so touching
+    * intervals do not overlap — and a running sum's maximum is the peak
+    * number of simultaneously open intervals per user. One union + one
+    * window + one grouped agg; all arithmetic in exact epoch micros. */
+  def maxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val starts = ev.select(col("user_id"), unix_micros(col("ts")).as("t"),
+      lit(1L).as("delta"), col("event_id"))
+    val ends = ev.select(col("user_id"),
+      (unix_micros(col("ts")) + lit(1800000000L)).as("t"),
+      lit(-1L).as("delta"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("open", sum(col("delta")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("open")).as("max_concurrent"),
+        Exact.cntIf(col("delta") === 1).as("n_intervals"))
+  }
+
+  val maxConcurrencySql: String = """
+WITH deltas AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta, event_id FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts) + 1800000000 AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM events
+), running AS (
+  SELECT user_id, delta,
+    sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM deltas
+)
+SELECT user_id, max(open) AS max_concurrent,
+  sum(CASE WHEN delta = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_intervals
+FROM running GROUP BY user_id"""
+
+  /** Merged-interval coverage: the gaps-and-islands merge of overlapping
+    * [ts, ts+30m) intervals per user — a new island starts when an
+    * interval begins strictly after the running max of all previous ends —
+    * then total covered time = Σ per-island (max end − min start), exact
+    * BIGINT micros throughout. */
+  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) + lit(1800000000L)).as("en"))
+    val wPrev = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("prev_max_en", max(col("en")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min(col("st")).as("isl_start"), max(col("en")).as("isl_end"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("isl_end") - col("isl_start")).as("covered_us"))
+  }
+
+  val intervalCoverageSql: String = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS st, epoch_us(ts) + 1800000000 AS en
+  FROM events
+), marked AS (
+  SELECT user_id, st, en,
+    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_island,
+    event_id
+  FROM iv
+), isl AS (
+  SELECT user_id, st, en,
+    sum(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), merged AS (
+  SELECT user_id, island, min(st) AS isl_start, max(en) AS isl_end
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, count(*) AS n_islands,
+  sum(isl_end - isl_start) AS covered_us
+FROM merged GROUP BY user_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_purchase" -> ((s, d) => asofLastPurchase(s, d)),
     "asof_next_purchase" -> ((s, d) => asofNextPurchase(s, d)),
-    "sessionize_events"  -> ((s, d) => sessionize(s, d))
+    "sessionize_events"  -> ((s, d) => sessionize(s, d)),
+    "max_concurrency"    -> ((s, d) => maxConcurrency(s, d)),
+    "interval_coverage"  -> ((s, d) => intervalCoverage(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "asof_join_purchase" -> asofSql,
     "asof_next_purchase" -> asofForwardSql,
-    "sessionize_events"  -> sessionizeSql
+    "sessionize_events"  -> sessionizeSql,
+    "max_concurrency"    -> maxConcurrencySql,
+    "interval_coverage"  -> intervalCoverageSql
   )
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.llm.Text
+
+/** Semantics checks for the diagnostics/graph/interval operators beyond
+  * the DuckDB hash-compare: the sketch superset guarantee, equivalence of
+  * the blocked similarity join to the naive all-pairs formulation, BFS
+  * against an independently computed transitive expansion, and the interval
+  * algebra invariants. */
+class DiagnosticsSpec extends SparkSpec {
+
+  test("benford_digits: fractions sum to 1 and digits are 1..9") {
+    val rows: Seq[Row] =
+      Diagnostics.queries("benford_digits")(spark, sf).collect().toSeq
+    val digits = rows.map(_.getInt(0))
+    assert(digits.toSet.subsetOf((1 to 9).toSet))
+    val fracSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(fracSum - 1.0) < 1e-9)
+  }
+
+  test("heavy_hitters_tokens equals the exact full GROUP BY + threshold") {
+    val hh = Diagnostics.queries("heavy_hitters_tokens")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = Tables.documents(spark, sf)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 50 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hh == exact)
+    assert(hh.nonEmpty, "degenerate: no heavy hitters at this SF")
+  }
+
+  test("rolling_median_value: first row per user is its own median; frame <= 5") {
+    val df = Diagnostics.queries("rolling_median_value")(spark, sf)
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+    val firstPerUser = ev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1).select("event_id", "value")
+    val joined = df.join(firstPerUser.withColumnRenamed("value", "v0"), "event_id")
+    assert(joined.filter(col("roll_median") =!= col("v0")).count() == 0)
+  }
+
+  test("editdist_simjoin equals the naive all-pairs formulation") {
+    val blocked = Diagnostics.queries("editdist_simjoin")(spark, sf)
+      .select("name_a", "name_b", "pair_count")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val p = Tables.part(spark, sf)
+      .select(concat(col("p_name"), lit("#"), col("p_size").cast("string")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .select(col("key").as("name"), col("n"),
+        split(col("key"), " ").getItem(0).as("tok1"))
+    val naive = p.as("a").crossJoin(p.as("b"))
+      .filter(col("a.tok1") === col("b.tok1") && col("a.name") < col("b.name") &&
+        abs(length(col("a.name")) - length(col("b.name"))) <= 2 &&
+        levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.name"), col("b.name"), (col("a.n") * col("b.n")).as("pc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(blocked == naive)
+    assert(blocked.nonEmpty)
+  }
+
+  test("bfs_hops: hop labels are consistent with one-step edge expansion") {
+    val hops = Graph.queries("bfs_hops")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(hops(1L) == 0)
+    // every node at hop h>0 must have a neighbor at hop h-1
+    val nSupp = Tables.supplier(spark, sf).count()
+    val raw = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % nSupp).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Array[Long]] = (raw ++ raw.map(_.swap)).groupMap(_._1)(_._2)
+      .view.mapValues(_.toArray).toMap
+    hops.filter(_._2 > 0).foreach { case (node, h) =>
+      assert(adj.getOrElse(node, Array.empty[Long]).exists(nb => hops.get(nb).contains(h - 1)),
+        s"node $node at hop $h has no hop-${h - 1} neighbor")
+    }
+  }
+
+  test("max_concurrency >= 1 and <= n_intervals for every user") {
+    val bad = Temporal.queries("max_concurrency")(spark, sf)
+      .filter(col("max_concurrent") < 1 || col("max_concurrent") > col("n_intervals"))
+    assert(bad.count() == 0)
+  }
+
+  test("interval_coverage: per user, 30min <= covered <= n_intervals * 30min") {
+    val iv = 1800000000L
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_iv"))
+    val joined = Temporal.queries("interval_coverage")(spark, sf)
+      .join(perUser, "user_id")
+    assert(joined.filter(
+      col("covered_us") < iv || col("covered_us") > col("n_iv") * iv).count() == 0)
+  }
+}
