@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Analytics, Diagnostics, Graph, Relational, Temporal, Windowed}
-import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, LangModel, Multimodal, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, LangModel, Multimodal, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +97,7 @@ object SparkEntry {
       Windowed.queries ++ Diagnostics.queries ++ Graph.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++ LangModel.queries ++
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
+      KMeans.queries ++
       Similarity.queries ++ Similarity.noOracleQueries ++
       IvfAnn.noOracleQueries ++ Multimodal.queries
 
@@ -109,5 +110,6 @@ object SparkEntry {
       TextAnalysis.oracles ++ TextDedup.oracles ++ LangModel.oracles ++
       CorpusClean.oracles ++
       CorpusQuality.oracles ++ TrainPrep.oracles ++
+      KMeans.oracles ++
       Similarity.oracles ++ Multimodal.oracles
 }

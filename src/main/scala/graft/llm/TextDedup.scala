@@ -34,6 +34,7 @@ import graft.Tables
 object TextDedup {
 
   val JaccardThreshold = 0.5
+  val ContainmentThreshold = 0.8
   private val N = 3
 
   private val T = Text.tokens(col("text"))
@@ -207,6 +208,30 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .select("d1", "d2", "n_shared", "jaccard")
     }),
 
+    // CONTAINMENT near-dup (asymmetric Jaccard): |grams(A) ∩ grams(B)| /
+    // |grams(A)| — catches a short doc embedded inside a longer one, which
+    // symmetric Jaccard misses (the union in its denominator is dominated
+    // by the longer doc). Ordered pairs (contained, container), same
+    // inverted-index shape as dedup_jaccard: one shuffle on the gram,
+    // never all-pairs.
+    "dedup_containment" -> ((s, d) => {
+      val grams = gramSets(s, d)
+      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      val shared = flat.select(col("doc_id").as("d1"), col("g"))
+        .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
+        .filter(col("d1") =!= col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).cast("int").as("n_shared"))
+      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+      shared
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .withColumn("containment",
+          col("n_shared").cast("double") / col("n1").cast("double"))
+        .filter(col("containment") >= ContainmentThreshold)
+        .select(col("d1").as("contained_doc"), col("d2").as("container_doc"),
+          col("n_shared"), col("containment"))
+    }),
+
     // MinHash-LSH near-dup: banded signatures → bucket join → exact verify.
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
     "dedup_minhash" -> ((s, d) => {
@@ -276,6 +301,21 @@ SELECT sha256(array_to_string(${Text.tokensSql("text")}, ' ')) AS fingerprint,
   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
 FROM documents GROUP BY 1""",
     "dedup_jaccard" -> jaccardPairsSql,
+    "dedup_containment" -> s"""
+WITH ng AS (
+  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1 AS contained_doc, d2 AS container_doc, n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment
+FROM inter JOIN sizes s1 ON s1.doc_id = d1
+WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n AS DOUBLE) >= $ContainmentThreshold""",
     "dedup_minhash" -> jaccardPairsSql,
 
     // Same pair CTEs, then the component via recursive transitive

@@ -38,6 +38,29 @@ object TrainPrep {
   private def hashSql(e: String) = s"(($e * 1103515245 + 12345) % 2147483647)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic negative sampling for contrastive training: each doc
+    // gets 3 pseudo-random partner docs via an arithmetic hash of
+    // (doc_id, k) mapped into the dense id space, bumped by one when the
+    // hash lands on the anchor itself. Reproducible across runs/engines
+    // (no RNG state), and the partner fetch is a plain equi-join — the
+    // shape negative mining takes when the corpus no longer fits one node.
+    "negative_samples" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val raw = (col("doc_id") * 1103515245L + 12345L +
+        col("k") * 2654435761L) % col("n_docs")
+      docs.select(col("doc_id"), col("lang").as("anchor_lang"))
+        .crossJoin(broadcast(n))
+        .withColumn("k", explode(array(lit(0L), lit(1L), lit(2L))))
+        .withColumn("neg_doc_id",
+          when(raw === col("doc_id"), (raw + 1) % col("n_docs")).otherwise(raw))
+        .join(Tables.documents(s, d)
+            .select(col("doc_id").as("neg_doc_id"), col("lang").as("neg_lang")),
+          "neg_doc_id")
+        .select(col("doc_id"), col("k"), col("neg_doc_id"),
+          col("anchor_lang"), col("neg_lang"))
+    }),
+
     "hash_split" -> ((s, d) => {
       val pct = hashOf(col("doc_id")) % 100L
       Tables.documents(s, d).select(
@@ -87,6 +110,20 @@ object TrainPrep {
   def oracles: Map[String, String] = {
     val h = hashSql("doc_id")
     Map(
+      "negative_samples" -> """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+anchors AS (
+  SELECT d.doc_id, d.lang AS anchor_lang, k.k, n.n_docs,
+    (d.doc_id * 1103515245 + 12345 + k.k * 2654435761) % n.n_docs AS raw
+  FROM documents d, n, (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT a.doc_id, a.k,
+  CASE WHEN a.raw = a.doc_id THEN (a.raw + 1) % a.n_docs ELSE a.raw END AS neg_doc_id,
+  a.anchor_lang, d2.lang AS neg_lang
+FROM anchors a
+JOIN documents d2
+  ON d2.doc_id = CASE WHEN a.raw = a.doc_id THEN (a.raw + 1) % a.n_docs ELSE a.raw END""",
+
       "hash_split" -> s"""
 SELECT doc_id,
   ($h % 100) AS bucket,

@@ -522,6 +522,58 @@ object Analytics {
           col("x.n_eff").as("n_eff"))
     }),
 
+    // Range join decomposed into a bucketed EQUI-join: for every error
+    // event, count purchases (any user) within ±15 minutes. The naive plan
+    // is a broadcast-nested-loop on the BETWEEN predicate — quadratic row
+    // comparisons at scale. Bucketing time into 15-minute cells turns it
+    // into a hash join: each purchase lands in ONE cell, each error probes
+    // its cell ±1 (every |Δt|≤15min pair shares one of those cells), and a
+    // residual filter restores the exact predicate. The standard
+    // range-join optimization (Databricks' range-join hint, postGIS grid
+    // joins) expressed with plain operators.
+    "binned_range_join" -> ((s, d) => {
+      val TolUs = 900000000L
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+        .withColumn("bucket", expr("pt div 900000000"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("et"))
+        .withColumn("eb", expr("et div 900000000"))
+        .withColumn("bucket",
+          explode(array(col("eb") - 1, col("eb"), col("eb") + 1)))
+      errors.join(purchases,
+          Seq("bucket"), "left")
+        .withColumn("hit",
+          col("p_id").isNotNull && abs(col("pt") - col("et")) <= TolUs)
+        .groupBy("error_id")
+        .agg(Exact.cntIf(col("hit")).as("n_nearby_purchases"))
+    }),
+
+    // Order-independent whole-table fingerprint: one deterministic integer
+    // hash per row from the key/flag columns (mod-P products — no string
+    // round-trips, no hex parsing), then exact int128 sum + min/max/count.
+    // The anti-entropy check two replicas of a 100 TB table exchange
+    // instead of rows: any row-level divergence moves the sum.
+    "table_checksum" -> ((s, d) => {
+      val P = 1000000007L
+      val h = (
+        (col("l_orderkey") % P) * 131L +
+        (col("l_partkey") % P) * 137L +
+        (col("l_suppkey") % P) * 139L +
+        col("l_linenumber") * 149L +
+        floor(col("l_quantity")) * 151L +
+        ascii(col("l_returnflag")) * 157L +
+        ascii(col("l_linestatus")) * 163L) % P
+      Tables.lineitem(s, d)
+        .select(h.as("h"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Exact.dsum(col("h").cast("double")).as("checksum_sum"),
+          min(col("h")).as("h_min"),
+          max(col("h")).as("h_max"))
+    }),
+
     // HOPPING (sliding) windows: 30-minute windows every 10 minutes —
     // each event lands in 3 overlapping windows via Spark's native
     // window(ts, len, slide) generator; the oracle expands the same 3
@@ -1449,6 +1501,31 @@ SELECT b,
   ${graft.expr.Exact.dsumSql("l_quantity * CAST(w AS DOUBLE)")} / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS boot_mean,
   CAST(SUM(w) AS BIGINT) AS n_eff
 FROM w GROUP BY b""",
+
+    "binned_range_join" -> """
+WITH err AS (
+  SELECT event_id AS error_id, epoch_us(ts) AS et FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS p_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'
+)
+SELECT e.error_id,
+  sum(CASE WHEN p.p_id IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+    AS n_nearby_purchases
+FROM err e LEFT JOIN pur p ON abs(p.pt - e.et) <= 900000000
+GROUP BY e.error_id""",
+
+    "table_checksum" -> s"""
+WITH h AS (
+  SELECT ((l_orderkey % 1000000007) * 131 + (l_partkey % 1000000007) * 137 +
+          (l_suppkey % 1000000007) * 139 + l_linenumber * 149 +
+          CAST(floor(l_quantity) AS BIGINT) * 151 + ascii(l_returnflag) * 157 +
+          ascii(l_linestatus) * 163) % 1000000007 AS h
+  FROM lineitem
+)
+SELECT count(*) AS n_rows,
+  ${graft.expr.Exact.dsumSql("CAST(h AS DOUBLE)")} AS checksum_sum,
+  min(h) AS h_min, max(h) AS h_max
+FROM h""",
 
     "hopping_window_counts" -> """
 WITH h AS (

@@ -147,6 +147,18 @@ class PlanShapeSpec extends SparkSpec {
       s"event_type predicate must prune partitions:\n$p")
   }
 
+  test("binned_range_join decomposes to a hash join, never a nested loop") {
+    val p = plan("binned_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must ride the bucket equi-join, not a BNLJ:\n$p")
+  }
+
+  test("kmeans_step broadcasts the centroid table") {
+    assert(plan("kmeans_step").contains("BroadcastNestedLoopJoin") ||
+      plan("kmeans_step").contains("BroadcastExchange"),
+      "the K-row centroid side must be broadcast, never shuffled")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
