@@ -574,6 +574,94 @@ object Analytics {
           max(col("h")).as("h_max"))
     }),
 
+    // Time-weighted average (TWAP): per user, each observation holds until
+    // the next one (step interpolation), weight = gap millis; both the
+    // value (×1e3) and the weights are exact integers, so the weighted sum
+    // is order-independent BIGINT arithmetic and the single final division
+    // is the only float op. |q·Σdt| ≤ 5.6e5 · 2.6e9 ≈ 1.5e15 — inside both
+    // the long and the exact-double range.
+    "twap_user_value" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+          round(col("value") * lit(1e3), 0).cast("long").as("q"))
+        .withColumn("t_next", lead(col("t"), 1).over(w))
+        .withColumn("dt_ms", expr("(t_next - t) div 1000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dt_ms")).as("span_ms"),
+          sum(col("q") * col("dt_ms")).as("sum_q_ms"))
+        .select(col("user_id"), col("n_events"), col("span_ms"),
+          when(col("span_ms") > 0,
+            col("sum_q_ms").cast("double") / col("span_ms").cast("double") / lit(1e3))
+            .as("twap"))
+    }),
+
+    // OHLC bars: open/high/low/close of event values per 15-minute bucket
+    // — the time-series summarization shape. Open/close are argmin/argmax
+    // by (ts, event_id) via min_by/max_by on a struct (deterministic
+    // composite tie-break, same trick as argmax_order); one grouped pass.
+    "ohlc_bars" -> ((s, d) => {
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+        .select(col("w.start").as("bucket_start"), col("n"),
+          col("open"), col("high"), col("low"), col("close"))
+    }),
+
+    // Rolling volatility: exact windowed standard deviation over the
+    // trailing 10-observation frame per user. The frame sums run on
+    // quantized integers (round(value·1e6) — sum of 10 squares ≤ 3.2e18
+    // stays in BIGINT), so partial order never matters; the variance
+    // combination is a single identical float expression on both engines.
+    "rolling_volatility" -> ((s, d) => {
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      val base = Tables.events(s, d).filter(col("value").isNotNull)
+        .withColumn("q", round(col("value") * lit(1e6), 0).cast("long"))
+        .withColumn("q2", col("q") * col("q"))
+      val n = count(col("q")).over(wf)
+      val sq = sum(col("q")).over(wf)
+      val sq2 = sum(col("q2")).over(wf)
+      base.select(
+          col("event_id"), col("user_id"), col("value"),
+          n.as("n_obs"), sq.as("sum_q"), sq2.as("sum_q2"))
+        .withColumn("roll_std",
+          when(col("n_obs") > 1,
+            sqrt(greatest(lit(0.0),
+              (col("sum_q2").cast("double") -
+                col("sum_q").cast("double") * col("sum_q").cast("double") /
+                  col("n_obs").cast("double")) /
+                (col("n_obs") - 1).cast("double"))) / lit(1e6)))
+        .drop("sum_q", "sum_q2")
+    }),
+
+    // Bucketed co-located join (SMB join): both sides are written
+    // bucketed+sorted on the join key, so the join executes with ZERO
+    // exchanges — the physical-layout contract (S8) that pre-pays the
+    // shuffle once at write time and amortizes it over every subsequent
+    // join, the core trick for repeated 100 TB fact-fact joins. The plan
+    // pin (PlanShapeSpec) asserts no Exchange appears.
+    "bucket_colocated_join" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      Tables.orders(s, d).select("o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").option("path", s"$dir/o")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("graft_bkt_o")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .write.mode("overwrite").option("path", s"$dir/c")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("graft_bkt_c")
+      s.table("graft_bkt_o")
+        .join(s.table("graft_bkt_c"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dsum(col("o_totalprice")).as("revenue"))
+    }),
+
     // HOPPING (sliding) windows: 30-minute windows every 10 minutes —
     // each event lands in 3 overlapping windows via Spark's native
     // window(ts, len, slide) generator; the oracle expands the same 3
@@ -1526,6 +1614,71 @@ SELECT count(*) AS n_rows,
   ${graft.expr.Exact.dsumSql("CAST(h AS DOUBLE)")} AS checksum_sum,
   min(h) AS h_min, max(h) AS h_max
 FROM h""",
+
+    "twap_user_value" -> """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+    CAST(round(value * 1e3, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), l AS (
+  SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t_next
+  FROM e
+), g AS (
+  SELECT user_id, q, (t_next - t) // 1000 AS dt_ms FROM l
+)
+SELECT user_id, count(*) AS n_events,
+  CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+  CASE WHEN CAST(sum(dt_ms) AS BIGINT) > 0
+       THEN CAST(CAST(sum(q * dt_ms) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(sum(dt_ms) AS BIGINT) AS DOUBLE) / 1e3
+  END AS twap
+FROM g GROUP BY user_id""",
+
+    "ohlc_bars" -> """
+WITH e AS (
+  SELECT value, ts, event_id,
+    make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket_start
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY bucket_start ORDER BY ts, event_id) AS ro,
+    row_number() OVER (PARTITION BY bucket_start ORDER BY ts DESC, event_id DESC) AS rc
+  FROM e
+)
+SELECT bucket_start, count(*) AS n,
+  MAX(CASE WHEN ro = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rc = 1 THEN value END) AS close
+FROM r GROUP BY bucket_start""",
+
+    "rolling_volatility" -> """
+WITH b AS (
+  SELECT event_id, user_id, value, ts,
+    CAST(round(value * 1e6, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT event_id, user_id, value,
+    CAST(count(q) OVER fr AS BIGINT) AS n_obs,
+    CAST(sum(q) OVER fr AS BIGINT) AS sum_q,
+    CAST(sum(q * q) OVER fr AS BIGINT) AS sum_q2
+  FROM b
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value, n_obs,
+  CASE WHEN n_obs > 1 THEN
+    sqrt(greatest(0.0,
+      (CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+        / CAST(n_obs AS DOUBLE)) / CAST(n_obs - 1 AS DOUBLE))) / 1e6
+  END AS roll_std
+FROM w""",
+
+    "bucket_colocated_join" -> s"""
+SELECT c.c_nationkey, count(*) AS n_orders,
+  ${graft.expr.Exact.dsumSql("o.o_totalprice")} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey""",
 
     "hopping_window_counts" -> """
 WITH h AS (

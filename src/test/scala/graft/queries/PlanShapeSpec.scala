@@ -159,6 +159,15 @@ class PlanShapeSpec extends SparkSpec {
       "the K-row centroid side must be broadcast, never shuffled")
   }
 
+  test("bucket_colocated_join: the join itself is exchange-free (SMB)") {
+    val p = plan("bucket_colocated_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"bucketed join must not shuffle either side (only the post-join agg may):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
