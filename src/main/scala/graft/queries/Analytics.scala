@@ -376,6 +376,127 @@ object Analytics {
       s.table(name).groupBy("user_id").agg(max(col("events")).as("n_events"))
     }),
 
+    // foreachBatch incremental upsert through the ACTUAL engine: the
+    // source is split into 4 files, streamed one file per micro-batch
+    // (Trigger.AvailableNow + maxFilesPerTrigger), and every micro-batch
+    // MERGES its partial aggregate into a persisted state table — the
+    // reference's foreachBatch model-chain cadence (T1/T3/T6) as a gate
+    // query. State carries QUANTIZED integer sums, so merging partials
+    // across any batch order is exact and equals the one-shot batch
+    // aggregate the oracle computes.
+    "stream_exec_upsert" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * lit(1e6), 0).cast("long").as("q"))
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/src")
+      val src = s.readStream
+        .schema("event_id BIGINT, event_type STRING, q BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      @volatile var stateDir: Option[String] = None
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val partial = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"), sum(col("q")).as("sum_q"))
+          val merged = stateDir match {
+            case None => partial
+            case Some(prev) =>
+              s.read.parquet(prev).unionByName(partial)
+                .groupBy("event_type")
+                .agg(sum(col("n_events")).as("n_events"), sum(col("sum_q")).as("sum_q"))
+          }
+          val next = s"$tmp/state_$id"
+          merged.write.mode("overwrite").parquet(next)
+          stateDir = Some(next)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(stateDir.get)
+        .select(col("event_type"), col("n_events"),
+          (col("sum_q").cast("double") / lit(1e6)).as("value_sum"))
+    }),
+
+    // Distribution-drift report: total-variation distance components of
+    // the event-type mix, first week vs the rest. Counts are exact; the
+    // per-type |p−q| is quantized so downstream sums stay integer-exact —
+    // the drift screen that replaces PSI when cross-engine ln() parity
+    // cannot be guaranteed.
+    "drift_tvd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = ev.agg((min(unix_micros(col("ts"))) +
+        lit(7L * 86400000000L)).as("cutoff"))
+      val cells = ev.crossJoin(broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+          Exact.cntIf(unix_micros(col("ts")) < col("cutoff")).as("n_base"),
+          Exact.cntIf(unix_micros(col("ts")) >= col("cutoff")).as("n_cur"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("p_base",
+          col("n_base").cast("double") / sum(col("n_base")).over(wAll).cast("double"))
+        .withColumn("p_cur",
+          col("n_cur").cast("double") / sum(col("n_cur")).over(wAll).cast("double"))
+        .select(col("event_type"), col("n_base"), col("n_cur"),
+          col("p_base"), col("p_cur"),
+          round(abs(col("p_base") - col("p_cur")) * lit(1e9), 0).cast("long")
+            .as("absdev_q"))
+    }),
+
+    // Secondary sort (repartition + sortWithinPartitions + one ordered
+    // mapPartitions pass): per-user gap statistics computed from a single
+    // forward scan over key-contiguous, time-ordered rows — the classic
+    // MapReduce secondary-sort idiom for ordered per-key processing
+    // without a window operator's buffer. Equal results to the lag-window
+    // oracle prove the run boundaries are handled exactly.
+    "delta_encode_ts" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("t"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var user = Long.MinValue
+          var prevT = 0L; var n = 0L; var maxGap = 0L; var big = 0L
+          def flush(): Unit =
+            if (n > 0) out += ((user, n, maxGap, big))
+          it.foreach { case (u, t, _) =>
+            if (u != user) { flush(); user = u; n = 0L; maxGap = 0L; big = 0L }
+            else {
+              val gap = t - prevT
+              if (gap > maxGap) maxGap = gap
+              if (gap > 3600000000L) big += 1
+            }
+            prevT = t; n += 1
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("user_id", "n_events", "max_gap_us", "n_gaps_gt_1h")
+    }),
+
+    // Format-transparent union: the same rows written as JSON-lines and
+    // ORC, read back, and unioned with the parquet original (S2/alt-format
+    // sources as a checked query, not only a SinksSpec round-trip) —
+    // counts per type must triple.
+    "multi_format_union" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      val base = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      base.write.mode("overwrite").json(s"$tmp/j")
+      base.write.mode("overwrite").orc(s"$tmp/o")
+      base
+        .unionByName(s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+          .json(s"$tmp/j"))
+        .unionByName(s.read.orc(s"$tmp/o"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_distinct"))
+    }),
+
     // regexp_extract_all / regexp_count / regexp_like breadth. The corpus
     // has no digits by construction, so deterministic numeric spans are
     // injected from doc_id first (same convention as pii_redact) — the
@@ -1573,6 +1694,50 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    "stream_exec_upsert" -> """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6
+    AS value_sum
+FROM events GROUP BY event_type""",
+
+    "drift_tvd" -> """
+WITH c AS (
+  SELECT min(epoch_us(ts)) + 604800000000 AS cutoff FROM events
+), cells AS (
+  SELECT event_type,
+    sum(CASE WHEN epoch_us(ts) < (SELECT cutoff FROM c)
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_base,
+    sum(CASE WHEN epoch_us(ts) >= (SELECT cutoff FROM c)
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_cur
+  FROM events GROUP BY event_type
+), p AS (
+  SELECT event_type, n_base, n_cur,
+    CAST(n_base AS DOUBLE) / CAST(sum(n_base) OVER () AS DOUBLE) AS p_base,
+    CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE) AS p_cur
+  FROM cells
+)
+SELECT event_type, n_base, n_cur, p_base, p_cur,
+  CAST(round(abs(p_base - p_cur) * 1e9, 0) AS BIGINT) AS absdev_q
+FROM p""",
+
+    "delta_encode_ts" -> """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+  coalesce(max(gap), 0) AS max_gap_us,
+  sum(CASE WHEN gap > 3600000000 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+    AS n_gaps_gt_1h
+FROM g GROUP BY user_id""",
+
+    "multi_format_union" -> """
+SELECT event_type, count(*) * 3 AS n,
+  count(DISTINCT event_id) AS n_distinct
+FROM events GROUP BY event_type""",
 
     "bootstrap_means" -> s"""
 WITH r AS (
