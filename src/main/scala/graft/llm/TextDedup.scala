@@ -232,6 +232,33 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
           col("n_shared"), col("containment"))
     }),
 
+    // INCREMENTAL dedup: today's ingest batch (deterministic 20% of docs,
+    // the hash_split "new" bucket) checked against the EXISTING corpus and
+    // itself — old×old pairs are never generated, so daily dedup cost is
+    // proportional to the batch, not the corpus: the inverted gram index
+    // keeps the full corpus on the build side while the probe side carries
+    // only new docs. Output: for each new doc, its duplicate partners.
+    "dedup_incremental" -> ((s, d) => {
+      val grams = gramSets(s, d)
+      val isNew = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
+      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      val probe = flat.filter(isNew).select(col("doc_id").as("d2"), col("g"))
+      val shared = flat.select(col("doc_id").as("d1"), col("g"))
+        .join(probe, "g")
+        .filter(col("d1") =!= col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).cast("int").as("n_shared"))
+      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+      shared
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / (col("n1") + col("n2") - col("n_shared")).cast("double"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("d2").as("new_doc"), col("d1").as("partner_doc"),
+          col("n_shared"), col("jaccard"))
+    }),
+
     // MinHash-LSH near-dup: banded signatures → bucket join → exact verify.
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
     "dedup_minhash" -> ((s, d) => {
@@ -301,6 +328,23 @@ SELECT sha256(array_to_string(${Text.tokensSql("text")}, ' ')) AS fingerprint,
   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
 FROM documents GROUP BY 1""",
     "dedup_jaccard" -> jaccardPairsSql,
+    "dedup_incremental" -> s"""
+WITH ng AS (
+  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
+  FROM flat a
+  JOIN flat b ON a.g = b.g AND a.doc_id <> b.doc_id
+  WHERE ((b.doc_id * 1103515245 + 12345) % 2147483647) % 100 >= 80
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d2 AS new_doc, d1 AS partner_doc, n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $JaccardThreshold""",
     "dedup_containment" -> s"""
 WITH ng AS (
   SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents

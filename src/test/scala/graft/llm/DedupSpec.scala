@@ -50,4 +50,18 @@ class DedupSpec extends SparkSpec {
     val j = TextDedup.queries("dedup_jaccard")(spark, sf)
     assert(j.filter(col("jaccard") < 0.5).count() === 0)
   }
+
+  test("incremental dedup = full pair set restricted to new-bucket partners") {
+    def isNew(id: Long): Boolean = ((id * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
+    val inc = TextDedup.queries("dedup_incremental")(spark, sf)
+      .select("new_doc", "partner_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.forall { case (n, _) => isNew(n) })
+    // full symmetric jaccard pairs, re-keyed to (new, partner) form
+    val full = pairsOf("dedup_jaccard").flatMap { case (a, b) =>
+      Seq(if (isNew(b)) Some((b, a)) else None,
+        if (isNew(a)) Some((a, b)) else None).flatten
+    }.toSet
+    assert(inc === full)
+  }
 }
