@@ -127,8 +127,13 @@ object TextAnalysis {
     // BPE-style tokenizer-training iteration: explode ordered bigrams, one
     // hash aggregation, keep pairs seen more than once.
     "token_bigrams" -> ((s, d) => {
-      val toks = T
+      // tokens materialized ONCE per row: with the tokenizer expression
+      // inlined inside the transform lambda, the interpreted HOF re-ran
+      // lower+split+filter for every element_at (measured 2.4s vs 0.5s at
+      // sf0.1)
+      val toks = col("toks")
       Tables.documents(s, d)
+        .withColumn("toks", T)
         .select(explode(
           when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1),
