@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -781,6 +781,59 @@ object Analytics {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
           Exact.dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // Numeric data profile: the five-point quantile grid for three numeric
+    // columns in ONE aggregation pass (15 exact percentile aggregates),
+    // unpivoted to (column, quantile, value) rows — the profiling report a
+    // pipeline emits per snapshot for drift dashboards.
+    "numeric_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+      val aggs = for { c <- cols; (p, i) <- qs.zipWithIndex } yield
+        expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY $c)").as(s"${c}_q$i")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((for { c <- cols; (p, i) <- qs.zipWithIndex } yield
+          struct(lit(c).as("column_name"), lit(p).as("quantile"),
+            col(s"${c}_q$i").as("value"))): _*)).as("x"))
+        .select(col("x.column_name").as("column_name"),
+          col("x.quantile").as("quantile"), col("x.value").as("value"))
+    }),
+
+    // Snapshot reconciliation: diff two versions of the events table by
+    // key + full-row hash — unchanged / modified / deleted / added counts
+    // from ONE full-outer join on the key (the anti-entropy companion of
+    // table_checksum: the checksum says "something diverged", the diff
+    // says what). The "new" snapshot is a deterministic mutation: rows of
+    // user_id%13==0 deleted, values of user_id%17==0 shifted, and the
+    // rows with event_id < 100 re-keyed past max_id and appended.
+    "snapshot_diff" -> ((s, d) => {
+      val P = 1000000007L
+      def rowHash(vq: Column) =
+        ((col("user_id") % P) * 131L + (col("event_type_h")) * 137L + vq * 139L) % P
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          ascii(col("event_type")).cast("long").as("event_type_h"),
+          round(col("value") * lit(1e6), 0).cast("long").as("vq"))
+      val maxId = base.agg(max(col("event_id")).as("max_id"))
+      val newSnap = base
+        .filter(col("user_id") % 13 =!= 0)
+        .withColumn("vq",
+          when(col("user_id") % 17 === 0, col("vq") + 1000000L).otherwise(col("vq")))
+        .unionByName(base.filter(col("event_id") < 100)
+          .crossJoin(broadcast(maxId))
+          .select((col("max_id") + col("event_id") + 1).as("event_id"),
+            col("user_id"), col("event_type_h"), col("vq")))
+      val b = base.select(col("event_id"), rowHash(col("vq")).as("h_old"))
+      val n = newSnap.select(col("event_id"), rowHash(col("vq")).as("h_new"))
+      b.join(n, Seq("event_id"), "full_outer")
+        .select(
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "deleted")
+            .when(col("h_old") === col("h_new"), "unchanged")
+            .otherwise("modified").as("change"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
     }),
 
     // HOPPING (sliding) windows: 30-minute windows every 10 minutes —
@@ -1779,6 +1832,46 @@ SELECT count(*) AS n_rows,
   ${graft.expr.Exact.dsumSql("CAST(h AS DOUBLE)")} AS checksum_sum,
   min(h) AS h_min, max(h) AS h_max
 FROM h""",
+
+    "numeric_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+      (for { c <- cols; p <- qs } yield
+        s"SELECT '$c' AS column_name, CAST($p AS DOUBLE) AS quantile, " +
+          s"quantile_cont($c, $p) AS value FROM lineitem")
+        .mkString("\nUNION ALL\n")
+    },
+
+    "snapshot_diff" -> """
+WITH base AS (
+  SELECT event_id, user_id,
+    CAST(ascii(event_type) AS BIGINT) AS eth,
+    CAST(round(value * 1e6, 0) AS BIGINT) AS vq
+  FROM events
+), mx AS (SELECT max(event_id) AS max_id FROM base),
+newsnap AS (
+  SELECT event_id, user_id, eth,
+    CASE WHEN user_id % 17 = 0 THEN vq + 1000000 ELSE vq END AS vq
+  FROM base WHERE user_id % 13 <> 0
+  UNION ALL
+  SELECT (SELECT max_id FROM mx) + event_id + 1, user_id, eth, vq
+  FROM base WHERE event_id < 100
+), b AS (
+  SELECT event_id,
+    ((user_id % 1000000007) * 131 + eth * 137 + vq * 139) % 1000000007 AS h_old
+  FROM base
+), n AS (
+  SELECT event_id,
+    ((user_id % 1000000007) * 131 + eth * 137 + vq * 139) % 1000000007 AS h_new
+  FROM newsnap
+)
+SELECT CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'deleted'
+            WHEN h_old = h_new THEN 'unchanged'
+            ELSE 'modified' END AS change,
+  count(*) AS n
+FROM b FULL OUTER JOIN n USING (event_id)
+GROUP BY 1""",
 
     "twap_user_value" -> """
 WITH e AS (
