@@ -784,21 +784,27 @@ object Analytics {
     }),
 
     // Numeric data profile: the five-point quantile grid for three numeric
-    // columns in ONE aggregation pass (15 exact percentile aggregates),
-    // unpivoted to (column, quantile, value) rows — the profiling report a
-    // pipeline emits per snapshot for drift dashboards.
+    // columns, unpivoted to (column, quantile, value) rows — the profiling
+    // report a pipeline emits per snapshot for drift dashboards. ONE
+    // array-percentile aggregate per column (a 5-quantile list shares one
+    // value buffer; five separate percentile_cont aggregates buffered the
+    // column five times — measured 7.0s vs 1.9s at sf0.1). The oracle
+    // mirrors Spark's Percentile interpolation (higher−pos)·lo +
+    // (pos−lower)·hi on a sorted list, term for term.
     "numeric_profile" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
-      val aggs = for { c <- cols; (p, i) <- qs.zipWithIndex } yield
-        expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY $c)").as(s"${c}_q$i")
+      val qsSql = qs.mkString("array(", ", ", ")")
+      val aggs = cols.map(c => expr(s"percentile($c, $qsSql)").as(s"${c}_qs"))
       Tables.lineitem(s, d)
         .agg(aggs.head, aggs.tail: _*)
-        .select(explode(array((for { c <- cols; (p, i) <- qs.zipWithIndex } yield
-          struct(lit(c).as("column_name"), lit(p).as("quantile"),
-            col(s"${c}_q$i").as("value"))): _*)).as("x"))
-        .select(col("x.column_name").as("column_name"),
-          col("x.quantile").as("quantile"), col("x.value").as("value"))
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("cn"), col(s"${c}_qs").as("vs"))): _*)).as("x"))
+        .select(col("x.cn").as("column_name"),
+          posexplode(col("x.vs")).as(Seq("qi", "value")))
+        .select(col("column_name"),
+          element_at(array(qs.map(lit): _*), col("qi") + 1).as("quantile"),
+          col("value"))
     }),
 
     // Snapshot reconciliation: diff two versions of the events table by
@@ -1836,10 +1842,22 @@ FROM h""",
     "numeric_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
-      (for { c <- cols; p <- qs } yield
-        s"SELECT '$c' AS column_name, CAST($p AS DOUBLE) AS quantile, " +
-          s"quantile_cont($c, $p) AS value FROM lineitem")
-        .mkString("\nUNION ALL\n")
+      val ctes = cols.map(c =>
+        s"s_$c AS (SELECT list_sort(list($c)) AS l, count(*) AS n FROM lineitem)")
+        .mkString(",\n")
+      val selects = for { c <- cols; p <- qs } yield {
+        val pos = s"((n - 1) * CAST($p AS DOUBLE))"
+        s"""SELECT '$c' AS column_name, CAST($p AS DOUBLE) AS quantile,
+  CASE WHEN CAST(ceil($pos) AS BIGINT) = CAST(floor($pos) AS BIGINT)
+       THEN l[CAST(floor($pos) AS BIGINT) + 1]
+       ELSE (CAST(ceil($pos) AS BIGINT) - $pos)
+              * l[CAST(floor($pos) AS BIGINT) + 1]
+            + ($pos - CAST(floor($pos) AS BIGINT))
+              * l[CAST(ceil($pos) AS BIGINT) + 1]
+  END AS value
+FROM s_$c"""
+      }
+      s"WITH $ctes\n" + selects.mkString("\nUNION ALL\n")
     },
 
     "snapshot_diff" -> """
