@@ -87,6 +87,26 @@ object Similarity {
       rankTopK(scored, TopK)
     }),
 
+    // Label-partitioned exact top-k: the same scoring kernel, but the
+    // candidate set is pruned to the query's namespace (label) — the
+    // cross join becomes an EQUI-join on the partition key, cutting the
+    // scored pairs by the partition count. This is how production vector
+    // search scales before ANN even enters: tenant/namespace partitioning
+    // of the index, exact within the partition.
+    "ann_partitioned_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("label").as("c_label"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val scored = q.join(c,
+          col("label") === col("c_label") && col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      rankTopK(scored, TopK)
+    }),
+
     // Typed-Aggregator UDAF: decimal-exact element-wise centroid per label
     // (see graft.expr.VectorCentroid for the merge-order argument).
     // The centroid vector is unpivoted to (label, dim, x) scalar rows for
@@ -160,6 +180,21 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
   FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= $TopK""",
+
+    "ann_partitioned_topk" -> s"""
+WITH e AS (
+  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c
+    ON q.vec_id % 50 = 0 AND q.label = c.label AND q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -842,6 +842,27 @@ object Analytics {
         .groupBy("change").agg(count(lit(1)).as("n"))
     }),
 
+    // Time-decayed engagement score: each event's value halves per day of
+    // age (weight 2^-age_days). Powers of two are EXACT double scalings,
+    // so the weighted values are bit-identical on both engines without any
+    // exp()/pow() library parity concern, and the decayed sum runs on the
+    // exact int128 aggregate. The recency-weighting shape behind
+    // engagement/freshness features.
+    "decayed_user_score" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("max_t"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_days",
+          expr("(max_t - unix_micros(ts)) div 86400000000").cast("int"))
+        .withColumn("w",
+          lit(1.0) / expr("shiftleft(cast(1 as bigint), age_days)").cast("double"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          Exact.dsum(col("value") * col("w")).as("decayed_score"),
+          max(col("age_days")).as("oldest_age_days"))
+    }),
+
     // HOPPING (sliding) windows: 30-minute windows every 10 minutes —
     // each event lands in 3 overlapping windows via Spark's native
     // window(ts, len, slide) generator; the oracle expands the same 3
@@ -1890,6 +1911,21 @@ SELECT CASE WHEN h_old IS NULL THEN 'added'
   count(*) AS n
 FROM b FULL OUTER JOIN n USING (event_id)
 GROUP BY 1""",
+
+    "decayed_user_score" -> s"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS max_t FROM events),
+w AS (
+  SELECT user_id, value,
+    CAST((mx.max_t - epoch_us(ts)) // 86400000000 AS INT) AS age_days,
+    CAST(1.0 AS DOUBLE)
+      / CAST((CAST(1 AS BIGINT) << CAST((mx.max_t - epoch_us(ts)) // 86400000000 AS INT)) AS DOUBLE)
+      AS wgt
+  FROM events, mx WHERE value IS NOT NULL
+)
+SELECT user_id, count(*) AS n_events,
+  ${graft.expr.Exact.dsumSql("value * wgt")} AS decayed_score,
+  max(age_days) AS oldest_age_days
+FROM w GROUP BY user_id""",
 
     "twap_user_value" -> """
 WITH e AS (

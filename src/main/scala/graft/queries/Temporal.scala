@@ -292,7 +292,57 @@ SELECT user_id, count(*) AS n_islands,
   sum(isl_end - isl_start) AS covered_us
 FROM merged GROUP BY user_id"""
 
+  /** Session-relative features per EVENT (the row-level companion of
+    * [[sessionize]]'s per-session aggregate): session index, ordinal
+    * position within the session, and seconds since session start — the
+    * classic behavioral-feature triple. Same boundary construction, one
+    * extra window per feature, all within the single user_id shuffle. */
+  def sessionFeatures(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 6L * 3600 * 1000000
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIdx = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(wRun))
+    val wSess = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("ts"), col("event_id"))
+    val wSessAll = Window.partitionBy("user_id", "session_idx")
+    withIdx.select(
+      col("event_id"), col("user_id"), col("session_idx"),
+      row_number().over(wSess).as("pos_in_session"),
+      ((unix_micros(col("ts")) - min(unix_micros(col("ts"))).over(wSessAll))
+        .cast("double") / lit(1e6)).as("secs_since_start"))
+  }
+
+  val sessionFeaturesSql: String = """
+WITH g AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+b AS (
+  SELECT *,
+    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+  FROM g
+),
+sess AS (
+  SELECT *,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM b
+)
+SELECT event_id, user_id, session_idx,
+  CAST(row_number() OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id) AS INT)
+    AS pos_in_session,
+  CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id, session_idx) AS DOUBLE)
+    / CAST(1e6 AS DOUBLE) AS secs_since_start
+FROM sess"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_features"   -> ((s, d) => sessionFeatures(s, d)),
     "asof_join_purchase" -> ((s, d) => asofLastPurchase(s, d)),
     "asof_next_purchase" -> ((s, d) => asofNextPurchase(s, d)),
     "sessionize_events"  -> ((s, d) => sessionize(s, d)),
@@ -301,6 +351,7 @@ FROM merged GROUP BY user_id"""
   )
 
   def oracles: Map[String, String] = Map(
+    "session_features"   -> sessionFeaturesSql,
     "asof_join_purchase" -> asofSql,
     "asof_next_purchase" -> asofForwardSql,
     "sessionize_events"  -> sessionizeSql,
