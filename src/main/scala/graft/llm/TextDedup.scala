@@ -259,6 +259,40 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
           col("n_shared"), col("jaccard"))
     }),
 
+    // Duplication-rate report per source: exact-hash distinct texts vs
+    // total docs — the per-shard health metric a curation pipeline tracks
+    // over time (a rising dup ratio flags a crawler gone circular). One
+    // grouped pass; ratio quantized for the exact compare.
+    "dup_rate_by_source" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"))
+        .withColumn("dup_ratio_q",
+          round((lit(1.0) - col("n_distinct_texts").cast("double") /
+            col("n_docs").cast("double")) * lit(1e9), 0).cast("long"))
+    }),
+
+    // Cross-source overlap matrix: how many shared-boilerplate pairs
+    // (identical 40-char text prefix) span each (source_a < source_b)
+    // pair — the contamination/provenance report behind "which crawls
+    // copied from each other". Join on the prefix fingerprint
+    // (inverted-index shape), never doc×doc; exact full-text dups are
+    // within-source in this corpus, so the prefix is the cross-source
+    // signal.
+    "source_overlap_matrix" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 40).as("th"))
+      val a = h.select(col("th"), col("source").as("source_a"), col("doc_id").as("da"))
+      val b = h.select(col("th"), col("source").as("source_b"), col("doc_id").as("db"))
+      a.join(b, "th")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("th")).as("n_shared_texts"))
+    }),
+
     // MinHash-LSH near-dup: banded signatures → bucket join → exact verify.
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
     "dedup_minhash" -> ((s, d) => {
@@ -328,6 +362,19 @@ SELECT sha256(array_to_string(${Text.tokensSql("text")}, ' ')) AS fingerprint,
   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
 FROM documents GROUP BY 1""",
     "dedup_jaccard" -> jaccardPairsSql,
+    "dup_rate_by_source" -> """
+SELECT source, count(*) AS n_docs,
+  count(DISTINCT sha256(text)) AS n_distinct_texts,
+  CAST(round((1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS dup_ratio_q
+FROM documents GROUP BY source""",
+    "source_overlap_matrix" -> """
+WITH h AS (SELECT doc_id, source, substring(text, 1, 40) AS th FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+  count(*) AS n_dup_pairs,
+  count(DISTINCT a.th) AS n_shared_texts
+FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+GROUP BY a.source, b.source""",
     "dedup_incremental" -> s"""
 WITH ng AS (
   SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents

@@ -61,6 +61,23 @@ object TrainPrep {
           col("anchor_lang"), col("neg_lang"))
     }),
 
+    // SFT pair assembly: consecutive docs per source become
+    // (prompt, completion) examples — the instruction-tuning data-prep
+    // shape (pair construction is a lead() window inside one source
+    // shard, never a driver loop). Texts are clipped to keep example
+    // rows bounded.
+    "sft_pairs" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          substring(col("text"), 1, 80).as("clip"))
+        .withColumn("completion_doc_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("completion", lead(col("clip"), 1).over(w))
+        .filter(col("completion_doc_id").isNotNull)
+        .select(col("source"), col("doc_id").as("prompt_doc_id"),
+          col("completion_doc_id"), col("clip").as("prompt"), col("completion"))
+    }),
+
     "hash_split" -> ((s, d) => {
       val pct = hashOf(col("doc_id")) % 100L
       Tables.documents(s, d).select(
@@ -110,6 +127,19 @@ object TrainPrep {
   def oracles: Map[String, String] = {
     val h = hashSql("doc_id")
     Map(
+      "sft_pairs" -> """
+WITH c AS (
+  SELECT source, doc_id, substring(text, 1, 80) AS clip FROM documents
+), l AS (
+  SELECT source, doc_id AS prompt_doc_id,
+    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS completion_doc_id,
+    clip AS prompt,
+    lead(clip) OVER (PARTITION BY source ORDER BY doc_id) AS completion
+  FROM c
+)
+SELECT source, prompt_doc_id, completion_doc_id, prompt, completion
+FROM l WHERE completion_doc_id IS NOT NULL""",
+
       "negative_samples" -> """
 WITH n AS (SELECT count(*) AS n_docs FROM documents),
 anchors AS (
