@@ -1786,10 +1786,10 @@ WITH c AS (
   SELECT min(epoch_us(ts)) + 604800000000 AS cutoff FROM events
 ), cells AS (
   SELECT event_type,
-    sum(CASE WHEN epoch_us(ts) < (SELECT cutoff FROM c)
-             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_base,
-    sum(CASE WHEN epoch_us(ts) >= (SELECT cutoff FROM c)
-             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_cur
+    CAST(sum(CASE WHEN epoch_us(ts) < (SELECT cutoff FROM c)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+    CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT cutoff FROM c)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
   FROM events GROUP BY event_type
 ), p AS (
   SELECT event_type, n_base, n_cur,
@@ -1810,7 +1810,7 @@ WITH g AS (
 )
 SELECT user_id, count(*) AS n_events,
   coalesce(max(gap), 0) AS max_gap_us,
-  sum(CASE WHEN gap > 3600000000 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+  CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_gaps_gt_1h
 FROM g GROUP BY user_id""",
 
@@ -1842,7 +1842,7 @@ WITH err AS (
   SELECT event_id AS p_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'
 )
 SELECT e.error_id,
-  sum(CASE WHEN p.p_id IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+  CAST(sum(CASE WHEN p.p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_nearby_purchases
 FROM err e LEFT JOIN pur p ON abs(p.pt - e.et) <= 900000000
 GROUP BY e.error_id""",

@@ -507,7 +507,7 @@ SELECT o_orderstatus AS flag FROM orders""",
 
     "json_roundtrip" -> """
 SELECT event_id,
-  to_json(struct_pack(event_type := event_type, user_id := user_id)) AS j,
+  CAST(to_json(struct_pack(event_type := event_type, user_id := user_id)) AS VARCHAR) AS j,
   CAST(json_extract_string(to_json(struct_pack(event_type := event_type, user_id := user_id)), '$.user_id') AS BIGINT) AS user_back
 FROM events""",
 

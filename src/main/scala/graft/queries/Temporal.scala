@@ -236,8 +236,8 @@ WITH deltas AS (
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
   FROM deltas
 )
-SELECT user_id, max(open) AS max_concurrent,
-  sum(CASE WHEN delta = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_intervals
+SELECT user_id, CAST(max(open) AS BIGINT) AS max_concurrent,
+  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
 FROM running GROUP BY user_id"""
 
   /** Merged-interval coverage: the gaps-and-islands merge of overlapping
@@ -289,7 +289,7 @@ WITH iv AS (
   FROM isl GROUP BY user_id, island
 )
 SELECT user_id, count(*) AS n_islands,
-  sum(isl_end - isl_start) AS covered_us
+  CAST(sum(isl_end - isl_start) AS BIGINT) AS covered_us
 FROM merged GROUP BY user_id"""
 
   /** Session-relative features per EVENT (the row-level companion of

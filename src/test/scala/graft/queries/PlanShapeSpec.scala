@@ -168,6 +168,17 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("cosine_neardup is a distributed broadcast triangle join — no driver collect") {
+    val p = plan("cosine_neardup")
+    assert(!p.contains("LocalTableScan"),
+      s"vectors must come from the parquet scan, never a driver-collected local relation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the triangle condition id_a < id_b must ride a broadcast nested loop:\n$p")
+    assert(p.contains("graft_dot"), "scoring must use the native codegen dot kernel")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"both join sides must stream from the embeddings file scan:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),

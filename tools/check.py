@@ -65,6 +65,18 @@ def main():
             print(f"FAIL {name}: columns differ\n  spark : {sorted(s_cols)}\n  oracle: {sorted(o_cols)}")
             failures += 1
             continue
+        # Dtype parity: a DuckDB integer sum() returns HUGEINT (int128) where
+        # Spark emits BIGINT — values compare equal here but the driver's hash
+        # includes the dtype, so any drift must fail locally too.
+        s_types = {c.lower(): str(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+        o_types = {c.lower(): str(t) for c, t in zip(o_rel.columns, o_rel.types)}
+        mism = {c: (s_types[c], o_types[c]) for c in sorted(s_types)
+                if s_types[c] != o_types.get(c)}
+        if mism:
+            lines = "\n".join(f"  col={c}: spark={a} oracle={b}" for c, (a, b) in mism.items())
+            print(f"FAIL {name}: dtypes differ\n{lines}")
+            failures += 1
+            continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
             failures += 1
