@@ -98,8 +98,8 @@ object SparkEntry {
       TextAnalysis.queries ++ TextDedup.queries ++ LangModel.queries ++
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       KMeans.queries ++
-      Similarity.queries ++ Similarity.noOracleQueries ++
-      IvfAnn.noOracleQueries ++ Multimodal.queries
+      Similarity.queries ++ Similarity.lshQueries ++
+      IvfAnn.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -111,5 +111,6 @@ object SparkEntry {
       CorpusClean.oracles ++
       CorpusQuality.oracles ++ TrainPrep.oracles ++
       KMeans.oracles ++
-      Similarity.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ Similarity.lshOracles ++ IvfAnn.oracles ++
+      Multimodal.oracles
 }

@@ -89,10 +89,14 @@ object IvfAnn {
   def annIvfTopK(s: SparkSession, d: String, k: Int = Similarity.TopK): DataFrame = {
     val n = Tables.embeddings(s, d).count()
     val stride = math.max(1L, n / TrainSampleCap)
+    // sorted by vec_id so the trainer's double-sum accumulation order is
+    // deterministic (collect() order is partition order, not a contract) —
+    // this is what lets the DuckDB oracle replicate the fold exactly via
+    // list(... ORDER BY vec_id)
     val sample = Tables.embeddings(s, d).select("vec_id", "embedding")
       .filter(col("vec_id") % stride === 0)
       .as[(Long, Array[Float])](org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
-      .collect()
+      .collect().sortBy(_._1)
     val centroids = trainCentroids(sample)
     val dot = graft.expr.VectorExpressions.dotF _
     // norms precomputed once per SIDE (|vectors| + |queries| array passes),
@@ -123,7 +127,104 @@ object IvfAnn {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> ((s, d) => annIvfTopK(s, d))
   )
+
+  /** Left-fold dot product of two float lists, identical to
+    * [[Similarity.dotJvm]] / [[graft.expr.DotProductFloat]]: per-element
+    * float→double casts, index order, 0.0 seed. */
+  private def dotSqlL(a: String, b: String): String =
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, 64), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** One unrolled Lloyd iteration: assignment by max cosine against the
+    * previous centroids (ties → lowest cell, matching the trainer's
+    * first-wins argmax), per-(cell,dim) double sums folded in vec_id order
+    * (the trainer iterates the vec_id-sorted sample), then the spherical
+    * re-normalization with the same fold and the same double→float32
+    * rounding; empty cells keep the previous centroid. */
+  private def iterSql(t: Int): String = {
+    val prev = s"cent${t - 1}"
+    s"""sim$t AS (
+  SELECT s.vec_id, c.cell,
+    ${dotSqlL("c.emb", "s.embedding")} / sqrt(${dotSqlL("c.emb", "c.emb")}) AS sim
+  FROM samp s CROSS JOIN $prev c
+), best$t AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM sim$t) WHERE rn = 1
+), sums$t AS (
+  SELECT b.cell, g.i,
+    list_reduce([CAST(0.0 AS DOUBLE)] ||
+      list(CAST(s.embedding[g.i] AS DOUBLE) ORDER BY s.vec_id), (x, y) -> x + y) AS sv
+  FROM samp s JOIN best$t b USING (vec_id), generate_series(1, 64) AS g(i)
+  GROUP BY b.cell, g.i
+), norm$t AS (
+  SELECT cell,
+    sqrt(list_reduce([CAST(0.0 AS DOUBLE)] || list(sv * sv ORDER BY i), (x, y) -> x + y)) AS nrm
+  FROM sums$t GROUP BY cell
+), cent$t AS (
+  SELECT p.cell, COALESCE(nc.emb, p.emb) AS emb
+  FROM $prev p LEFT JOIN (
+    SELECT s.cell,
+      list(CASE WHEN n.nrm > 0 THEN CAST(s.sv / n.nrm AS FLOAT)
+                ELSE CAST(0.0 AS FLOAT) END ORDER BY s.i) AS emb
+    FROM sums$t s JOIN norm$t n USING (cell)
+    GROUP BY s.cell
+  ) nc ON p.cell = nc.cell
+)"""
+  }
+
+  /** Full IVF oracle: the quantizer training is seeded and (now)
+    * order-deterministic, so the whole pipeline — stride sample, K-lowest
+    * init, $Iterations Lloyd iterations, top-1 cell assignment, NProbe
+    * probing, in-cell scoring, per-pair dedup, top-k — replays in DuckDB
+    * bit-for-bit. No rows-only check needed. */
+  def oracles: Map[String, String] = {
+    val iters = (1 to Iterations).map(iterSql).mkString(",\n")
+    Map("ann_ivf_topk" -> s"""
+WITH params AS (
+  SELECT greatest(1, (SELECT count(*) FROM embeddings) // $TrainSampleCap) AS stride
+), samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % (SELECT stride FROM params) = 0
+), cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS emb
+  FROM samp ORDER BY vec_id LIMIT $K
+),
+$iters,
+enorm AS (
+  SELECT vec_id, embedding, sqrt(${dotSqlL("embedding", "embedding")}) AS nrm FROM embeddings
+), fcent AS (
+  SELECT cell, emb, sqrt(${dotSqlL("emb", "emb")}) AS cnrm FROM cent$Iterations
+), asim AS (
+  SELECT e.vec_id, f.cell,
+    ${dotSqlL("f.emb", "e.embedding")} / (f.cnrm * e.nrm) AS sim
+  FROM enorm e CROSS JOIN fcent f
+), cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM asim WHERE vec_id % 50 = 0) WHERE rn <= $NProbe
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    max(${dotSqlL("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm)) AS cosine
+  FROM probes q JOIN cells c USING (cell)
+       JOIN enorm qe ON qe.vec_id = q.vec_id
+       JOIN enorm ce ON ce.vec_id = c.vec_id
+  WHERE q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= ${Similarity.TopK}""")
+  }
 }

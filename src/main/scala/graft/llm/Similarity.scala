@@ -15,8 +15,10 @@ import graft.Tables
   *    detection); same arithmetic, as a broadcast triangle self-join —
   *    no driver collect.
   *  - `ann_lsh_topk`: the scale path — random-hyperplane LSH bucketing so
-  *    each query only scores its bucket. Registered rows-only (bucketing is
-  *    engine-side), recall is ScalaTest-checked against brute force.
+  *    each query only scores its bucket. Fully oracled: the seeded planes
+  *    are embedded in the DuckDB SQL as literals, so the oracle replicates
+  *    bucketing bit-for-bit; recall is additionally ScalaTest-checked
+  *    against brute force.
   *
   * Scale posture: brute-force is O(Q·N) — fine for a query subset, the
   * benchmark baseline, and re-ranking; the LSH variant bounds candidate
@@ -260,6 +262,24 @@ WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupThres
       when(dotHof(v, planeLit) >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
+  /** The hyperplane as a DuckDB list literal — Scala's Double.toString is
+    * shortest-round-trip, so the oracle parses back the identical bits. */
+  private def planeLitSql(p: Seq[Double]): String =
+    p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** Signature in DuckDB: same left-fold as [[signature]]'s dotHof (double
+    * cast per element, index order, 0.0 seed), same >= 0 sign test, same
+    * bit weights — the planes are seeded constants, so the whole bucketing
+    * is replicable as SQL literals and `ann_lsh_topk` gets a FULL oracle,
+    * not a rows-only check. */
+  private def sigSql(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val dotp = s"list_reduce([CAST(0.0 AS DOUBLE)] || " +
+        s"list_transform(generate_series(1, 64), i -> CAST($v[i] AS DOUBLE) * (${planeLitSql(p)})[i]), " +
+        "(x, y) -> x + y)"
+      s"(CASE WHEN $dotp >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Bucketed approximate top-k: queries only score candidates sharing
     * their signature bucket. */
   def annLshTopK(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
@@ -273,7 +293,26 @@ WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupThres
     rankTopK(scored, k)
   }
 
-  def noOracleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def lshQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_topk" -> ((s, d) => annLshTopK(s, d))
+  )
+
+  def lshOracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> s"""
+WITH e AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+    ${sigSql("embedding")} AS sig
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c
+    ON q.vec_id % 50 = 0 AND q.sig = c.sig AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= $TopK"""
   )
 }
