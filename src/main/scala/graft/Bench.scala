@@ -42,6 +42,16 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"queries":$slow,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
+    // Belt-and-braces against stdout-tail truncation (round 4 lost its
+    // summary line to it): the same JSON goes to a small file so
+    // round-over-round comparison never degrades to log archaeology.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_summary.json"), line + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"),
+        s"""{"total":$total,"n":${results.size},"queries":$fullQs}""" + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -34,6 +34,29 @@ object Diagnostics {
     (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-run ingest report (reference: generate_pipeline_report,
+    // airflow/dags/iot_temperature_dag.py:165-195, surfaced with the
+    // per-file metadata the reference's file_processing_log carries,
+    // iot_temperature_pipeline.py:83-102): one row per landing-zone file
+    // with record count, distinct sources, and the covered time range.
+    // The file identity comes from the scan's _metadata struct, so on a
+    // multi-file landing zone this reports per file with zero extra I/O;
+    // the grouped agg is one shuffle over (file, tiny payload).
+    "pipeline_report" -> ((s, d) => {
+      s.read.parquet(s"$d/events.parquet")
+        .select(
+          col("_metadata.file_name").as("file_name"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"))
+        .groupBy("file_name")
+        .agg(
+          count(lit(1)).as("n_records"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .withColumn("processing_status", lit("completed"))
+    }),
+
     // Benford's-law first-digit profile of order totals: exact per-digit
     // counts, observed fraction, and the quantized deviation from the
     // Benford expectation — the classic fraud/drift screen. The aggregate
@@ -179,6 +202,19 @@ object Diagnostics {
   }
 
   def oracles: Map[String, String] = Map(
+    // The view hides file paths, but the testdata landing zone is exactly
+    // one file per table, so the expected report instantiates to a single
+    // literal-named row; ts is TIMESTAMP_NS in DuckDB — CAST to micros
+    // matches the Spark side's nanos->micros truncation.
+    "pipeline_report" -> """
+SELECT 'events.parquet' AS file_name,
+  count(*) AS n_records,
+  count(DISTINCT user_id) AS n_users,
+  CAST(min(ts) AS TIMESTAMP) AS first_ts,
+  CAST(max(ts) AS TIMESTAMP) AS last_ts,
+  'completed' AS processing_status
+FROM events""",
+
     "benford_digits" -> {
       val cases = benfordExpected.zipWithIndex
         .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ")

@@ -87,6 +87,24 @@ object Sinks {
     }
   }
 
+  /** S5 (relational flavor): JDBC sink — the reference's actual landing
+    * target is a Postgres table (dlt destination,
+    * iot_temperature_pipeline.py:262-267). Plain `df.write.jdbc`: each
+    * partition opens its own connection and batch-inserts, so the write
+    * parallelism is the partition count — repartition to the target's
+    * acceptable connection count before calling at scale. */
+  def jdbc(df: DataFrame, url: String, table: String,
+      mode: String = "append",
+      properties: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode).jdbc(url, table, properties)
+
+  /** JDBC source (round-trip / backfill-from-warehouse path). For parallel
+    * reads pass a `partitionColumn`/bounds via `options`; a bare read is a
+    * single-connection scan. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
   /** S11: statistics collection for the cost-based optimizer
     * (reference: ANALYZE post-run, iot_temperature_dag.py:274-287). */
   def analyze(spark: SparkSession, table: String): Unit =

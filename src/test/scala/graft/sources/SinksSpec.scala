@@ -35,6 +35,28 @@ class SinksSpec extends SparkSpec {
     assert(kept === Set("edge", "young"))
   }
 
+  test("JDBC sink round-trips through embedded Derby (S5 relational)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val db = Files.createTempDirectory("graft-jdbc").toString + "/derbydb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "IOT_TEMP_A", 21.5), (2L, "IOT_TEMP_B", 35.0))
+      .toDF("record_id", "device_id", "temperature")
+    Sinks.jdbc(df, url, "readings", mode = "append", properties = props)
+    Sinks.jdbc(df.filter($"record_id" === 1L), url, "readings",
+      mode = "append", properties = props)
+    val back = Sinks.readJdbc(spark, url, "readings", props)
+    assert(back.count() === 3)
+    assert(back.filter($"record_id" === 1L).count() === 2)
+    assert(back.schema.fieldNames.map(_.toLowerCase).toSet ===
+      Set("record_id", "device_id", "temperature"))
+    // overwrite mode replaces the table (the mart full-refresh path)
+    Sinks.jdbc(df, url, "readings", mode = "overwrite", properties = props)
+    assert(Sinks.readJdbc(spark, url, "readings", props).count() === 2)
+  }
+
   test("catalog table + ANALYZE + existence probe (S6/S11/M4)") {
     val spark0 = spark
     import spark0.implicits._
