@@ -58,7 +58,7 @@ object IvfAnn {
   }
 
   /** (vec_id, embedding, cell) assignment via broadcast centroids. */
-  private def assign(s: SparkSession, d: String, centroids: Array[Array[Float]],
+  private[llm] def assign(s: SparkSession, d: String, centroids: Array[Array[Float]],
       top: Int): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -86,18 +86,23 @@ object IvfAnn {
     * corpus). */
   val TrainSampleCap = 4096
 
-  def annIvfTopK(s: SparkSession, d: String, k: Int = Similarity.TopK): DataFrame = {
+  /** Train the coarse quantizer for a sf dir: stride-sampled, vec_id-sorted
+    * (collect() order is partition order, not a contract — sorting is what
+    * lets the DuckDB oracle replicate the trainer's double-sum folds via
+    * list(... ORDER BY vec_id)). Shared by IVF search, semantic dedup, and
+    * prototypicality pruning. */
+  private[llm] def quantizer(s: SparkSession, d: String): Array[Array[Float]] = {
     val n = Tables.embeddings(s, d).count()
     val stride = math.max(1L, n / TrainSampleCap)
-    // sorted by vec_id so the trainer's double-sum accumulation order is
-    // deterministic (collect() order is partition order, not a contract) —
-    // this is what lets the DuckDB oracle replicate the fold exactly via
-    // list(... ORDER BY vec_id)
     val sample = Tables.embeddings(s, d).select("vec_id", "embedding")
       .filter(col("vec_id") % stride === 0)
       .as[(Long, Array[Float])](org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
       .collect().sortBy(_._1)
-    val centroids = trainCentroids(sample)
+    trainCentroids(sample)
+  }
+
+  def annIvfTopK(s: SparkSession, d: String, k: Int = Similarity.TopK): DataFrame = {
+    val centroids = quantizer(s, d)
     val dot = graft.expr.VectorExpressions.dotF _
     // norms precomputed once per SIDE (|vectors| + |queries| array passes),
     // not per candidate pair — the pair scoring below is then a single
@@ -134,7 +139,7 @@ object IvfAnn {
   /** Left-fold dot product of two float lists, identical to
     * [[Similarity.dotJvm]] / [[graft.expr.DotProductFloat]]: per-element
     * float→double casts, index order, 0.0 seed. */
-  private def dotSqlL(a: String, b: String): String =
+  private[llm] def dotSqlL(a: String, b: String): String =
     s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, 64), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
@@ -182,10 +187,13 @@ object IvfAnn {
     * init, $Iterations Lloyd iterations, top-1 cell assignment, NProbe
     * probing, in-cell scoring, per-pair dedup, top-k — replays in DuckDB
     * bit-for-bit. No rows-only check needed. */
-  def oracles: Map[String, String] = {
+  /** The replayed quantizer as a reusable CTE chain ending in `enorm`
+    * (per-vector norms), `fcent` (trained centroids + norms), `asim`
+    * (all vector×cell sims) and `cells` (top-1 assignment) — shared by
+    * every oracle that builds on the trained quantizer. */
+  private[llm] def quantizerSql: String = {
     val iters = (1 to Iterations).map(iterSql).mkString(",\n")
-    Map("ann_ivf_topk" -> s"""
-WITH params AS (
+    s"""params AS (
   SELECT greatest(1, (SELECT count(*) FROM embeddings) // $TrainSampleCap) AS stride
 ), samp AS (
   SELECT vec_id, embedding FROM embeddings
@@ -208,7 +216,12 @@ enorm AS (
     SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
     FROM asim) WHERE rn = 1
-), probes AS (
+)"""
+  }
+
+  def oracles: Map[String, String] = {
+    Map("ann_ivf_topk" -> s"""
+WITH $quantizerSql, probes AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
