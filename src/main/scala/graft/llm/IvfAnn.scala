@@ -143,6 +143,18 @@ object IvfAnn {
     s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, 64), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** NaN-guarded similarity for the oracle's argmax orderings: a zero-norm
+    * vector or centroid makes `sim` NaN, which the JVM argmaxes
+    * ([[trainCentroids]]'s `s > bestSim`, [[assign]]'s TotalOrdering sort)
+    * NEVER select, while DuckDB's `ORDER BY sim DESC` sorts NaN as the
+    * LARGEST double and would pick it first. Mapping NaN below any real
+    * cosine (∈ [-1, 1]) makes both engines fall through to the same
+    * non-NaN winner — and to the same cell-ASC tiebreak when every sim is
+    * NaN. Not reachable with current testdata (all norms > 0) but
+    * data-dependent, so the guard is unconditional (ADVICE r6). */
+  private[llm] def simGuardSql(sim: String = "sim"): String =
+    s"(CASE WHEN isnan($sim) THEN -1e308 ELSE $sim END)"
+
   /** One unrolled Lloyd iteration: assignment by max cosine against the
     * previous centroids (ties → lowest cell, matching the trainer's
     * first-wins argmax), per-(cell,dim) double sums folded in vec_id order
@@ -158,7 +170,7 @@ object IvfAnn {
 ), best$t AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
-      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      row_number() OVER (PARTITION BY vec_id ORDER BY ${simGuardSql()} DESC, cell) AS rn
     FROM sim$t) WHERE rn = 1
 ), sums$t AS (
   SELECT b.cell, g.i,
@@ -214,7 +226,7 @@ enorm AS (
 ), cells AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
-      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      row_number() OVER (PARTITION BY vec_id ORDER BY ${simGuardSql()} DESC, cell) AS rn
     FROM asim) WHERE rn = 1
 )"""
   }
@@ -224,7 +236,7 @@ enorm AS (
 WITH $quantizerSql, probes AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
-      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      row_number() OVER (PARTITION BY vec_id ORDER BY ${simGuardSql()} DESC, cell) AS rn
     FROM asim WHERE vec_id % 50 = 0) WHERE rn <= $NProbe
 ), pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -38,16 +38,18 @@ object SemDeDup {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.expr.VectorExpressions.dotF(a, b)
 
-  /** (vec_id, cell, embedding, nrm) for every vector, via the trained
-    * quantizer — the shared input of both pruners. */
-  private def assigned(s: SparkSession, d: String): DataFrame = {
-    val centroids = IvfAnn.quantizer(s, d)
+  /** (vec_id, cell, embedding, nrm) for every vector, under a quantizer
+    * the CALLER trained — both pruners train once and pass the centroids
+    * in (protoOutliers also needs them for the centroid dim table; an
+    * internal re-train would double the driver-side Lloyd work for no
+    * benefit — ADVICE r6). */
+  private def assigned(
+      s: SparkSession, d: String, centroids: Array[Array[Float]]): DataFrame =
     IvfAnn.assign(s, d, centroids, top = 1)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-  }
 
   def semdedup(s: SparkSession, d: String): DataFrame = {
-    val v = assigned(s, d)
+    val v = assigned(s, d, IvfAnn.quantizer(s, d))
     val a = v.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = v.select(col("cell"), col("vec_id").as("id_b"),
@@ -71,7 +73,7 @@ object SemDeDup {
     val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c, Similarity.normJvm(c)) }.toSeq
       .toDF("cell", "cemb", "cnrm")
-    val v = assigned(s, d)
+    val v = assigned(s, d, centroids)
     val scored = v.join(broadcast(cents), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (dot(col("cemb"), col("embedding")) / (col("cnrm") * col("nrm")))
@@ -109,7 +111,7 @@ FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id""",
 WITH ${IvfAnn.quantizerSql}, best AS (
   SELECT vec_id, cell, sim FROM (
     SELECT vec_id, cell, sim,
-      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      row_number() OVER (PARTITION BY vec_id ORDER BY ${IvfAnn.simGuardSql()} DESC, cell) AS rn
     FROM asim) WHERE rn = 1
 ), sized AS (
   SELECT b.vec_id, b.cell, b.sim,

@@ -151,28 +151,82 @@ object Similarity {
     }),
 
     // Embedding near-duplicate pairs above the cosine threshold — EXACT
-    // all-pairs, fully declarative: a broadcast self-join on the strict
-    // triangle condition id_a < id_b, scored inline by the codegen'd
-    // native dot kernel. No driver collect() anywhere: Spark's own
-    // BroadcastNestedLoopJoin materializes the (norm-augmented) build side
-    // once per executor and streams each scan stripe against it, so every
-    // candidate pair flows through whole-stage codegen and dies at the
-    // threshold filter — no pair-table materialization, no boxing.
-    // Scale ladder at 100 TB: (1) namespace-partition the triangle join
-    // (ann_partitioned_topk's equi-key), (2) LSH buckets as the candidate
-    // generator when approximate recall is acceptable (annLshTopK), or
-    // (3) a B×B block-pair grid shuffle when the build side outgrows the
-    // broadcast limit but exactness must hold.
+    // all-pairs by definition (the exactness baseline; the approximate
+    // candidate generators are annLshTopK / SemDeDup). Two physical
+    // strategies behind one result contract, picked by a planning-time
+    // size gate (Catalyst's file-size statistics — no job is run):
+    //  - build side under [[BroadcastBoundBytes]] → broadcast triangle
+    //    BNLJ: the norm-augmented table materializes once per executor and
+    //    every candidate pair streams through the codegen'd dot kernel and
+    //    dies at the threshold filter — no pair materialization, no
+    //    driver collect;
+    //  - larger → [[nearDupBlocked]]: the B×B block-pair grid shuffle.
+    //    No full-table broadcast anywhere, so the query degrades to more
+    //    shuffle volume instead of a driver/executor OOM at the broadcast
+    //    hint (an explicit broadcast() bypasses
+    //    autoBroadcastJoinThreshold — ADVICE r6).
+    // Scale ladder at 100 TB stays as before: namespace partitioning →
+    // LSH candidates → block grid when exactness must hold.
     "cosine_neardup" -> ((s, d) => {
       val e = withNorm(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= NearDupThreshold)
-        .select("id_a", "id_b", "cosine")
+      val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes <= BroadcastBoundBytes) nearDupBroadcast(e) else nearDupBlocked(e)
     })
   )
+
+  /** Hard bound on the broadcast build side for the exact near-dup join:
+    * past this the blocked path is both safer (no OOM cliff) and faster
+    * (per-executor build cost stops scaling with N). 32 MB ≈ 120k 64-dim
+    * float vectors with norms.
+    */
+  val BroadcastBoundBytes: BigInt = BigInt(32L << 20)
+
+  /** Rows per block in the grid fallback — sized so a block pair
+    * (2 · blockRows vectors) fits comfortably in a task's memory and each
+    * grid cell is meaningful work (~4k² = 16M scored pairs per cell).
+    */
+  val DefaultBlockRows = 4096L
+
+  private[graft] def nearDupBroadcast(e: DataFrame): DataFrame = {
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= NearDupThreshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs without any full-table broadcast: both sides are keyed
+    * by block id ⌊vec_id / blockRows⌋; each a-row is replicated to every
+    * target block bj ≥ its own (explode of a block-id sequence, bounded by
+    * a broadcast 1-row max — the triangle grid, flattened into the plan
+    * with no non-equi join anywhere), then a single EQUI-join on the
+    * target block routes every (bi ≤ bj) block pair to one reducer, where
+    * the join's per-key cross product enumerates the block-local pairs
+    * through the same codegen'd kernel. Total scored pairs is the same
+    * N²/2 the exactness contract demands; the difference is the N·G/2
+    * row shuffle replaces the N-vectors-per-executor broadcast, so task
+    * memory is bounded by ~2·blockRows vectors regardless of N. (At
+    * genuinely huge N the replication factor G grows linearly — by then
+    * exact all-pairs is off the table and the LSH/SemDeDup rungs of the
+    * ladder apply.)
+    */
+  private[graft] def nearDupBlocked(
+      e: DataFrame, blockRows: Long = DefaultBlockRows): DataFrame = {
+    val blk = (v: Column) => floor(v / lit(blockRows)).cast("long")
+    val maxBlk = e.agg(max(blk(col("vec_id"))).as("max_blk"))
+    val a = e.select(blk(col("vec_id")).as("blk_a"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .crossJoin(broadcast(maxBlk))
+      .withColumn("blk_b", explode(sequence(col("blk_a"), col("max_blk"))))
+    val b = e.select(blk(col("vec_id")).as("blk_b"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, "blk_b")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= NearDupThreshold)
+      .select("id_a", "id_b", "cosine")
+  }
 
   def oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> s"""

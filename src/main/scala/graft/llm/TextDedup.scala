@@ -334,21 +334,35 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      var prev: Option[DataFrame] = None
+      // (frame, wasCheckpointed): checkpointed frames must NOT be
+      // unpersisted mid-loop — descendants read their stored blocks with
+      // no lineage to fall back on; persisted frames can always recompute
+      var prev: Option[(DataFrame, Boolean)] = None
       var changed = 1L
+      var iter = 0
       while (changed > 0) {
+        iter += 1
         val nbrMin = edges
           .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
           .groupBy("src").agg(min(col("dlbl")).as("nl"))
           .select(col("src").as("node"), col("nl"))
-        val next = labels
+        val step = labels
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // every 5 supersteps the label frame is localCheckpoint'ed instead
+        // of persisted: label propagation runs diameter-many rounds, and
+        // without lineage truncation the plan nests one join tree per
+        // round — unbounded optimizer/DAG-scheduler cost at real cluster
+        // diameters (VERDICT r6). The label frame is one row per node, so
+        // the materialization is cheap relative to the edge shuffle.
+        val ckpt = iter % 5 == 0
+        val next =
+          if (ckpt) step.localCheckpoint()
+          else step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         changed = next.join(labels.select(col("node"), col("lbl").as("old")), "node")
           .filter(col("lbl") =!= col("old")).count() // materializes `next`
-        prev.foreach(_.unpersist())
-        prev = Some(next)
+        prev.foreach { case (f, wasCkpt) => if (!wasCkpt) f.unpersist() }
+        prev = Some((next, ckpt))
         labels = next
       }
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_rep"),

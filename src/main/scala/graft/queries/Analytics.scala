@@ -301,7 +301,7 @@ object Analytics {
     // not just the shared batch twin above. Complete-mode output of a
     // single AvailableNow pass == the batch result, so the oracle is the
     // identical full window set.
-    "stream_exec_window_counts" -> ((s, d) => {
+    "stream_exec_window_counts" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING"
       val src = s.readStream.schema(schema)
@@ -310,7 +310,7 @@ object Analytics {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.StreamAggregates.windowedTypeCounts(src)
       val name = "graft_stream_exec_sink"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_wc_")
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
@@ -327,7 +327,7 @@ object Analytics {
     // verified by the downstream per-type counts equalling the batch
     // (single-copy) counts. Exercises T2/T3 plus the stateful-dedup
     // operator (the streaming half of W1) end-to-end.
-    "stream_exec_dedup" -> ((s, d) => {
+    "stream_exec_dedup" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING"
       def src = s.readStream.schema(schema)
@@ -338,7 +338,7 @@ object Analytics {
         .dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
       val name = "graft_stream_dedup_sink"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_dd_").toString
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_dd_")
       val q = deduped.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
@@ -353,7 +353,7 @@ object Analytics {
     // the final state per key (max events snapshot) must equal the batch
     // group-by — the T4-style custom-state surface inside the gate rather
     // than only in ScalaTest.
-    "stream_exec_state" -> ((s, d) => {
+    "stream_exec_state" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       import s.implicits._
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING"
@@ -364,7 +364,7 @@ object Analytics {
       val totals = graft.streaming.StreamAggregates.runningUserTotals(src)
         .select(col("user_id"), col("events"))
       val name = "graft_stream_state_sink"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_st_").toString
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_st_")
       val q = totals.writeStream.format("memory").queryName(name)
         .outputMode("update")
         .option("checkpointLocation", ckpt)
@@ -384,8 +384,8 @@ object Analytics {
     // query. State carries QUANTIZED integer sums, so merging partials
     // across any batch order is exact and equals the one-shot batch
     // aggregate the oracle computes.
-    "stream_exec_upsert" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    "stream_exec_upsert" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      val tmp = graft.streaming.StreamGate.tempDir("fb_")
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
           round(col("value") * lit(1e6), 0).cast("long").as("q"))
@@ -541,7 +541,7 @@ object Analytics {
     // cut, identical rule to the batch Temporal.sessionize whose SQL is
     // the oracle). Event times travel as epoch-micros longs to preserve
     // sub-millisecond parity.
-    "stream_exec_session" -> ((s, d) => {
+    "stream_exec_session" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       import s.implicits._
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING"
@@ -553,7 +553,7 @@ object Analytics {
         .as[(Long, Long, Long, String)]
       val sessions = graft.streaming.StreamAggregates.sessionized(src)
       val name = "graft_stream_session_sink"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ss_").toString
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_ss_")
       val q = sessions.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -574,7 +574,7 @@ object Analytics {
     // watermark passes — the canonical two-stream correlation operator —
     // and the append-mode output of one AvailableNow pass over a static
     // file equals the batch interval join.
-    "stream_exec_join" -> ((s, d) => {
+    "stream_exec_join" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING"
       def src = s.readStream.schema(schema)
@@ -596,7 +596,7 @@ object Analytics {
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           col("click_ts"), col("purchase_ts"), col("purchase_value"))
       val name = "graft_stream_join_sink"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sj_").toString
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_sj_")
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -1018,15 +1018,19 @@ object Analytics {
     // round, the GraphX/Pregel shape that scales to 100 TB edge lists —
     // while the oracle macro-expands the same three rounds as CTE stages.
     "pagerank_integer" -> ((s, d) => {
-      val nSupp = Tables.supplier(s, d).count()
+      // supplier count folded into the plan as a broadcast 1-row frame
+      // (the drift_tvd pattern) — no eager driver-side action during
+      // query construction, matching the oracle's scalar subquery.
+      val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
       val edges = Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("src"), (col("l_partkey") % nSupp).as("dst"))
+        .crossJoin(broadcast(nSupp))
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % col("n_supp")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct().persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
       var mass = nodes.withColumn("mass", lit(1000000L))
-      for (_ <- 1 to 3) {
+      for (round <- 1 to 3) {
         val contrib = edges.join(deg, "src")
           .join(mass.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
@@ -1034,6 +1038,11 @@ object Analytics {
         mass = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(150000L) + coalesce(col("contrib"), lit(0L))).as("mass"))
+        // truncate the power-iteration lineage every few rounds: without a
+        // checkpoint the mass plan nests one join tree per round and the
+        // DAG-scheduler/optimizer cost grows unboundedly at real iteration
+        // counts (VERDICT r6) — the node-mass frame itself is tiny
+        if (round % 2 == 0) mass = mass.localCheckpoint()
       }
       val out = mass
       edges.unpersist()

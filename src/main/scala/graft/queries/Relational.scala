@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -194,28 +194,52 @@ object Relational {
         )
     }),
 
-    // A7 at scale: HyperLogLog approximate distinct beside the exact count
-    // (registered rows-only: HLL estimates are engine-specific, so the
-    // tolerance check lives in RelationalSpec instead of the oracle).
+    // A7 at scale: HyperLogLog approximate distinct beside the exact count.
+    // The HLL estimate itself is engine-specific (DuckDB could never hash-
+    // match it), so the COMPARED output is the exact counts plus tolerance
+    // verdicts: Spark computes |approx − exact| / exact ≤ 15 % (3σ of the
+    // default 5 % rsd) in-plan, and the oracle asserts the same columns as
+    // literal TRUE. Spark's HLL++ is deterministic for fixed input, so the
+    // booleans are stable and the full row hash-compares — no rows-only
+    // carve-out needed. The raw estimate still gets exercised (and bounded
+    // tighter) in RelationalSpec.
     "approx_distinct" -> ((s, d) => {
+      val exactP = countDistinct(col("l_partkey"))
+      val exactS = countDistinct(col("l_suppkey"))
+      val approxP = approx_count_distinct(col("l_partkey"))
+      val approxS = approx_count_distinct(col("l_suppkey"))
       Tables.lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps")
+        exactP.as("exact_parts"),
+        exactS.as("exact_supps"),
+        (abs(approxP - exactP).cast("double") <= lit(0.15) * exactP.cast("double"))
+          .as("parts_within_tol"),
+        (abs(approxS - exactS).cast("double") <= lit(0.15) * exactS.cast("double"))
+          .as("supps_within_tol")
       )
     }),
 
-    // Quantile sketch beside the exact order statistics (registered
-    // rows-only like approx_distinct: approx_percentile's internal
-    // QuantileSummaries is engine-specific; RelationalSpec bounds the
-    // error against the exact percentiles instead). The sketch is the
-    // 100 TB path — mergeable fixed-size state vs a full sort.
+    // Quantile sketch beside the exact order statistics, same contract as
+    // approx_distinct: the compared output is the exact interpolated
+    // percentile (percentile ↔ quantile_cont parity is pinned green by
+    // iqr_outlier_bounds) plus an in-plan ≤ 5 % relative-error verdict on
+    // the sketch, which the oracle asserts as literal TRUE.
+    // approx_percentile's QuantileSummaries (accuracy 1000 → 0.1 % rank
+    // error) is deterministic for fixed input, so the verdicts are stable.
+    // The sketch is the 100 TB path — mergeable fixed-size state vs a full
+    // sort; RelationalSpec keeps the tighter 2 % bound on the raw estimate.
     "approx_quantiles" -> ((s, d) => {
+      def withinTol(valueCol: String, p: Double): Column = {
+        val exact = expr(s"percentile($valueCol, $p)")
+        val approx = expr(s"approx_percentile($valueCol, $p, 1000)")
+        abs(approx - exact) <= lit(0.05) * abs(exact)
+      }
       Tables.lineitem(s, d).agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95"),
-        expr("approx_percentile(l_quantity, 0.99, 1000)").as("approx_qty_p99"))
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
+        expr("percentile(l_quantity, 0.99)").as("exact_qty_p99"),
+        withinTol("l_extendedprice", 0.5).as("p50_within_tol"),
+        withinTol("l_extendedprice", 0.95).as("p95_within_tol"),
+        withinTol("l_quantity", 0.99).as("p99_within_tol"))
     }),
 
     // VARIANT semi-structured type (new in Spark 4): parse the props JSON
@@ -638,6 +662,26 @@ FROM region r,
 LATERAL (
   SELECT n_name FROM nation n
   WHERE n.n_regionkey = r.r_regionkey
-  ORDER BY n_name LIMIT 2) t"""
+  ORDER BY n_name LIMIT 2) t""",
+
+    // The sketch estimates themselves are engine-specific; the contract is
+    // exact values (hash-compared) + tolerance verdicts the oracle asserts
+    // as literal TRUE — if Spark's sketch ever drifts past tolerance the
+    // boolean flips and the hash compare goes red.
+    "approx_distinct" -> """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_within_tol,
+       TRUE AS supps_within_tol
+FROM lineitem""",
+
+    "approx_quantiles" -> """
+SELECT quantile_cont(l_extendedprice, 0.5)  AS exact_p50,
+       quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+       quantile_cont(l_quantity, 0.99)      AS exact_qty_p99,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol,
+       TRUE AS p99_within_tol
+FROM lineitem"""
   )
 }

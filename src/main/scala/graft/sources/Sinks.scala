@@ -98,6 +98,56 @@ object Sinks {
       properties: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode(mode).jdbc(url, table, properties)
 
+  /** S5 idempotent flavor: keyed JDBC MERGE (upsert). The reference's
+    * landing table carries a `file_record_id` primary key precisely so a
+    * re-run of the same extraction cannot double-land rows
+    * (iot_temperature_pipeline.py:19-23,70); `df.write.jdbc` alone has no
+    * such guarantee. Strategy — stage + delete-matched + insert, all
+    * set-based on the database side:
+    *
+    *  1. the batch lands in `<table>__stage` (parallel partition inserts —
+    *     the only step whose cost scales with batch size, and it scales on
+    *     Spark's side);
+    *  2. one `DELETE ... WHERE EXISTS` removes target rows matching the
+    *     staged keys (no-op on first run / pure re-runs land zero extra
+    *     rows);
+    *  3. one `INSERT ... SELECT` copies the stage in;
+    *  4. the stage is dropped.
+    *
+    * Steps 2-4 run as single SQL statements on one driver-side connection:
+    * constant per-batch statement count, with the row work inside the
+    * database's own executor. Re-running the same batch is a fixpoint —
+    * exactly-once landing semantics over an at-least-once scheduler. The
+    * portable EXISTS form is used instead of `ON CONFLICT` / `MERGE`
+    * because the test harness speaks Derby while the reference target is
+    * Postgres; both (and every ANSI database) accept this shape.
+    */
+  def jdbcMerge(df: DataFrame, url: String, table: String, keys: Seq[String],
+      properties: java.util.Properties = new java.util.Properties): Unit = {
+    require(keys.nonEmpty, "jdbcMerge needs at least one key column")
+    val stage = table + "__stage"
+    df.write.mode("overwrite").jdbc(url, stage, properties)
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val st = conn.createStatement()
+      val targetExists =
+        try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+        catch { case _: java.sql.SQLException => false }
+      if (!targetExists)
+        st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+      // Spark's JDBC writer creates columns QUOTED (case-sensitive in
+      // Derby/Postgres) — qualify with quoted identifiers to match
+      def q(c: String) = "\"" + c + "\""
+      val pred = keys.map(k => s"$stage.${q(k)} = $table.${q(k)}").mkString(" AND ")
+      st.executeUpdate(
+        s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $stage WHERE $pred)")
+      val cols = df.columns.map(q).mkString(", ")
+      st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+      st.executeUpdate(s"DROP TABLE $stage")
+      st.close()
+    } finally conn.close()
+  }
+
   /** JDBC source (round-trip / backfill-from-warehouse path). For parallel
     * reads pass a `partitionColumn`/bounds via `options`; a bare read is a
     * single-connection scan. */

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared run-time scaffolding for the `stream_exec_*` gate queries.
+  *
+  * Two fixed costs dominated those gates at sf0.1 (VERDICT r6: +27 s with no
+  * code change):
+  *
+  *  1. **State stores are per-shuffle-partition per-operator.** Every
+  *     stateful operator (windowed agg, dropDuplicates, [flat]MapGroupsWith
+  *     State, stream-stream join — the join keeps FOUR stores per partition)
+  *     instantiates one HDFSBackedStateStore per shuffle partition per
+  *     micro-batch. At the session default (32, sized for batch shuffles on
+  *     local[32]) that is pure fixed overhead: the gates' state is a few
+  *     thousand keys. [[scoped]] drops `spark.sql.shuffle.partitions` to
+  *     [[StreamShufflePartitions]] for the duration of one gate query and
+  *     restores it after — on a real cluster this knob is sized to state
+  *     volume and store memory, not core count, and is safe to scope
+  *     per-query because each gate starts from a fresh checkpoint (the
+  *     partition count is pinned into the checkpoint at first batch).
+  *  2. **Checkpoint litter.** Each gate used to `createTempDirectory` under
+  *     /tmp and never delete it, so offset logs + state files accumulated
+  *     across bench/verify runs. All gate temp dirs now live under one
+  *     per-JVM root that is wiped on first use (clearing any previous run's
+  *     leftovers) and again on JVM exit.
+  */
+object StreamGate {
+
+  /** Shuffle-partition count while a streaming gate runs. The gates carry
+    * at most a few thousand state keys; 4 partitions keeps micro-batch task
+    * count and state-store instantiation proportional to that, not to the
+    * machine's core count.
+    */
+  val StreamShufflePartitions = 4
+
+  private lazy val root: Path = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_gate")
+    deleteRecursively(p)
+    Files.createDirectories(p)
+    scala.sys.addShutdownHook(deleteRecursively(p))
+    p
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+
+  /** Fresh temp dir (checkpoint location or scratch space) under the shared
+    * cleaned root.
+    */
+  def tempDir(tag: String): String =
+    Files.createTempDirectory(root, tag).toString
+
+  /** Run one streaming gate (start → awaitTermination → sink read) with the
+    * shuffle-partition count scoped down to [[StreamShufflePartitions]];
+    * the previous session value is restored afterwards, so surrounding
+    * batch queries keep their tuning.
+    */
+  def scoped[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+}

@@ -63,4 +63,27 @@ class SimilaritySpec extends SparkSpec {
     val agree = lshTop.count { case (q, n) => bruteTop.get(q).contains(n) }
     assert(agree > 0, s"no rank-1 agreement at all (${lshTop.size} queries)")
   }
+
+  test("near-dup block-grid fallback returns exactly the broadcast path's pairs") {
+    val e = graft.Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("embedding"),
+      sqrt(graft.expr.VectorExpressions.dotF(col("embedding"), col("embedding"))).as("nrm"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val bc = Similarity.nearDupBroadcast(e).collect()
+    // blockRows small enough that several blocks exist at the test SF,
+    // exercising within-block AND cross-block pair coverage
+    val blocked = Similarity.nearDupBlocked(e, blockRows = 128L).collect()
+    assert(bc.nonEmpty)
+    assert(blocked.map(key).sorted.toSeq === bc.map(key).sorted.toSeq)
+    // identical arithmetic, not just identical pair sets
+    val bcSims = bc.map(r => key(r) -> r.getDouble(2)).toMap
+    blocked.foreach { r => assert(bcSims(key(r)) === r.getDouble(2), s"pair ${key(r)}") }
+  }
+
+  test("cosine_neardup size gate picks the broadcast path at test scale") {
+    // the registered query must still produce the oracle's rows whichever
+    // path the gate picks; at sf the table is far under the bound
+    val rows = Similarity.queries("cosine_neardup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+  }
 }

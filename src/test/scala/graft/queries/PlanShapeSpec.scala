@@ -173,10 +173,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("LocalTableScan"),
       s"vectors must come from the parquet scan, never a driver-collected local relation:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the triangle condition id_a < id_b must ride a broadcast nested loop:\n$p")
+      s"under the size gate the triangle condition id_a < id_b rides a broadcast nested loop:\n$p")
     assert(p.contains("graft_dot"), "scoring must use the native codegen dot kernel")
     assert("Scan parquet".r.findAllIn(p).size == 2,
       s"both join sides must stream from the embeddings file scan:\n$p")
+  }
+
+  test("cosine_neardup blocked fallback never broadcasts a vector table") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("embedding"),
+      sqrt(graft.expr.VectorExpressions.dotF(col("embedding"), col("embedding"))).as("nrm"))
+    val p = graft.llm.Similarity.nearDupBlocked(e, blockRows = 128L)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the unconditioned 1-row
+    // max-block cross (the drift_tvd pattern) — the pair enumeration
+    // itself must ride the blk_b equi-join, never a vector-table BNLJ
+    // on the id_a < id_b triangle condition
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(!l.contains("id_"), s"pair join degraded to a conditioned BNLJ: $l")
+    }
+    assert(p.contains("graft_dot"), "scoring must use the native codegen dot kernel")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("semdedup candidate pairs ride the cell EQUI-join, never all-pairs") {
+    val p = plan("semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell-mate pairing must be the equi-join on cell, not a BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.contains("graft_dot"), "scoring must use the native codegen dot kernel")
+  }
+
+  test("proto_outliers broadcasts the quantizer dim and windows per cell") {
+    val p = plan("proto_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row centroid table must broadcast onto the assigned vectors:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "decile flag must come from the per-cell window")
+  }
+
+  test("pipeline_report is one grouped aggregate over the file-metadata key") {
+    val p = plan("pipeline_report")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"per-file report must be the partial/final agg pair (+distinct expand), not a join chain:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this report:\n$p")
   }
 
   test("NO registered query plans a CartesianProduct") {

@@ -5,25 +5,39 @@ import graft.SparkSpec
 class RelationalSpec extends SparkSpec {
 
   test("approx_count_distinct lands within 10% of exact (A7 scale path)") {
-    val r = Relational.queries("approx_distinct")(spark, sf).head()
-    val (exactP, approxP) = (r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts"))
-    val (exactS, approxS) = (r.getAs[Long]("exact_supps"), r.getAs[Long]("approx_supps"))
+    // tighter bound than the 15% in-query verdict: check the raw estimate
+    val li = graft.Tables.lineitem(spark, sf)
+    import org.apache.spark.sql.functions._
+    val r0 = li.agg(
+      countDistinct(col("l_partkey")).as("ep"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      countDistinct(col("l_suppkey")).as("es"),
+      approx_count_distinct(col("l_suppkey")).as("as_")).head()
+    val (exactP, approxP) = (r0.getAs[Long]("ep"), r0.getAs[Long]("ap"))
+    val (exactS, approxS) = (r0.getAs[Long]("es"), r0.getAs[Long]("as_"))
     assert(math.abs(approxP - exactP).toDouble / exactP < 0.10, s"parts $approxP vs $exactP")
     assert(math.abs(approxS - exactS).toDouble / exactS < 0.10, s"supps $approxS vs $exactS")
+    // and the gate query's verdict columns must come out TRUE (the oracle
+    // asserts them as literals)
+    val r = Relational.queries("approx_distinct")(spark, sf).head()
+    assert(r.getAs[Boolean]("parts_within_tol") && r.getAs[Boolean]("supps_within_tol"))
   }
 
   test("approx_percentile lands within 2% of the exact order statistic") {
-    val r = Relational.queries("approx_quantiles")(spark, sf).head()
-    val exact = graft.Tables.lineitem(spark, sf).agg(
-      org.apache.spark.sql.functions.expr(
-        "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-      org.apache.spark.sql.functions.expr(
-        "percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95")).head()
+    import org.apache.spark.sql.functions.expr
+    val raw = graft.Tables.lineitem(spark, sf).agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+      expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+      expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("approx_p95")).head()
     for (p <- Seq("p50", "p95")) {
-      val e = exact.getAs[Double](p)
-      val a = r.getAs[Double](s"approx_$p")
+      val e = raw.getAs[Double](p)
+      val a = raw.getAs[Double](s"approx_$p")
       assert(math.abs(a - e) / e < 0.02, s"$p: $a vs $e")
     }
+    val r = Relational.queries("approx_quantiles")(spark, sf).head()
+    for (c <- Seq("p50_within_tol", "p95_within_tol", "p99_within_tol"))
+      assert(r.getAs[Boolean](c), c)
   }
 
   test("as-of join: every error with a prior purchase gets the latest one") {

@@ -57,6 +57,32 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readJdbc(spark, url, "readings", props).count() === 2)
   }
 
+  test("jdbcMerge lands idempotently by key (S5 exactly-once re-run)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val db = Files.createTempDirectory("graft-jdbc-merge").toString + "/derbydb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val batch1 = Seq((1L, "IOT_TEMP_A", 21.5), (2L, "IOT_TEMP_B", 35.0))
+      .toDF("record_id", "device_id", "temperature")
+    // first run creates the target
+    Sinks.jdbcMerge(batch1, url, "landing", keys = Seq("record_id"), properties = props)
+    assert(Sinks.readJdbc(spark, url, "landing", props).count() === 2)
+    // a TRUE re-run of the same batch must not duplicate anything
+    Sinks.jdbcMerge(batch1, url, "landing", keys = Seq("record_id"), properties = props)
+    val after = Sinks.readJdbc(spark, url, "landing", props)
+    assert(after.count() === 2, "re-run duplicated rows")
+    // a second batch: one updated key, one new key — upsert semantics
+    val batch2 = Seq((2L, "IOT_TEMP_B", 36.25), (3L, "IOT_TEMP_C", 18.0))
+      .toDF("record_id", "device_id", "temperature")
+    Sinks.jdbcMerge(batch2, url, "landing", keys = Seq("record_id"), properties = props)
+    val merged = Sinks.readJdbc(spark, url, "landing", props)
+    assert(merged.count() === 3)
+    assert(merged.filter($"record_id" === 2L)
+      .select($"temperature").as[Double].head() === 36.25)
+  }
+
   test("catalog table + ANALYZE + existence probe (S6/S11/M4)") {
     val spark0 = spark
     import spark0.implicits._

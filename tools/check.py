@@ -39,6 +39,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # pipeline_report's oracle names the landing file literally, which is
+        # only sound while each table is exactly one parquet FILE (a
+        # Spark-written multi-part dir would make the Spark side correctly
+        # emit one row per part file) — fail loudly if that assumption breaks
+        import os
+        assert os.path.isfile(f"{sf_dir}/{t}.parquet"), \
+            f"landing zone not single-file for {t}: pipeline_report oracle invalid"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
@@ -68,6 +75,12 @@ def main():
         # Dtype parity: a DuckDB integer sum() returns HUGEINT (int128) where
         # Spark emits BIGINT — values compare equal here but the driver's hash
         # includes the dtype, so any drift must fail locally too.
+        # two columns differing only in case would silently collapse to one
+        # dict entry and could mask a dtype mismatch
+        if len(set(s_cols)) != len(s_cols) or len(set(o_cols)) != len(o_cols):
+            print(f"FAIL {name}: case-duplicate column names: {s_cols} / {o_cols}")
+            failures += 1
+            continue
         s_types = {c.lower(): str(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
         o_types = {c.lower(): str(t) for c, t in zip(o_rel.columns, o_rel.types)}
         mism = {c: (s_types[c], o_types[c]) for c in sorted(s_types)
