@@ -376,6 +376,39 @@ object Analytics {
       s.table(name).groupBy("user_id").agg(max(col("events")).as("n_events"))
     }),
 
+    // Spark 4 transformWithState through the ACTUAL engine (the successor
+    // to mapGroupsWithState: typed ValueStates managed by a
+    // StatefulProcessor over the RocksDB changelog store): per-user
+    // running (count, quantized value sum), update-mode snapshots per
+    // micro-batch; the final snapshot per key (max — counts grow
+    // monotonically) must equal the batch group-by. The value sum rides a
+    // 1e6-quantized long so cross-batch merge order is exact, and the
+    // oracle computes the identical quantized sum.
+    "stream_exec_tws" -> ((s, d) => graft.streaming.StreamGate.scopedTws(s) {
+      import s.implicits._
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"),
+          round(col("value") * lit(1e6), 0).cast("long").as("q"))
+        .as[(Long, Long)]
+      val totals = graft.streaming.StreamAggregates.runningUserTotalsTws(src)
+      val name = "graft_stream_tws_sink"
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_tws_")
+      val q = totals.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("user_id")
+        .agg(max(col("events")).as("n_events"), max(col("q_sum")).as("q_sum"))
+        .select(col("user_id"), col("n_events"),
+          (col("q_sum").cast("double") / lit(1e6)).as("value_sum"))
+    }),
+
     // foreachBatch incremental upsert through the ACTUAL engine: the
     // source is split into 4 files, streamed one file per micro-batch
     // (Trigger.AvailableNow + maxFilesPerTrigger), and every micro-batch
@@ -1783,6 +1816,14 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    // same quantized-long recipe as stream_exec_upsert (exact under any
+    // micro-batch merge order; inner BIGINT cast defuses the HUGEINT sum)
+    "stream_exec_tws" -> """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6
+    AS value_sum
+FROM events GROUP BY user_id""",
 
     "stream_exec_upsert" -> """
 SELECT event_type, COUNT(*) AS n_events,

@@ -228,18 +228,58 @@ object Relational {
     // The sketch is the 100 TB path — mergeable fixed-size state vs a full
     // sort; RelationalSpec keeps the tighter 2 % bound on the raw estimate.
     "approx_quantiles" -> ((s, d) => {
-      def withinTol(valueCol: String, p: Double): Column = {
-        val exact = expr(s"percentile($valueCol, $p)")
-        val approx = expr(s"approx_percentile($valueCol, $p, 1000)")
+      // ONE value buffer per (column, algorithm): the array-percentile form
+      // computes both price quantiles from a single buffered pass (vs one
+      // buffer per requested p), and the verdicts are post-aggregation
+      // scalar arithmetic — 4 aggregate buffers total instead of 12
+      def tol(approx: Column, exact: Column): Column =
         abs(approx - exact) <= lit(0.05) * abs(exact)
-      }
-      Tables.lineitem(s, d).agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
-        expr("percentile(l_quantity, 0.99)").as("exact_qty_p99"),
-        withinTol("l_extendedprice", 0.5).as("p50_within_tol"),
-        withinTol("l_extendedprice", 0.95).as("p95_within_tol"),
-        withinTol("l_quantity", 0.99).as("p99_within_tol"))
+      Tables.lineitem(s, d)
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exp"),
+          expr("percentile(l_quantity, 0.99)").as("exact_qty_p99"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("app"),
+          expr("approx_percentile(l_quantity, 0.99, 1000)").as("apq"))
+        .select(
+          element_at(col("exp"), 1).as("exact_p50"),
+          element_at(col("exp"), 2).as("exact_p95"),
+          col("exact_qty_p99"),
+          tol(element_at(col("app"), 1), element_at(col("exp"), 1)).as("p50_within_tol"),
+          tol(element_at(col("app"), 2), element_at(col("exp"), 2)).as("p95_within_tol"),
+          tol(col("apq"), col("exact_qty_p99")).as("p99_within_tol"))
+    }),
+
+    // Recursive CTE (new in Spark 4): calendar-spine densification — the
+    // warehouse gap-fill pattern. The spine is generated by integer month
+    // recursion (ym = year·12 + month, carried bounds — no date interval
+    // arithmetic, so both engines iterate identical integers), then
+    // LEFT-joined to the per-month exact revenue; absent months surface as
+    // zero rows. The recursion depth is the month span (~80 here, bounded
+    // by spark.sql.cteRecursionLevelLimit=100 by default); the spine is
+    // driver-tiny while the aggregate stays a distributed one-shuffle
+    // group-by — the right split at any scale.
+    "recursive_month_spine" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_spine")
+      s.sql(s"""
+WITH RECURSIVE bounds AS (
+  SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) AS lo,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS hi
+  FROM graft_orders_spine
+), months (ym, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT ym + 1, hi FROM months WHERE ym < hi
+), rev AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         COUNT(*) AS n_orders,
+         graft_sum128(o_totalprice, 6) AS revenue
+  FROM graft_orders_spine GROUP BY 1
+)
+SELECT CAST((m.ym - 1) div 12 AS INT) AS yr,
+       CAST((m.ym - 1) % 12 + 1 AS INT) AS mon,
+       COALESCE(r.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       COALESCE(r.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM months m LEFT JOIN rev r ON m.ym = r.ym""")
     }),
 
     // VARIANT semi-structured type (new in Spark 4): parse the props JSON
@@ -674,6 +714,29 @@ SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
        TRUE AS parts_within_tol,
        TRUE AS supps_within_tol
 FROM lineitem""",
+
+    // identical integer recursion; only the exact-sum macro and the
+    // integer-division operator differ per dialect
+    "recursive_month_spine" -> s"""
+WITH RECURSIVE bounds AS (
+  SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) AS lo,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS hi
+  FROM orders
+), months (ym, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT ym + 1, hi FROM months WHERE ym < hi
+), rev AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         COUNT(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST((m.ym - 1) // 12 AS INT) AS yr,
+       CAST((m.ym - 1) % 12 + 1 AS INT) AS mon,
+       COALESCE(r.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       COALESCE(r.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM months m LEFT JOIN rev r ON m.ym = r.ym""",
 
     "approx_quantiles" -> """
 SELECT quantile_cont(l_extendedprice, 0.5)  AS exact_p50,

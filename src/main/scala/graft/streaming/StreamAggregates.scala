@@ -80,6 +80,56 @@ object StreamAggregates {
       }
   }
 
+  case class TwsTotal(user_id: Long, events: Long, q_sum: Long)
+
+  /** Spark 4's arbitrary-state API ([[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * / `transformWithState` — the successor to mapGroupsWithState): per-user
+    * running (count, quantized value sum) held in two typed ValueStates,
+    * snapshot emitted per key per micro-batch in update mode. Requires the
+    * RocksDB state-store provider (changelog-capable stores are the
+    * operator's contract — see [[StreamGate.scopedTws]]). The sum travels
+    * as a QUANTIZED long so merging across any micro-batch order is exact.
+    */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), TwsTotal] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var nState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var qState: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      qState = getHandle.getValueState[Long]("q", E.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsTotal] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var q = if (qState.exists()) qState.get() else 0L
+      rows.foreach { case (_, rq) => n += 1; q += rq }
+      nState.update(n)
+      qState.update(q)
+      Iterator.single(TwsTotal(key, n, q))
+    }
+  }
+
+  /** [[UserTotalsProcessor]] wired into the stream: groupByKey on user,
+    * transformWithState with no event-time dependency, update-mode
+    * snapshots. */
+  def runningUserTotalsTws(events: Dataset[(Long, Long)]): Dataset[TwsTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(
+        new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   case class UserTotal(user_id: Long, events: Long, total_value: Double)
 
   /** Explicit keyed running state: per-user event counts and value sums

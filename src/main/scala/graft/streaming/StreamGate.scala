@@ -68,4 +68,22 @@ object StreamGate {
     s.conf.set(key, StreamShufflePartitions.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** [[scoped]] plus the RocksDB state-store provider, which
+    * `transformWithState` REQUIRES (the arbitrary-state API is built on
+    * changelog-checkpointing stores; the default HDFS-backed provider
+    * rejects it at query start). Restored afterwards so the
+    * mapGroupsWithState/windowed gates keep exercising the default
+    * provider too — both providers stay covered.
+    */
+  def scopedTws[T](s: SparkSession)(body: => T): T = scoped(s) {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
 }
