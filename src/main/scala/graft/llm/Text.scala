@@ -38,6 +38,22 @@ object Text {
     s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(w)-${n - 1}, 0)), i -> $parts)) FROM (SELECT $toksExpr AS w))"
   }
 
+  /** Word n-grams WITH multiplicity (no distinct) — the term stream for
+    * frequency-weighted models (tf vectors), where repeated n-grams must
+    * count, unlike the set semantics of [[ngrams]]. */
+  def ngramsAll(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast("int"))): _*)
+    )
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  def ngramsAllSql(toksExpr: String, n: Int): String = {
+    val parts = (0 until n).map(o => if (o == 0) "w[i]" else s"w[i+$o]").mkString(" || ' ' || ")
+    s"(SELECT list_transform(generate_series(1, greatest(len(w)-${n - 1}, 0)), i -> $parts) FROM (SELECT $toksExpr AS w))"
+  }
+
   /** Deterministic token code for the rolling-hash fingerprint: cheap,
     * arithmetic-only (length*31 + code of first char) so both engines
     * compute it identically. */

@@ -180,6 +180,45 @@ object TextAnalysis {
       tf.join(df, "token").select("doc_id", "token", "tf", "df")
     }),
 
+    // Sparse lexical cosine similarity join — the inverted-index (term ->
+    // posting list) complement of the dense embedding ANN ops: tf vectors
+    // over word BIGRAMS (the unigram vocabulary of this corpus is ~31
+    // near-universal tokens; bigrams are the discriminative terms), a
+    // document-frequency cap that drops boilerplate terms (df > 40 — the
+    // prefix-filtering bound that keeps posting-list pair volume Σ df²
+    // linear-ish at scale; in production this is set relative to corpus
+    // size), dot products and squared norms as EXACT
+    // integer sums, and one sqrt at the end. All joins are term/doc_id
+    // equi-joins; the pair shuffle is keyed by term — never doc×doc.
+    "tf_cosine_pairs" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.ngramsAll(T, 2)).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf rows are distinct (doc, term), so COUNT per term IS the df
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // materialize the pruned posting list ONCE: it feeds three plan
+      // branches (norms + both sides of the pair join), and without the
+      // checkpoint Spark re-evaluates the whole explode→aggregate→join
+      // subtree per branch (measured 5.7s → 1.4s at sf0.1). The kept frame
+      // is small by construction — the df cap has already dropped the
+      // high-frequency terms that dominate the raw posting list.
+      val kept = tf.join(df.filter(col("df") <= 40), "term")
+        .select("doc_id", "term", "tf")
+        .localCheckpoint()
+      val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val dots = kept.select(col("term"), col("doc_id").as("da"), col("tf").as("tfa"))
+        .join(kept.select(col("term"), col("doc_id").as("db"), col("tf").as("tfb")), "term")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("da"), col("n2").as("n2a")), "da")
+        .join(norms.select(col("doc_id").as("db"), col("n2").as("n2b")), "db")
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("cosine"))
+    }),
+
     // Outer generator semantics: posexplode_outer keeps a (null, null) row
     // for documents whose token array is empty — the generator variant the
     // plain explode queries don't exercise.
@@ -340,6 +379,33 @@ df AS (
 )
 SELECT tf.doc_id, tf.token, tf.tf, df.df
 FROM tf JOIN df ON tf.token = df.token""",
+
+      "tf_cosine_pairs" -> s"""
+WITH terms AS (
+  SELECT doc_id, unnest(${Text.ngramsAllSql(TS, 2)}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+kept AS (
+  SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN df USING (term) WHERE df.df <= 40
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da AS doc_a, db AS doc_b,
+  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35""",
 
       "posexplode_outer_tokens" -> s"""
 WITH base AS (

@@ -348,6 +348,36 @@ object Analytics {
       s.table(name)
     }),
 
+    // dropDuplicatesWithinWatermark through the actual engine: unlike
+    // stream_exec_dedup's dropDuplicates (whose seen-key state grows
+    // FOREVER), the watermarked variant evicts dedup state once the
+    // watermark passes a key's event time — the bounded-state contract
+    // that survives unbounded streams, at the cost of only deduplicating
+    // within the delay window. Same doubled source; with every duplicate
+    // arriving inside the window the result equals the batch single-copy
+    // counts, which is the oracle.
+    "stream_exec_dedup_wm" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = src.union(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val name = "graft_stream_dedup_wm_sink"
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_dw_")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // mapGroupsWithState through the actual engine: per-user event counts
     // held in explicit GroupState, emitted in update mode each micro-batch;
     // the final state per key (max events snapshot) must equal the batch
@@ -1812,6 +1842,11 @@ FROM events GROUP BY 1, 2""",
 
     // the doubled stream deduplicates back to exactly the source rows
     "stream_exec_dedup" -> """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
+
+    // the watermarked variant collapses the doubled stream identically
+    // (all duplicates arrive within the delay window)
+    "stream_exec_dedup_wm" -> """
 SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
