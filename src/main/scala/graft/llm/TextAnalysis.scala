@@ -194,15 +194,18 @@ object TextAnalysis {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(Text.ngramsAll(T, 2)).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // tf rows are distinct (doc, term), so COUNT per term IS the df
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      // materialize the pruned posting list ONCE: it feeds three plan
-      // branches (norms + both sides of the pair join), and without the
-      // checkpoint Spark re-evaluates the whole explode→aggregate→join
-      // subtree per branch (measured 5.7s → 1.4s at sf0.1). The kept frame
-      // is small by construction — the df cap has already dropped the
-      // high-frequency terms that dominate the raw posting list.
-      val kept = tf.join(df.filter(col("df") <= 40), "term")
+      // df via a window over tf (tf rows are distinct (doc, term), so the
+      // per-term row count IS the df): ONE evaluation of the
+      // explode→aggregate subtree, where a tf⋈df self-aggregate would run
+      // it twice. The pruned posting list is then materialized once
+      // (localCheckpoint) because it still feeds three plan branches
+      // (norms + both pair-join sides); it is small by construction — the
+      // df cap has already dropped the high-frequency terms that dominate
+      // the raw posting list. Measured 5.7s → ~1s at sf0.1.
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      val kept = tf
+        .withColumn("df", count(lit(1)).over(wTerm))
+        .filter(col("df") <= 40)
         .select("doc_id", "term", "tf")
         .localCheckpoint()
       val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
@@ -217,6 +220,31 @@ object TextAnalysis {
           (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
         .filter(col("cosine") >= 0.35)
         .select(col("da").as("doc_a"), col("db").as("doc_b"), col("cosine"))
+    }),
+
+    // Map higher-order functions (the F-class surface map_token_freqs'
+    // encode/decode round-trip doesn't reach): per-doc term-frequency map
+    // → map_filter (keep repeated terms) → map_zip_with against the
+    // original (union keys, null for absent) → explode back to scalars.
+    // Net per-term rule: boosted = 2·cnt when cnt ≥ 2 else cnt — which is
+    // what the oracle computes straight off the grouped counts, no map
+    // type needed on the DuckDB side.
+    "map_hof_ops" -> ((s, d) => {
+      val m = Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), explode(T).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+          .as("m"))
+      m.select(
+          col("doc_id"),
+          size(col("m")).as("n_terms"),
+          explode(map_zip_with(
+            col("m"),
+            map_filter(col("m"), (_, v) => v >= 2),
+            (_, a, b) => a + coalesce(b, lit(0L))))
+            .as(Seq("token", "boosted")))
     }),
 
     // Outer generator semantics: posexplode_outer keeps a (null, null) row
@@ -379,6 +407,19 @@ df AS (
 )
 SELECT tf.doc_id, tf.token, tf.tf, df.df
 FROM tf JOIN df ON tf.token = df.token""",
+
+      "map_hof_ops" -> s"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest($TS) AS token FROM documents WHERE doc_id % 50 = 0)
+  GROUP BY doc_id, token
+),
+nt AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms FROM tf GROUP BY doc_id
+)
+SELECT tf.doc_id, nt.n_terms, tf.token,
+  CASE WHEN cnt >= 2 THEN cnt + cnt ELSE cnt END AS boosted
+FROM tf JOIN nt USING (doc_id)""",
 
       "tf_cosine_pairs" -> s"""
 WITH terms AS (

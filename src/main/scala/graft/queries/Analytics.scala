@@ -98,6 +98,18 @@ object Analytics {
         cume_dist().over(w).as("cume"))
     }),
 
+    // ntile bucketing: equal-frequency quartiles of order value per
+    // status — the binning step behind spend-tier segmentation. The
+    // ordering carries the key tiebreak so the quartile assignment is a
+    // total order (ntile on ties is otherwise engine-dependent).
+    "ntile_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
     // Two-phase salted aggregation (graft.operators.Skew): the result is
     // identical to a plain GROUP BY — which is exactly what the oracle
     // checks — while the first shuffle fans each hot key across 8 reducers.
@@ -1717,6 +1729,12 @@ SELECT p_partkey, p_brand, p_retailprice,
   cume_dist() OVER w AS cume
 FROM part
 WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)""",
+
+    "ntile_quartiles" -> """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+FROM orders""",
 
     "salted_event_counts" -> """
 SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY event_type""",

@@ -282,6 +282,37 @@ SELECT CAST((m.ym - 1) div 12 AS INT) AS yr,
 FROM months m LEFT JOIN rev r ON m.ym = r.ym""")
     }),
 
+    // XML extraction (native in Spark 4 core — no spark-xml package):
+    // a deterministic XML document is synthesized per event row, parsed
+    // with the schema'd from_xml, and one field re-extracted via the
+    // Hive-lineage xpath_long — both XML surfaces in one query. The
+    // oracle needs no XML engine: extraction must round-trip the source
+    // columns exactly (double→string→double is shortest-repr exact), so
+    // the expected output is just the originals.
+    "xml_extract" -> ((s, d) => {
+      val xmlCol = concat(
+        lit("<e><id>"), col("event_id").cast("string"),
+        lit("</id><t>"), col("event_type"),
+        lit("</t><v>"), col("value").cast("string"),
+        lit("</v></e>"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+      Tables.events(s, d)
+        .withColumn("x", xmlCol)
+        .select(
+          col("event_id"),
+          from_xml(col("x"), schema).as("p"),
+          expr("xpath_long(x, '/e/id')").as("xpath_id"))
+        .select(
+          col("event_id"),
+          col("p.id").as("id_back"),
+          col("p.t").as("type_back"),
+          col("p.v").as("value_back"),
+          col("xpath_id"))
+    }),
+
     // VARIANT semi-structured type (new in Spark 4): parse the props JSON
     // into the binary variant encoding, extract typed fields by path, and
     // classify malformed documents via try_parse_json (a deterministic
@@ -714,6 +745,16 @@ SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
        TRUE AS parts_within_tol,
        TRUE AS supps_within_tol
 FROM lineitem""",
+
+    // extraction must recover the source columns bit-for-bit, so the
+    // expected rows are simply the originals — no XML engine needed
+    "xml_extract" -> """
+SELECT event_id,
+       event_id   AS id_back,
+       event_type AS type_back,
+       value      AS value_back,
+       event_id   AS xpath_id
+FROM events""",
 
     // identical integer recursion; only the exact-sum macro and the
     // integer-division operator differ per dialect
