@@ -57,6 +57,34 @@ object Diagnostics {
         .withColumn("processing_status", lit("completed"))
     }),
 
+    // Declarative data-quality expectations — the engine-side equivalent
+    // of the reference's `dbt test` DAG step (schema.yml: not_null /
+    // unique / accepted_values / relationships,
+    // dbt_transform/models/staging/schema.yml): the four built-in test
+    // shapes as ONE conditional-aggregation pass over the table plus one
+    // anti-join count for referential integrity, stacked into
+    // (test_name, failures) rows. At scale this is a single fact scan +
+    // one broadcast anti join, however many column expectations are
+    // declared — never one scan per test the way a literal dbt test run
+    // issues one query per expectation.
+    "dq_expectations" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.agg(
+        graft.expr.Exact.cntIf(col("o_custkey").isNull).as("nn"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("uq"),
+        graft.expr.Exact.cntIf(!col("o_orderstatus").isin("O", "F", "P")).as("av"))
+      val rel = o.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("rel"))
+      base.crossJoin(broadcast(rel))
+        .select(expr(
+          "stack(4, " +
+            "'not_null_o_custkey', nn, " +
+            "'unique_o_orderkey', uq, " +
+            "'accepted_values_o_orderstatus', av, " +
+            "'relationships_o_custkey', rel) AS (test_name, failures)"))
+    }),
+
     // Benford's-law first-digit profile of order totals: exact per-digit
     // counts, observed fraction, and the quantized deviation from the
     // Benford expectation — the classic fraud/drift screen. The aggregate
@@ -206,6 +234,22 @@ object Diagnostics {
     // one file per table, so the expected report instantiates to a single
     // literal-named row; ts is TIMESTAMP_NS in DuckDB — CAST to micros
     // matches the Spark side's nanos->micros truncation.
+    "dq_expectations" -> s"""
+WITH base AS (
+  SELECT
+    ${graft.expr.Exact.cntIfSql("o_custkey IS NULL")} AS nn,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq,
+    ${graft.expr.Exact.cntIfSql("o_orderstatus NOT IN ('O','F','P')")} AS av
+  FROM orders
+), rel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rel FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'not_null_o_custkey' AS test_name, nn AS failures FROM base
+UNION ALL SELECT 'unique_o_orderkey', uq FROM base
+UNION ALL SELECT 'accepted_values_o_orderstatus', av FROM base
+UNION ALL SELECT 'relationships_o_custkey', rel FROM rel""",
+
     "pipeline_report" -> """
 SELECT 'events.parquet' AS file_name,
   count(*) AS n_records,

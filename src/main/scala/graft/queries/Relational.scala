@@ -282,6 +282,18 @@ SELECT CAST((m.ym - 1) div 12 AS INT) AS yr,
 FROM months m LEFT JOIN rev r ON m.ym = r.ym""")
     }),
 
+    // Named-parameter SQL binding (spark.sql(text, args) — the
+    // injection-safe templating surface an engine exposes to apps; the
+    // parameters travel as typed literals through analysis, not string
+    // splices). The oracle inlines the same literals.
+    "sql_parameterized" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_param")
+      s.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM graft_orders_param " +
+          "WHERE o_totalprice > :lo AND o_orderstatus = :st",
+        Map("lo" -> 400000, "st" -> "O"))
+    }),
+
     // XML extraction (native in Spark 4 core — no spark-xml package):
     // a deterministic XML document is synthesized per event row, parsed
     // with the schema'd from_xml, and one field re-extracted via the
@@ -745,6 +757,10 @@ SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
        TRUE AS parts_within_tol,
        TRUE AS supps_within_tol
 FROM lineitem""",
+
+    "sql_parameterized" -> """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 400000 AND o_orderstatus = 'O'""",
 
     // extraction must recover the source columns bit-for-bit, so the
     // expected rows are simply the originals — no XML engine needed

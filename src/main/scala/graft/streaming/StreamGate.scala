@@ -37,7 +37,21 @@ object StreamGate {
   val StreamShufflePartitions = 4
 
   private lazy val root: Path = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_gate")
+    // per-PID root: a concurrent graft JVM (driver verify vs local bench)
+    // must never wipe this process's live checkpoints at its own first
+    // use. Stale siblings from crashed JVMs are reaped here instead —
+    // guarded by age so an actually-running sibling's dirs are untouched.
+    val base = Paths.get(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    try {
+      val cutoff = java.time.Instant.now().minusSeconds(24 * 3600)
+      Files.list(base).iterator().forEachRemaining { sib =>
+        if (sib.getFileName.toString.startsWith("graft_stream_gate_") &&
+            Files.getLastModifiedTime(sib).toInstant.isBefore(cutoff))
+          deleteRecursively(sib)
+      }
+    } catch { case _: Exception => () }
+    val p = base.resolve(s"graft_stream_gate_$pid")
     deleteRecursively(p)
     Files.createDirectories(p)
     scala.sys.addShutdownHook(deleteRecursively(p))
