@@ -494,6 +494,49 @@ object Analytics {
           (col("sum_q").cast("double") / lit(1e6)).as("value_sum"))
     }),
 
+    // The reference's ACTUAL landing model end to end: micro-batched
+    // stream → foreachBatch → keyed idempotent JDBC merge into a real
+    // database (dlt's write to Postgres with the file_record_id PK,
+    // iot_temperature_pipeline.py:19-23,262-267 — embedded Derby standing
+    // in for Postgres). One file per micro-batch; batch 0 is deliberately
+    // merged TWICE to prove exactly-once-by-key under at-least-once
+    // delivery — the re-run lands zero extra rows. The event stream is
+    // strided (event_id % 20) to keep the single-node embedded database
+    // out of the benchmark's critical path; the oracle aggregates the
+    // same stride directly.
+    "stream_exec_jdbc_merge" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      val tmp = graft.streaming.StreamGate.tempDir("jm_")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * lit(1e6), 0).cast("long").as("q"))
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/src")
+      val src = s.readStream
+        .schema("event_id BIGINT, event_type STRING, q BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.sources.Sinks.jdbcMerge(batch, url, "landing",
+            keys = Seq("event_id"), properties = props)
+          if (id == 0) // duplicate delivery: the merge must be a fixpoint
+            graft.sources.Sinks.jdbcMerge(batch, url, "landing",
+              keys = Seq("event_id"), properties = props)
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Sinks.readJdbc(s, url, "landing", props)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("q")).as("sum_q"))
+        .select(col("event_type"), col("n_events"),
+          (col("sum_q").cast("double") / lit(1e6)).as("value_sum"))
+    }),
+
     // Distribution-drift report: total-variation distance components of
     // the event-type mix, first week vs the rest. Counts are exact; the
     // per-type |p−q| is quantized so downstream sums stay integer-exact —
@@ -1116,8 +1159,11 @@ object Analytics {
         // truncate the power-iteration lineage every few rounds: without a
         // checkpoint the mass plan nests one join tree per round and the
         // DAG-scheduler/optimizer cost grows unboundedly at real iteration
-        // counts (VERDICT r6) — the node-mass frame itself is tiny
-        if (round % 2 == 0) mass = mass.localCheckpoint()
+        // counts (VERDICT r6) — the node-mass frame itself is tiny. LAZY
+        // (eager=false): the checkpoint materializes when the final action
+        // first computes it, so construction runs no extra job; the
+        // lineage is truncated identically once computed.
+        if (round % 2 == 0) mass = mass.localCheckpoint(false)
       }
       val out = mass
       edges.unpersist()
@@ -1869,6 +1915,14 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
 
     "stream_exec_state" -> """
 SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id""",
+
+    // the duplicate delivery of batch 0 must land nothing: expected =
+    // single-copy aggregate over the same stride
+    "stream_exec_jdbc_merge" -> """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6
+    AS value_sum
+FROM events WHERE event_id % 20 = 0 GROUP BY event_type""",
 
     // same quantized-long recipe as stream_exec_upsert (exact under any
     // micro-batch merge order; inner BIGINT cast defuses the HUGEINT sum)

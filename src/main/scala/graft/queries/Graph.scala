@@ -55,8 +55,9 @@ object Graph {
       // lineage truncation every 2 supersteps: visited accumulates one
       // union + anti-join layer per hop, so at unbounded hop counts the
       // plan tree (and scheduler cost) grows with the iteration count —
-      // the checkpoint keeps each superstep O(frontier), not O(history)
-      if (h % 2 == 0) visited = visited.localCheckpoint()
+      // the checkpoint keeps each superstep O(frontier), not O(history).
+      // Lazy: materializes with the final action, no construction-time job
+      if (h % 2 == 0) visited = visited.localCheckpoint(false)
       frontier = next
     }
     visited
