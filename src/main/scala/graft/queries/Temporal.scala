@@ -341,7 +341,65 @@ SELECT event_id, user_id, session_idx,
     / CAST(1e6 AS DOUBLE) AS secs_since_start
 FROM sess"""
 
+  /** Time-series MOTIF discovery, discretized (SAX-style): each user's
+    * value series in event order is reduced to up/down/flat symbols
+    * (exact double comparisons — no float arithmetic crosses the engine
+    * boundary), consecutive symbols form length-3 motifs, and the corpus
+    * motif census (occurrences + distinct users) falls out of one grouped
+    * count. The discretize-then-hash shape is how subsequence matching
+    * runs at 100 TB: per-key windows are narrow (3 rows), the heavy state
+    * is the tiny motif dictionary, and the only shuffle is the final
+    * census. (Time-series similarity search per EDBT'19's streaming-
+    * subsequence framing, with discretization standing in for z-normalized
+    * distance — the float-free variant an oracle can replay.) */
+  private def tsMotifs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withPrev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+    val withSym = withPrev.withColumn("sym",
+      when(col("prev").isNull, lit(null).cast("string"))
+        .when(col("value") > col("prev"), lit("U"))
+        .when(col("value") < col("prev"), lit("D"))
+        .otherwise(lit("F")))
+    withSym
+      .withColumn("s2", lag(col("sym"), 2).over(w))
+      .withColumn("s1", lag(col("sym"), 1).over(w))
+      .filter(col("s2").isNotNull && col("s1").isNotNull && col("sym").isNotNull)
+      .select(col("user_id"), concat(col("s2"), col("s1"), col("sym")).as("motif"))
+      .groupBy("motif")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val tsMotifsSql: String = """
+WITH sy AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL THEN NULL
+         WHEN value > prev THEN 'U'
+         WHEN value < prev THEN 'D'
+         ELSE 'F' END AS sym,
+    ts, event_id
+  FROM (
+    SELECT user_id, ts, event_id, value,
+      lag(value, 1) OVER w AS prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+), tri AS (
+  SELECT user_id,
+    lag(sym, 2) OVER w AS s2, lag(sym, 1) OVER w AS s1, sym
+  FROM sy
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s2 || s1 || sym AS motif,
+  COUNT(*) AS n_occurrences,
+  COUNT(DISTINCT user_id) AS n_users
+FROM tri
+WHERE s2 IS NOT NULL AND s1 IS NOT NULL AND sym IS NOT NULL
+GROUP BY s2 || s1 || sym"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_motifs"          -> ((s, d) => tsMotifs(s, d)),
     "session_features"   -> ((s, d) => sessionFeatures(s, d)),
     "asof_join_purchase" -> ((s, d) => asofLastPurchase(s, d)),
     "asof_next_purchase" -> ((s, d) => asofNextPurchase(s, d)),
@@ -351,6 +409,7 @@ FROM sess"""
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_motifs"          -> tsMotifsSql,
     "session_features"   -> sessionFeaturesSql,
     "asof_join_purchase" -> asofSql,
     "asof_next_purchase" -> asofForwardSql,
