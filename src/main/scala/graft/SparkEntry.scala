@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.{Analytics, Diagnostics, Graph, Relational, Temporal, Windowed}
-import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, LangModel, Multimodal, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, Temporal, Windowed}
+import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, LangModel, Multimodal, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,7 +99,8 @@ object SparkEntry {
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       KMeans.queries ++
       Similarity.queries ++ Similarity.lshQueries ++
-      IvfAnn.queries ++ SemDeDup.queries ++ Multimodal.queries
+      IvfAnn.queries ++ SemDeDup.queries ++ Multimodal.queries ++
+      Retrieval.queries ++ Enrich.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -112,5 +113,6 @@ object SparkEntry {
       CorpusQuality.oracles ++ TrainPrep.oracles ++
       KMeans.oracles ++
       Similarity.oracles ++ Similarity.lshOracles ++ IvfAnn.oracles ++
-      SemDeDup.oracles ++ Multimodal.oracles
+      SemDeDup.oracles ++ Multimodal.oracles ++
+      Retrieval.oracles ++ Enrich.oracles
 }

@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.Exact
+
+/** Enrichment / applied-analytics operators: Markov transition census, CDC
+  * changelog apply, RFM behavioral segmentation, grid-bucketed spatial
+  * self-join, exact largest-remainder allocation, systematic PPS sampling,
+  * and URL component extraction.
+  *
+  * Exactness: every float that reaches an oracle hash is either a single
+  * division of integer aggregates (transition probabilities), an exact
+  * decimal sum ([[Exact.dsum]] — RFM monetary), or +/−/×/÷/sqrt chains
+  * over hash-derived integers (spatial distance) — all IEEE
+  * correctly-rounded, so bit-identical across engines. No `round()` on
+  * doubles anywhere (Spark rounds the SHORTEST-DECIMAL repr via
+  * BigDecimal, C engines round the binary value — they can disagree at
+  * .5 boundaries); integer cents come from `floor()`, which both engines
+  * define identically on the binary double.
+  *
+  * Scale shapes:
+  *  - transition_matrix: one (user) shuffle + ordered window, then a
+  *    25-cell aggregate — the per-key timeline pattern every funnel op
+  *    here uses.
+  *  - cdc_apply: one shuffle on the merge key, row_number desc, rn=1 —
+  *    the standard distributed changelog-compaction plan (same shape
+  *    Delta/Hudi merge-on-read compaction lowers to).
+  *  - geo_grid_join: radius self-join WITHOUT a cross join — constant
+  *    9× probe-side replication onto R-sized grid cells, equi-join on
+  *    cell id, then the exact distance filter. Skew is bounded by cell
+  *    occupancy (points per R×R cell), not dataset size.
+  *  - allocate_largest_remainder: joins fact→parent on the natural
+  *    co-partition key (orderkey) and runs two bounded windows inside
+  *    each order — no global state.
+  *  - pps_systematic_sample: the global weighted cumsum is the textbook
+  *    scalable two-phase prefix (per-bucket partials + tiny prefix dim
+  *    broadcast back), NOT a single-partition window; the oracle uses the
+  *    naive global window as an independent formulation.
+  */
+object Enrich {
+
+  // ------------------------------------------------- transition_matrix --
+
+  /** First-order Markov transition census over each user's event
+    * timeline: counts and row-normalized probabilities of event_type →
+    * next event_type. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy("from_type")
+    pairs.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(rowTotal).cast("double"))
+  }
+
+  val transitionSql: String = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
+FROM pairs"""
+
+  // -------------------------------------------------------- cdc_apply --
+
+  /** Changelog-apply (CDC compaction): interpret the event stream as a
+    * keyed upsert/delete log — `error` events are deletes, everything
+    * else upserts `value` — and materialize the final state: last
+    * writer wins per user (ordered by ts, event_id), deleted keys
+    * dropped. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("value").as("last_value"),
+        col("ts").as("last_ts"), col("event_type").as("last_event_type"),
+        col("n_ops"))
+  }
+
+  val cdcSql: String = """
+WITH log AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+  FROM events
+)
+SELECT user_id, value AS last_value, ts AS last_ts, event_type AS last_event_type, n_ops
+FROM log WHERE rn = 1 AND op = 'U'"""
+
+  // ----------------------------------------------------- rfm_segments --
+
+  /** RFM segmentation over purchase events: per-user Recency (days since
+    * last purchase, against the corpus max timestamp — deterministic, no
+    * wall clock), Frequency (purchase count) and Monetary (exact decimal
+    * sum of value), each cut into quintiles with a total order
+    * (user_id tie-break) so ntile is deterministic on both engines.
+    * The concatenated `segment` code is the classic RFM cell label.
+    *
+    * Scale: the quintile cut runs on the USER dim (one row per user), not
+    * the event fact — a global ntile there is fine; at billions of users
+    * swap the ntile for approx-percentile boundaries. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val perUser = purchases.groupBy("user_id").agg(
+      max(col("ts")).as("last_purchase_ts"),
+      count(lit(1)).as("frequency"),
+      Exact.dsum(col("value")).as("monetary"))
+    val corpusMax = purchases.agg(max(col("ts")).as("corpus_max_ts"))
+    val withR = perUser.crossJoin(broadcast(corpusMax))
+      .withColumn("recency_days",
+        expr("(unix_micros(corpus_max_ts) - unix_micros(last_purchase_ts)) div 86400000000"))
+    withR
+      .withColumn("r_score", ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+
+  val rfmSql: String = s"""
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_purchase_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         ${Exact.dsumSql("value")} AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+    (epoch_us((SELECT max(ts) FROM events WHERE event_type = 'purchase')) - epoch_us(last_purchase_ts)) // 86400000000 AS recency_days,
+    frequency, monetary
+  FROM per_user
+)
+SELECT user_id, recency_days, frequency, monetary,
+  CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_score,
+  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_score,
+  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_score,
+  CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+    || CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+    || CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR) AS segment
+FROM scored"""
+
+  // --------------------------------------------------- geo_grid_join --
+
+  /** Synthetic planar coordinates per customer: hash-derived METER
+    * positions on a 1000×1000 km plane (integer arithmetic, so both
+    * engines derive identical points), from which km doubles are a single
+    * exact division.
+    *
+    * The hash is an LCG with XOR-SHIFT TEMPERING between rounds — a plain
+    * LCG puts every pairwise (Δx, Δy) on a 1-dimensional lattice (both
+    * deltas are multiples of the same Δkey), and at this density the
+    * lattice has NO point inside the 5 km disc, so the join would be
+    * vacuously empty. The xor rounds break the linearity (measured: 108
+    * qualifying pairs at 1 500 points, matching the Poisson estimate).
+    * Everything stays < 2^62, so no BIGINT overflow on either engine. */
+  private val RadiusKm = 5.0
+  private val CellMeters = 5000L // = radius, so neighbors span ±1 cell
+
+  private def ptsFrame(s: SparkSession, d: String): DataFrame = {
+    val M = 2147483648L // 2^31
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("key"),
+        ((col("c_custkey") * lit(1103515245L) + lit(12345L)) % lit(M)).as("h0"))
+      .withColumn("h1", col("h0").bitwiseXOR(expr("h0 div 65536")))
+      .withColumn("h2", (col("h1") * lit(69069L) + lit(1L)) % lit(M))
+      .withColumn("h3", col("h2").bitwiseXOR(expr("h2 div 2048")))
+      .withColumn("h4", (col("h3") * lit(1103515245L) + lit(12345L)) % lit(M))
+      .withColumn("h5", col("h4").bitwiseXOR(expr("h4 div 65536")))
+      .select(col("key"),
+        (col("h3") % lit(1000000L)).as("xm"),
+        (col("h5") % lit(1000000L)).as("ym"))
+      .withColumn("cx", expr(s"xm div $CellMeters"))
+      .withColumn("cy", expr(s"ym div $CellMeters"))
+  }
+
+  /** All customer pairs within [[RadiusKm]], via the grid-bucket
+    * neighbor join (see object doc): explode each point into its 3×3
+    * neighbor cells, equi-join on cell id, exact distance filter,
+    * `key_a < key_b` canonicalization so each pair appears once. */
+  def geoGridJoin(s: SparkSession, d: String): DataFrame = {
+    val pts = ptsFrame(s, d)
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val a = pts.select(col("key").as("key_a"), col("xm").as("xa"), col("ym").as("ya"),
+        col("cx"), col("cy"))
+      .withColumn("o", explode(array(offsets: _*)))
+      .select(col("key_a"), col("xa"), col("ya"),
+        (col("cx") + col("o.dx")).as("ncx"), (col("cy") + col("o.dy")).as("ncy"))
+    val b = pts.select(col("key").as("key_b"), col("xm").as("xb"), col("ym").as("yb"),
+      col("cx").as("cxb"), col("cy").as("cyb"))
+    val dxKm = col("xa").cast("double") / lit(1000.0) - col("xb").cast("double") / lit(1000.0)
+    val dyKm = col("ya").cast("double") / lit(1000.0) - col("yb").cast("double") / lit(1000.0)
+    a.join(b, col("ncx") === col("cxb") && col("ncy") === col("cyb") &&
+        col("key_a") < col("key_b"))
+      .withColumn("dist2", dxKm * dxKm + dyKm * dyKm)
+      .filter(col("dist2") <= lit(RadiusKm * RadiusKm))
+      .select(col("key_a"), col("key_b"), sqrt(col("dist2")).as("dist_km"))
+  }
+
+  val geoSql: String = s"""
+WITH h0s AS (
+  SELECT c_custkey AS key, (c_custkey * 1103515245 + 12345) % 2147483648 AS h0 FROM customer
+), h3s AS (
+  SELECT key, xor(h2, h2 // 2048) AS h3 FROM (
+    SELECT key, (xor(h0, h0 // 65536) * 69069 + 1) % 2147483648 AS h2 FROM h0s)
+), pts AS (
+  SELECT key, h3 % 1000000 AS xm, xor(h4, h4 // 65536) % 1000000 AS ym FROM (
+    SELECT key, h3, (h3 * 1103515245 + 12345) % 2147483648 AS h4 FROM h3s)
+), cells AS (
+  SELECT key, xm, ym, xm // $CellMeters AS cx, ym // $CellMeters AS cy FROM pts
+), a AS (
+  SELECT key AS key_a, xm AS xa, ym AS ya, cx + o.dx AS ncx, cy + o.dy AS ncy
+  FROM cells, (SELECT unnest([${(for (dx <- -1 to 1; dy <- -1 to 1) yield s"{'dx': $dx, 'dy': $dy}").mkString(", ")}]) AS o)
+), joined AS (
+  SELECT key_a, key_b,
+    (CAST(xa AS DOUBLE)/1000.0 - CAST(xb AS DOUBLE)/1000.0) AS dx,
+    (CAST(ya AS DOUBLE)/1000.0 - CAST(yb AS DOUBLE)/1000.0) AS dy
+  FROM a JOIN (SELECT key AS key_b, xm AS xb, ym AS yb, cx AS cxb, cy AS cyb FROM cells) b
+    ON a.ncx = b.cxb AND a.ncy = b.cyb AND a.key_a < b.key_b
+)
+SELECT key_a, key_b, sqrt(dx*dx + dy*dy) AS dist_km
+FROM joined WHERE dx*dx + dy*dy <= ${RadiusKm * RadiusKm}"""
+
+  // ------------------------------------- allocate_largest_remainder --
+
+  /** Exact largest-remainder allocation: split each order's total cents
+    * across its lineitems proportionally to extended price, in integer
+    * cents, so per-order allocations sum EXACTLY to the order total (the
+    * invariant the spec asserts). floor(), integer division and integer
+    * remainders only — no float rounding anywhere. */
+  def allocateLargestRemainder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_extendedprice") * lit(100)).cast("long").as("w"))
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * lit(100)).cast("long").as("total_cents"))
+    val byOrder = Window.partitionBy("l_orderkey")
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("order_w", sum(col("w")).over(byOrder))
+      .withColumn("base", expr("(total_cents * w) div order_w"))
+      .withColumn("rem", expr("(total_cents * w) % order_w"))
+      .withColumn("leftover", col("total_cents") - sum(col("base")).over(byOrder))
+      .withColumn("rnk", row_number().over(
+        byOrder.orderBy(col("rem").desc, col("l_linenumber"))))
+    joined.select(col("l_orderkey"), col("l_linenumber"), col("w").as("w_cents"),
+      col("total_cents"),
+      (col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+        .as("alloc_cents"))
+  }
+
+  val allocateSql: String = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS w
+  FROM lineitem
+), ord AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders
+), j AS (
+  SELECT l_orderkey, l_linenumber, w, total_cents,
+    CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS order_w
+  FROM li JOIN ord ON l_orderkey = o_orderkey
+), alloc AS (
+  SELECT *, (total_cents * w) // order_w AS base, (total_cents * w) % order_w AS rem
+  FROM j
+), ranked AS (
+  SELECT *,
+    total_cents - CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT) AS leftover,
+    row_number() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rnk
+  FROM alloc
+)
+SELECT l_orderkey, l_linenumber, w AS w_cents, total_cents,
+       base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc_cents
+FROM ranked"""
+
+  // --------------------------------------- pps_systematic_sample -------
+
+  private val SampleK = 25L
+
+  /** Systematic probability-proportional-to-size sampling over documents
+    * weighted by n_chars: lay K evenly-spaced thresholds over the weighted
+    * cumulative axis and emit each document hit, with its hit count (a
+    * heavy doc can be picked more than once — correct PPS semantics).
+    * The cumulative sum is the scalable two-phase prefix: per-bucket
+    * partial sums + a tiny bucket-prefix dim broadcast back, never a
+    * single-partition global window. All arithmetic is integer; the
+    * truncating `div` both engines share is kept on positive numerators
+    * by a +step shift. */
+  def ppsSystematicSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("bucket", expr("doc_id div 64"))
+    val bucketTotals = docs.groupBy("bucket").agg(sum(col("w")).as("bw"))
+    val prefix = bucketTotals
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("bw")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_prefix"))
+    val total = docs.agg(sum(col("w")).as("total_w"))
+    val withCum = docs
+      .join(broadcast(prefix), Seq("bucket"))
+      .withColumn("cum_in_bucket", sum(col("w")).over(
+        Window.partitionBy("bucket").orderBy("doc_id")))
+      .withColumn("cum", col("bucket_prefix") + col("cum_in_bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("step", expr(s"total_w div $SampleK"))
+      .withColumn("off", expr("step div 2"))
+    withCum
+      .withColumn("n_picks",
+        expr("(cum - 1 - off + step) div step - (cum - w - 1 - off + step) div step"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
+  }
+
+  val ppsSql: String = s"""
+WITH cums AS (
+  SELECT doc_id, n_chars AS w,
+    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+    CAST(sum(n_chars) OVER () AS BIGINT) AS total_w
+  FROM documents
+), params AS (
+  SELECT *, total_w // $SampleK AS step, (total_w // $SampleK) // 2 AS off FROM cums
+)
+SELECT doc_id, w, cum,
+  (cum - 1 - off + step) // step - (cum - w - 1 - off + step) // step AS n_picks
+FROM params
+WHERE (cum - 1 - off + step) // step - (cum - w - 1 - off + step) // step > 0"""
+
+  // ------------------------------------------------------- url_parse --
+
+  /** URL synthesis + component extraction: build a canonical URL per
+    * event, then pull host / path / query / named query param back out
+    * with the native `parse_url` (codegen'd). The oracle re-extracts the
+    * same components with anchored regexes — an independent formulation
+    * of RFC URL structure. */
+  def urlParse(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("url", concat(
+        lit("https://shard"), (col("user_id") % 4).cast("string"),
+        lit(".example.com/"), col("event_type"), lit("/"),
+        col("event_id").cast("string"),
+        lit("?k="), col("k").cast("string"), lit("&u="), col("user_id").cast("string")))
+    ev.select(
+      col("event_id"), col("url"),
+      parse_url(col("url"), lit("HOST")).as("host"),
+      parse_url(col("url"), lit("PATH")).as("path"),
+      parse_url(col("url"), lit("QUERY")).as("query"),
+      parse_url(col("url"), lit("QUERY"), lit("k")).as("k_val"),
+      parse_url(col("url"), lit("QUERY"), lit("u")).as("u_val"))
+  }
+
+  val urlSql: String = """
+WITH u AS (
+  SELECT event_id,
+    'https://shard' || CAST(user_id % 4 AS VARCHAR) || '.example.com/' || event_type
+      || '/' || CAST(event_id AS VARCHAR) || '?k='
+      || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+      || '&u=' || CAST(user_id AS VARCHAR) AS url
+  FROM events
+)
+SELECT event_id, url,
+  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+  regexp_extract(url, '\?([^#]*)', 1) AS query,
+  regexp_extract(url, '[?&]k=([^&#]*)', 1) AS k_val,
+  regexp_extract(url, '[?&]u=([^&#]*)', 1) AS u_val
+FROM u"""
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "transition_matrix"          -> ((s, d) => transitionMatrix(s, d)),
+    "cdc_apply"                  -> ((s, d) => cdcApply(s, d)),
+    "rfm_segments"               -> ((s, d) => rfmSegments(s, d)),
+    "geo_grid_join"              -> ((s, d) => geoGridJoin(s, d)),
+    "allocate_largest_remainder" -> ((s, d) => allocateLargestRemainder(s, d)),
+    "pps_systematic_sample"      -> ((s, d) => ppsSystematicSample(s, d)),
+    "url_parse"                  -> ((s, d) => urlParse(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "transition_matrix"          -> transitionSql,
+    "cdc_apply"                  -> cdcSql,
+    "rfm_segments"               -> rfmSql,
+    "geo_grid_join"              -> geoSql,
+    "allocate_largest_remainder" -> allocateSql,
+    "pps_systematic_sample"      -> ppsSql,
+    "url_parse"                  -> urlSql
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics checks for the enrichment family (Enrich.scala). */
+class EnrichSpec extends SparkSpec {
+
+  test("transition_matrix: probabilities row-normalize to 1") {
+    val sums = Enrich.transitionMatrix(spark, sf)
+      .groupBy("from_type").agg(sum(col("p")).as("ps")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(math.abs(r.getAs[Double]("ps") - 1.0) < 1e-9, r.toString))
+  }
+
+  test("cdc_apply: one row per surviving user, none whose last op is a delete") {
+    val out = Enrich.cdcApply(spark, sf).cache()
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    assert(out.filter(col("last_event_type") === "error").count() === 0)
+  }
+
+  test("rfm: scores are quintiles 1..5 and segment concatenates them") {
+    val rows = Enrich.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("r_score", "f_score", "m_score")) {
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+      assert(r.getAs[String]("segment") ===
+        s"${r.getAs[Int]("r_score")}${r.getAs[Int]("f_score")}${r.getAs[Int]("m_score")}")
+    }
+  }
+
+  test("geo grid join: matches the brute-force O(n^2) join at test scale") {
+    val fast = Enrich.geoGridJoin(spark, sf)
+      .select("key_a", "key_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same derived points
+    val cust = graft.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val M = 2147483648L
+    def pos(k: Long): (Long, Long) = {
+      val h0 = (k * 1103515245L + 12345L) % M
+      val h1 = h0 ^ (h0 / 65536)
+      val h2 = (h1 * 69069L + 1L) % M
+      val h3 = h2 ^ (h2 / 2048)
+      val h4 = (h3 * 1103515245L + 12345L) % M
+      val h5 = h4 ^ (h4 / 65536)
+      (h3 % 1000000L, h5 % 1000000L)
+    }
+    val pts = cust.map(k => k -> pos(k))
+    val slow = (for {
+      (ka, (xa, ya)) <- pts; (kb, (xb, yb)) <- pts
+      if ka < kb
+      dx = xa / 1000.0 - xb / 1000.0; dy = ya / 1000.0 - yb / 1000.0
+      if dx * dx + dy * dy <= 25.0
+    } yield (ka, kb)).toSet
+    assert(fast === slow)
+  }
+
+  test("allocation: per-order allocations sum exactly to the order total") {
+    val bad = Enrich.allocateLargestRemainder(spark, sf)
+      .groupBy("l_orderkey", "total_cents")
+      .agg(sum(col("alloc_cents")).as("allocated"))
+      .filter(col("allocated") =!= col("total_cents"))
+    assert(bad.count() === 0)
+  }
+
+  test("allocation: every allocation is within 1 cent-share of exact proportionality") {
+    val off = Enrich.allocateLargestRemainder(spark, sf)
+      .withColumn("order_w", sum(col("w_cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")))
+      // exact share in cents is total*w/W; largest-remainder keeps every
+      // row within (floor, floor+1]
+      .filter(col("alloc_cents") < expr("(total_cents * w_cents) div order_w") ||
+        col("alloc_cents") > expr("(total_cents * w_cents) div order_w") + 1)
+    assert(off.count() === 0)
+  }
+
+  test("pps systematic sample: total picks equal K and every pick has positive weight share") {
+    val rows = Enrich.ppsSystematicSample(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_picks")).sum === 25L)
+    assert(rows.forall(_.getAs[Long]("w") > 0))
+  }
+
+  test("url_parse: components reassemble the original url") {
+    val bad = Enrich.urlParse(spark, sf)
+      .filter(concat(lit("https://"), col("host"), col("path"), lit("?"), col("query"))
+        =!= col("url"))
+    assert(bad.count() === 0)
+  }
+}
