@@ -237,15 +237,211 @@ SELECT lang,
   CAST(CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n*n) AS BIGINT) AS DOUBLE) AS eff_vocab
 FROM counts GROUP BY lang"""
 
+  // ------------------------------------------------------- oov_rate ----
+
+  private val VocabK = 16
+
+  /** Tokenizer-vocabulary coverage: build the top-[[VocabK]] corpus
+    * vocabulary (count desc, token asc — a total order, so the cut is
+    * deterministic), then report each document's out-of-vocabulary token
+    * count and rate. The vocab is a TakeOrdered micro-dim broadcast to the
+    * token stream — the standard shape for "score the corpus against a
+    * fixed tokenizer" at any scale. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(VocabK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val oovSql: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+  ORDER BY n DESC, tok LIMIT $VocabK
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS oov_rate
+FROM toks GROUP BY doc_id"""
+
+  // ------------------------------------------------ feature_hashing ----
+
+  private val HashDim = 1024
+
+  /** The hashing trick (HashingVectorizer): map every token to a fixed
+    * feature index via the char-polynomial hash mod [[HashDim]] and count
+    * per (doc, index) — a sparse bag-of-words in fixed dimensionality with
+    * no vocabulary pass at all, which is what makes it the streaming/
+    * 100 TB-friendly featurizer. Output is the sparse COO triple stream. */
+  def featureHashing(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("feat_idx", tokenCode(col("tok")) % HashDim)
+      .groupBy("doc_id", "feat_idx")
+      .agg(count(lit(1)).as("n"))
+
+  val featureHashingSql: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents
+)
+SELECT doc_id, ${tokenCodeSql("tok")} % $HashDim AS feat_idx,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY 1, 2"""
+
+  // ----------------------------------------------- domain_reweight -----
+
+  /** DoReMi-style domain reweighting: per-source token shares vs a uniform
+    * target mixture → importance weight (target/actual) per source. The
+    * weight is what a sampler multiplies each domain's inclusion
+    * probability by to hit the target mixture. One groupBy + one 1-row
+    * broadcast agg; every float is a division of integer aggregates in an
+    * order the oracle mirrors exactly. */
+  def domainReweight(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("tot_tokens"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("actual_share"),
+        (lit(1.0) / col("n_sources").cast("double")).as("target_share"),
+        ((lit(1.0) / col("n_sources").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double")))
+          .as("weight"))
+  }
+
+  val domainReweightSql: String = s"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(${Text.tokensSql("text")})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS actual_share,
+  1.0 / CAST(n_sources AS DOUBLE) AS target_share,
+  (1.0 / CAST(n_sources AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS weight
+FROM per, tot"""
+
+  // ------------------------------------------- jaccard_prefix_join -----
+
+  /** AllPairs/PPJoin-style prefix-filtered set-similarity self-join over
+    * distinct TRIGRAM sets, Jaccard ≥ 7/10. Trigram choice is deliberate:
+    * the synthetic vocabulary is ~31 words, so unigrams don't discriminate
+    * at all and even bigram prefixes stay dense (measured: the 1/2-threshold
+    * bigram prefix pruned 10.3M sharing pairs only to 7.9M candidates at
+    * sf0.1); trigram prefixes at t=0.7 cut 11 533 sharing pairs to 28
+    * candidates for the 25 true pairs at sf0.01.
+    *
+    * Scale shape — the point of the operator: candidates come ONLY from
+    * pairs sharing a token inside each set's (n − ⌈t·n⌉ + 1)-prefix under
+    * the global (frequency asc, token asc) order, i.e. the RAREST tokens —
+    * provably complete for J ≥ t. Verification joins token streams ONLY
+    * for candidates, and the J ≥ 7/10 test is the integer
+    * cross-multiplication 10·|∩| ≥ 7·(|A| + |B| − |∩|) — no float
+    * threshold anywhere. The oracle is the naive all-sharing-pairs
+    * formulation — an independent algorithm whose agreement also proves
+    * prefix-filter completeness on this data. The trigram stream feeds
+    * five plan branches (freq, ranking, sizes, both verify sides), so it
+    * is localCheckpoint'ed once — the diamond-reuse rule every multi-branch
+    * query here follows. */
+  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(Text.ngrams(Text.tokens(col("text")), 3)).as("tok"))
+      .localCheckpoint()
+    val freq = sets.groupBy("tok").agg(count(lit(1)).as("ftok"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = sets.join(freq, Seq("tok"))
+      .withColumn("setsize", count(lit(1)).over(byDoc))
+      .withColumn("pos", row_number().over(
+        byDoc.orderBy(col("ftok"), col("tok"))))
+      // prefix length n − ⌈7n/10⌉ + 1, in pure integers
+      .withColumn("plen", col("setsize") - expr("(7*setsize + 9) div 10") + 1)
+    val prefix = ranked.filter(col("pos") <= col("plen"))
+      .select(col("doc_id"), col("tok"), col("setsize"))
+      .localCheckpoint()
+    // PPJoin length filter inside candidate generation: J ≥ 7/10 forces
+    // 7·|a| ≤ 10·|b| and 7·|b| ≤ 10·|a| — halves the candidates here
+    // (202k → 104k at sf0.1) before any verification work.
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id") &&
+          col("pa.setsize") * 7 <= col("pb.setsize") * 10 &&
+          col("pb.setsize") * 7 <= col("pa.setsize") * 10)
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    // Verify against a per-doc ARRAY dim (one row per doc) instead of
+    // re-joining the token stream: |∩| is a codegen'd array_intersect per
+    // candidate pair — candidate-bounded work with no third shuffle. No
+    // broadcast hint: the dim grows with the corpus, so Catalyst/AQE picks
+    // broadcast at small SF and shuffle join at scale (the cosine_neardup
+    // lesson — never force a linearly-growing build side).
+    val docArrs = sets.groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("arr"), count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both verify sides — avoid the double agg
+    cand
+      .join(docArrs.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("n").as("na")), Seq("doc_a"))
+      .join(docArrs.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter_n", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
+      .filter(col("inter_n") * 10 >= col("union_n") * 7)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"),
+        (col("inter_n").cast("double") / col("union_n").cast("double"))
+          .as("jaccard"))
+  }
+
+  val jaccardPrefixSql: String = s"""
+WITH sets AS (
+  SELECT doc_id, unnest(${Text.ngramsSql(Text.tokensSql("text"), 3)}) AS tok FROM documents
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter_n
+  FROM sets a JOIN sets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_n, sa.n + sb.n - inter_n AS union_n,
+  CAST(inter_n AS DOUBLE) / CAST(sa.n + sb.n - inter_n AS DOUBLE) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter_n * 10 >= (sa.n + sb.n - inter_n) * 7"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bm25_topk"        -> ((s, d) => bm25TopK(s, d)),
-    "cms_heavy_counts" -> ((s, d) => cmsHeavyCounts(s, d)),
-    "renyi_diversity"  -> ((s, d) => renyiDiversity(s, d))
+    "bm25_topk"           -> ((s, d) => bm25TopK(s, d)),
+    "cms_heavy_counts"    -> ((s, d) => cmsHeavyCounts(s, d)),
+    "renyi_diversity"     -> ((s, d) => renyiDiversity(s, d)),
+    "oov_rate"            -> ((s, d) => oovRate(s, d)),
+    "feature_hashing"     -> ((s, d) => featureHashing(s, d)),
+    "domain_reweight"     -> ((s, d) => domainReweight(s, d)),
+    "jaccard_prefix_join" -> ((s, d) => jaccardPrefixJoin(s, d))
   )
 
   def oracles: Map[String, String] = Map(
-    "bm25_topk"        -> bm25Sql,
-    "cms_heavy_counts" -> cmsSql,
-    "renyi_diversity"  -> renyiSql
+    "bm25_topk"           -> bm25Sql,
+    "cms_heavy_counts"    -> cmsSql,
+    "renyi_diversity"     -> renyiSql,
+    "oov_rate"            -> oovSql,
+    "feature_hashing"     -> featureHashingSql,
+    "domain_reweight"     -> domainReweightSql,
+    "jaccard_prefix_join" -> jaccardPrefixSql
   )
 }

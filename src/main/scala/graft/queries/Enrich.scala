@@ -384,6 +384,132 @@ SELECT event_id, url,
   regexp_extract(url, '[?&]u=([^&#]*)', 1) AS u_val
 FROM u"""
 
+  // ------------------------------------------------------ ewma_value --
+
+  /** Finite-lag EWMA (half-life smoothing, α = 1/2) of each user's value
+    * series: 5 taps with coefficients 1, 1/2, 1/4, 1/8, 1/16 — all exact
+    * binary doubles, so there is no cross-engine `pow()` anywhere (libm
+    * pow, like log, is not bit-stable across engines). Partial windows at
+    * a series head renormalize over the taps actually present. One (user)
+    * shuffle + one ordered window. */
+  def ewmaValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val coefs = Seq(1.0, 0.5, 0.25, 0.125, 0.0625)
+    val taps = coefs.zipWithIndex.map { case (c, j) =>
+      (lag(col("value"), j).over(w), lit(c))
+    }
+    val num = taps.map { case (v, c) => when(v.isNotNull, v * c).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = taps.map { case (v, c) => when(v.isNotNull, c).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", num / den)
+  }
+
+  val ewmaSql: String = {
+    val coefs = Seq("1.0", "0.5", "0.25", "0.125", "0.0625")
+    def tap(j: Int) =
+      if (j == 0) "value" else s"lag(value, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    val num = coefs.zipWithIndex.map { case (c, j) =>
+      s"CASE WHEN ${tap(j)} IS NOT NULL THEN ${tap(j)} * $c ELSE 0.0 END"
+    }.mkString("(", ") + (", ")")
+    val den = coefs.zipWithIndex.map { case (c, j) =>
+      s"CASE WHEN ${tap(j)} IS NOT NULL THEN $c ELSE 0.0 END"
+    }.mkString("(", ") + (", ")")
+    s"""
+SELECT event_id, user_id, ts, value, ($num) / ($den) AS ewma
+FROM events"""
+  }
+
+  // --------------------------------------------- stream_exec_left_join --
+
+  /** Stream-stream LEFT OUTER interval join through the real engine:
+    * watermarked click and purchase streams, clicks left-joined to
+    * purchases within the following hour — unmatched clicks must be
+    * EMITTED WITH NULLS once the watermark passes their join window, the
+    * semantics that distinguish outer from inner streaming joins.
+    *
+    * Determinism contract: clicks are restricted to those ≥ 3 h before the
+    * stream's max event time, so every click's join window closes strictly
+    * before the terminal watermark (min(max click, max purchase) − 1 h) —
+    * every unmatched click is guaranteed flushed, and the append-mode
+    * output equals the batch left join the oracle runs. Without the
+    * restriction, clicks near stream end would sit in state forever and
+    * the result would depend on micro-batch slicing. */
+  def streamLeftJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamGate.scoped(s) {
+      // micros everywhere (Spark's timestamp→long cast is SECONDS and
+      // DuckDB's epoch() is fractional — micros are the shared exact unit).
+      // The terminal watermark is min over BOTH inputs of (own max − 1 h),
+      // so the flush guarantee needs the cutoff 3 h before the SMALLER of
+      // the two stream maxima.
+      val bounds = Tables.events(s, d).agg(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+        .head()
+      val cutoff = math.min(bounds.getLong(0), bounds.getLong(1)) - 3L * 3600 * 1000000L
+      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Clicks past the cutoff are NOT dropped — dropping them would cap
+      // the click-side watermark 3 h early and strand the tail of the
+      // eligible clicks in state forever. They stay in the stream as
+      // non-joinable sentinels (user −1) that keep advancing the
+      // watermark, and are filtered from the sink table afterwards.
+      val late = unix_micros(col("ts")) > lit(cutoff)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(
+          when(late, -col("event_id")).otherwise(col("event_id")).as("click_id"),
+          when(late, lit(-1L)).otherwise(col("user_id")).as("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+      val name = "graft_stream_left_join_sink"
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_slj_")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+    }
+
+  val streamLeftJoinSql: String = """
+WITH mx AS (
+  SELECT least(
+    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS mts
+  FROM events
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events, mx
+  WHERE event_type = 'click' AND epoch_us(ts) <= mts - 10800000000
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id,
+         ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, c.user_id, click_ts, purchase_id, purchase_ts, purchase_value
+FROM c LEFT JOIN p
+  ON c.user_id = p.p_user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR"""
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,7 +519,9 @@ FROM u"""
     "geo_grid_join"              -> ((s, d) => geoGridJoin(s, d)),
     "allocate_largest_remainder" -> ((s, d) => allocateLargestRemainder(s, d)),
     "pps_systematic_sample"      -> ((s, d) => ppsSystematicSample(s, d)),
-    "url_parse"                  -> ((s, d) => urlParse(s, d))
+    "url_parse"                  -> ((s, d) => urlParse(s, d)),
+    "ewma_value"                 -> ((s, d) => ewmaValue(s, d)),
+    "stream_exec_left_join"      -> ((s, d) => streamLeftJoin(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -403,6 +531,8 @@ FROM u"""
     "geo_grid_join"              -> geoSql,
     "allocate_largest_remainder" -> allocateSql,
     "pps_systematic_sample"      -> ppsSql,
-    "url_parse"                  -> urlSql
+    "url_parse"                  -> urlSql,
+    "ewma_value"                 -> ewmaSql,
+    "stream_exec_left_join"      -> streamLeftJoinSql
   )
 }

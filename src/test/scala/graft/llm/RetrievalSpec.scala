@@ -41,6 +41,45 @@ class RetrievalSpec extends SparkSpec {
     assert(zebra.getAs[Long]("exact_n") === 0L)
   }
 
+  test("oov_rate: rates in [0,1] and oov never exceeds token count") {
+    val rows = Retrieval.oovRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"), r.toString)
+    }
+  }
+
+  test("feature_hashing: indices inside the hash dimension; counts conserve tokens") {
+    val out = Retrieval.featureHashing(spark, sf).cache()
+    assert(out.filter(col("feat_idx") < 0 || col("feat_idx") >= 1024).count() === 0)
+    val perDoc = out.groupBy("doc_id").agg(sum(col("n")).as("hashed")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hashed")).toMap
+    val direct = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(perDoc === direct)
+  }
+
+  test("domain_reweight: shares sum to 1 and weight restores the target mixture") {
+    val rows = Retrieval.domainReweight(spark, sf).collect()
+    val shareSum = rows.map(_.getAs[Double]("actual_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val restored = r.getAs[Double]("weight") * r.getAs[Double]("actual_share")
+      assert(math.abs(restored - r.getAs[Double]("target_share")) < 1e-12, r.toString)
+    }
+  }
+
+  test("jaccard_prefix_join: every emitted pair clears the threshold exactly") {
+    val rows = Retrieval.jaccardPrefixJoin(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("inter_n") * 10 >= r.getAs[Long]("union_n") * 7, r.toString)
+      assert(r.getAs[Double]("jaccard") >= 0.7 - 1e-12, r.toString)
+    }
+  }
+
   test("renyi diversity: collision mass in (0,1], eff_vocab bounded by support") {
     val rows = Retrieval.renyiDiversity(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -84,6 +84,54 @@ class EnrichSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("w") > 0))
   }
 
+  test("ewma: first event per user equals its own value; ewma stays in window hull") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val out = Enrich.ewmaValue(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lo", least(col("value"),
+        coalesce(lag(col("value"), 1).over(w), col("value")),
+        coalesce(lag(col("value"), 2).over(w), col("value")),
+        coalesce(lag(col("value"), 3).over(w), col("value")),
+        coalesce(lag(col("value"), 4).over(w), col("value"))))
+      .withColumn("hi", greatest(col("value"),
+        coalesce(lag(col("value"), 1).over(w), col("value")),
+        coalesce(lag(col("value"), 2).over(w), col("value")),
+        coalesce(lag(col("value"), 3).over(w), col("value")),
+        coalesce(lag(col("value"), 4).over(w), col("value"))))
+      .cache()
+    assert(out.filter(col("rn") === 1 && col("ewma") =!= col("value")).count() === 0)
+    // convex combination of the window values stays inside their hull
+    assert(out.filter(col("ewma") < col("lo") - lit(1e-9) ||
+      col("ewma") > col("hi") + lit(1e-9)).count() === 0)
+  }
+
+  test("streaming left join equals the batch left join") {
+    val streamed = Enrich.streamLeftJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id")))).sorted(
+        Ordering.by((t: (Long, Option[Any])) => (t._1, t._2.map(_.toString).getOrElse(""))))
+    val ev = graft.Tables.events(spark, sf)
+    val bounds = ev.agg(
+      max(when(col("event_type") === "click", unix_micros(col("ts")))),
+      max(when(col("event_type") === "purchase", unix_micros(col("ts"))))).head()
+    val cutoff = math.min(bounds.getLong(0), bounds.getLong(1)) - 3L * 3600 * 1000000L
+    val clicks = ev.filter(col("event_type") === "click" &&
+        unix_micros(col("ts")) <= cutoff)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .collect()
+      .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id")))).sorted(
+        Ordering.by((t: (Long, Option[Any])) => (t._1, t._2.map(_.toString).getOrElse(""))))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("url_parse: components reassemble the original url") {
     val bad = Enrich.urlParse(spark, sf)
       .filter(concat(lit("https://"), col("host"), col("path"), lit("?"), col("query"))
