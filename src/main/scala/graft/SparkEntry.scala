@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, Temporal, Windowed}
-import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, LangModel, Multimodal, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, LangModel, Multimodal, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,7 +99,7 @@ object SparkEntry {
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       KMeans.queries ++
       Similarity.queries ++ Similarity.lshQueries ++
-      IvfAnn.queries ++ SemDeDup.queries ++ Multimodal.queries ++
+      IvfAnn.queries ++ PqAnn.queries ++ SemDeDup.queries ++ Multimodal.queries ++
       Retrieval.queries ++ Enrich.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +113,6 @@ object SparkEntry {
       CorpusQuality.oracles ++ TrainPrep.oracles ++
       KMeans.oracles ++
       Similarity.oracles ++ Similarity.lshOracles ++ IvfAnn.oracles ++
-      SemDeDup.oracles ++ Multimodal.oracles ++
+      PqAnn.oracles ++ SemDeDup.oracles ++ Multimodal.oracles ++
       Retrieval.oracles ++ Enrich.oracles
 }

@@ -91,15 +91,20 @@ object IvfAnn {
     * lets the DuckDB oracle replicate the trainer's double-sum folds via
     * list(... ORDER BY vec_id)). Shared by IVF search, semantic dedup, and
     * prototypicality pruning. */
-  private[llm] def quantizer(s: SparkSession, d: String): Array[Array[Float]] = {
+  /** The stride-sampled, vec_id-sorted trainer input — shared with the
+    * product quantizer ([[PqAnn]]), which replays the identical sample in
+    * its own oracle. */
+  private[llm] def trainSample(s: SparkSession, d: String): Array[(Long, Array[Float])] = {
     val n = Tables.embeddings(s, d).count()
     val stride = math.max(1L, n / TrainSampleCap)
-    val sample = Tables.embeddings(s, d).select("vec_id", "embedding")
+    Tables.embeddings(s, d).select("vec_id", "embedding")
       .filter(col("vec_id") % stride === 0)
       .as[(Long, Array[Float])](org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
       .collect().sortBy(_._1)
-    trainCentroids(sample)
   }
+
+  private[llm] def quantizer(s: SparkSession, d: String): Array[Array[Float]] =
+    trainCentroids(trainSample(s, d))
 
   def annIvfTopK(s: SparkSession, d: String, k: Int = Similarity.TopK): DataFrame = {
     val centroids = quantizer(s, d)

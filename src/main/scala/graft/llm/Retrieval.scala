@@ -369,38 +369,42 @@ FROM per, tot"""
         explode(Text.ngrams(Text.tokens(col("text")), 3)).as("tok"))
       .localCheckpoint()
     val freq = sets.groupBy("tok").agg(count(lit(1)).as("ftok"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val ranked = sets.join(freq, Seq("tok"))
-      .withColumn("setsize", count(lit(1)).over(byDoc))
-      .withColumn("pos", row_number().over(
-        byDoc.orderBy(col("ftok"), col("tok"))))
+    // One grouped frame carries EVERYTHING per doc: the (freq, token)
+    // structs sorted by sort_array — replacing two window sorts over the
+    // token stream with a per-doc in-memory sort inside codegen — plus the
+    // set size and the full token array for verification. It feeds the
+    // prefix explode and both verify sides, so it is checkpointed once.
+    val perDoc = sets.join(freq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("ftok"), col("tok")))).as("fa"),
+        count(lit(1)).as("n"))
       // prefix length n − ⌈7n/10⌉ + 1, in pure integers
-      .withColumn("plen", col("setsize") - expr("(7*setsize + 9) div 10") + 1)
-    val prefix = ranked.filter(col("pos") <= col("plen"))
-      .select(col("doc_id"), col("tok"), col("setsize"))
+      .withColumn("plen", (col("n") - expr("(7*n + 9) div 10") + 1).cast("int"))
+      .select(col("doc_id"), col("n"),
+        transform(col("fa"), x => x.getField("tok")).as("arr"),
+        expr("transform(slice(fa, 1, plen), x -> x.tok)").as("prefix_toks"))
       .localCheckpoint()
+    val prefix = perDoc.select(col("doc_id"), col("n"),
+      explode(col("prefix_toks")).as("tok"))
     // PPJoin length filter inside candidate generation: J ≥ 7/10 forces
     // 7·|a| ≤ 10·|b| and 7·|b| ≤ 10·|a| — halves the candidates here
     // (202k → 104k at sf0.1) before any verification work.
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.doc_id") < col("pb.doc_id") &&
-          col("pa.setsize") * 7 <= col("pb.setsize") * 10 &&
-          col("pb.setsize") * 7 <= col("pa.setsize") * 10)
+          col("pa.n") * 7 <= col("pb.n") * 10 &&
+          col("pb.n") * 7 <= col("pa.n") * 10)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    // Verify against a per-doc ARRAY dim (one row per doc) instead of
-    // re-joining the token stream: |∩| is a codegen'd array_intersect per
-    // candidate pair — candidate-bounded work with no third shuffle. No
-    // broadcast hint: the dim grows with the corpus, so Catalyst/AQE picks
-    // broadcast at small SF and shuffle join at scale (the cosine_neardup
-    // lesson — never force a linearly-growing build side).
-    val docArrs = sets.groupBy("doc_id")
-      .agg(collect_set(col("tok")).as("arr"), count(lit(1)).as("n"))
-      .localCheckpoint() // feeds both verify sides — avoid the double agg
+    // Verify against the per-doc ARRAY dim (one row per doc): |∩| is a
+    // codegen'd array_intersect per candidate pair — candidate-bounded
+    // work with no third shuffle. No broadcast hint: the dim grows with
+    // the corpus, so Catalyst/AQE picks broadcast at small SF and shuffle
+    // join at scale (the cosine_neardup lesson — never force a
+    // linearly-growing build side).
     cand
-      .join(docArrs.select(col("doc_id").as("doc_a"),
+      .join(perDoc.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a"), col("n").as("na")), Seq("doc_a"))
-      .join(docArrs.select(col("doc_id").as("doc_b"),
+      .join(perDoc.select(col("doc_id").as("doc_b"),
         col("arr").as("arr_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("inter_n", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("union_n", col("na") + col("nb") - col("inter_n"))

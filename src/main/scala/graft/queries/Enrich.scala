@@ -510,6 +510,87 @@ FROM c LEFT JOIN p
  AND p.purchase_ts >= c.click_ts
  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR"""
 
+  // ------------------------------------------------ winsorize_values --
+
+  /** Winsorization: clip order totals to their group's exact [p05, p95]
+    * band — the robust-scaling cousin of the IQR outlier screen. Exact
+    * percentile_cont bounds (the mad_by_status parity precedent) +
+    * pure min/max clipping, so no arithmetic drift is possible. Two
+    * passes: a tiny per-group bounds dim broadcast back over the fact. */
+  def winsorizeValues(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val bounds = o.groupBy("o_orderpriority").agg(
+      expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice)").as("p05"),
+      expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("p05"), col("p95"),
+        least(greatest(col("o_totalprice"), col("p05")), col("p95")).as("winsorized"))
+  }
+
+  val winsorizeSql: String = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+    quantile_cont(o_totalprice, 0.05) AS p05,
+    quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority, o_totalprice, p05, p95,
+  least(greatest(o_totalprice, p05), p95) AS winsorized
+FROM orders o JOIN bounds USING (o_orderpriority)"""
+
+  // ------------------------------------------------- rank_normalize --
+
+  /** Rank normalization (quantile-uniform feature transform): per
+    * event_type, value → (rank − 0.5) / n ∈ (0, 1) under a total order
+    * (value, event_id) — the distribution-free scaling used before
+    * inverse-CDF transforms. One shuffle + one ordered window. */
+  def rankNormalize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("rn").cast("double") - lit(0.5)) / col("n").cast("double")).as("qnorm"))
+  }
+
+  val rankNormalizeSql: String = """
+SELECT event_id, event_type, value,
+  (CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE) - 0.5)
+    / CAST(CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) AS qnorm
+FROM events"""
+
+  // ---------------------------------------------------- group_kfold --
+
+  /** Leakage-safe GROUP k-fold assignment: every event of a user lands in
+    * the same fold (fold = integer hash of user_id mod 5), so no user
+    * straddles train/validation — the group-aware split sklearn's
+    * GroupKFold implements. Output is the per-fold audit: distinct users,
+    * events, and event share. */
+  def groupKfold(s: SparkSession, d: String): DataFrame = {
+    val folds = Tables.events(s, d)
+      .withColumn("fold",
+        (((col("user_id") * lit(2654435761L)) % lit(1000003L)) % 5).cast("int"))
+      .groupBy("fold")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    folds.withColumn("event_share",
+      col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.partitionBy()).cast("double"))
+  }
+
+  val groupKfoldSql: String = """
+WITH folds AS (
+  SELECT CAST(((user_id * 2654435761) % 1000003) % 5 AS INT) AS fold,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT fold, n_users, n_events,
+  CAST(n_events AS DOUBLE) / CAST(CAST(sum(n_events) OVER () AS BIGINT) AS DOUBLE) AS event_share
+FROM folds"""
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,7 +602,10 @@ FROM c LEFT JOIN p
     "pps_systematic_sample"      -> ((s, d) => ppsSystematicSample(s, d)),
     "url_parse"                  -> ((s, d) => urlParse(s, d)),
     "ewma_value"                 -> ((s, d) => ewmaValue(s, d)),
-    "stream_exec_left_join"      -> ((s, d) => streamLeftJoin(s, d))
+    "stream_exec_left_join"      -> ((s, d) => streamLeftJoin(s, d)),
+    "winsorize_values"           -> ((s, d) => winsorizeValues(s, d)),
+    "rank_normalize"             -> ((s, d) => rankNormalize(s, d)),
+    "group_kfold"                -> ((s, d) => groupKfold(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -533,6 +617,9 @@ FROM c LEFT JOIN p
     "pps_systematic_sample"      -> ppsSql,
     "url_parse"                  -> urlSql,
     "ewma_value"                 -> ewmaSql,
-    "stream_exec_left_join"      -> streamLeftJoinSql
+    "stream_exec_left_join"      -> streamLeftJoinSql,
+    "winsorize_values"           -> winsorizeSql,
+    "rank_normalize"             -> rankNormalizeSql,
+    "group_kfold"                -> groupKfoldSql
   )
 }

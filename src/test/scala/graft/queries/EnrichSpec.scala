@@ -132,6 +132,33 @@ class EnrichSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("winsorize: clipped to [p05, p95], untouched inside the band") {
+    val out = Enrich.winsorizeValues(spark, sf).cache()
+    assert(out.filter(col("winsorized") < col("p05") ||
+      col("winsorized") > col("p95")).count() === 0)
+    assert(out.filter(col("o_totalprice").between(col("p05"), col("p95")) &&
+      col("winsorized") =!= col("o_totalprice")).count() === 0)
+  }
+
+  test("rank_normalize: qnorm in (0,1) with per-group mean exactly 1/2") {
+    val out = Enrich.rankNormalize(spark, sf).cache()
+    assert(out.filter(col("qnorm") <= 0.0 || col("qnorm") >= 1.0).count() === 0)
+    // mean of (i-0.5)/n over i=1..n is exactly 0.5
+    val means = out.groupBy("event_type").agg(avg(col("qnorm")).as("m")).collect()
+    means.foreach(r => assert(math.abs(r.getAs[Double]("m") - 0.5) < 1e-9, r.toString))
+  }
+
+  test("group_kfold: 5 folds, shares sum to 1, and no user straddles folds") {
+    val rows = Enrich.groupKfold(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("fold")).toSet.subsetOf((0 until 5).toSet))
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-9)
+    val straddlers = graft.Tables.events(spark, sf)
+      .withColumn("fold", (((col("user_id") * lit(2654435761L)) % lit(1000003L)) % 5).cast("int"))
+      .groupBy("user_id").agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1)
+    assert(straddlers.count() === 0)
+  }
+
   test("url_parse: components reassemble the original url") {
     val bad = Enrich.urlParse(spark, sf)
       .filter(concat(lit("https://"), col("host"), col("path"), lit("?"), col("query"))
