@@ -33,7 +33,151 @@ object Diagnostics {
   private val benfordExpected: IndexedSeq[Double] =
     (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
 
+  /** Out-of-order delivery audit: treating event_id as arrival order, an
+    * event is late if its event time precedes the max event time already
+    * seen for its user; report per-user out-of-order counts and the worst
+    * skew — the measurement that calibrates a stream's watermark delay.
+    * One (user) shuffle + one ordered window. */
+  private def oooAudit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("prior_max", max(col("ts")).over(w))
+      .withColumn("is_late", col("prior_max").isNotNull && col("ts") < col("prior_max"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_ooo"),
+        max(when(col("is_late"),
+          (unix_micros(col("prior_max")) - unix_micros(col("ts"))))).as("max_skew_us"))
+      .withColumn("max_skew_secs",
+        col("max_skew_us").cast("double") / lit(1e6).cast("double"))
+      .drop("max_skew_us")
+  }
+
+  private val oooSql: String = """
+WITH marked AS (
+  SELECT user_id, ts,
+    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN prior_max IS NOT NULL AND ts < prior_max THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo,
+  CAST(max(CASE WHEN prior_max IS NOT NULL AND ts < prior_max
+                THEN epoch_us(prior_max) - epoch_us(ts) END) AS DOUBLE)
+    / CAST(1e6 AS DOUBLE) AS max_skew_secs
+FROM marked GROUP BY user_id"""
+
+  /** Backfill gap detection: which calendar dates are MISSING from a
+    * sparse feed (purchases of every-50th user)? Date spine from the
+    * feed's own min/max (generated from a 1-row aggregate, never
+    * collected) anti-joined against the dates present — the partition
+    * audit a scheduler runs before queueing backfills. */
+  private def backfillGaps(s: SparkSession, d: String): DataFrame = {
+    val feed = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+      .select(to_date(col("ts")).as("dt"))
+    val spine = feed.agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("dt"))
+    spine.join(feed.distinct(), Seq("dt"), "left_anti")
+      .select(col("dt").as("missing_date"))
+  }
+
+  private val backfillSql: String = """
+WITH feed AS (
+  SELECT CAST(ts AS DATE) AS dt FROM events
+  WHERE event_type = 'purchase' AND user_id % 50 = 0
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(min(dt) AS TIMESTAMP),
+                                     CAST(max(dt) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS dt
+  FROM feed
+)
+SELECT dt AS missing_date FROM spine
+WHERE dt NOT IN (SELECT dt FROM feed)"""
+
+  /** Join-key skew report: the heaviest keys of a prospective join key
+    * with their load relative to the mean — the measurement that decides
+    * between a plain shuffle join, AQE skew handling, or explicit salting
+    * (operators/Skew.scala). One aggregation + a 1-row stats broadcast +
+    * TakeOrdered. */
+  private def keySkewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      sum(col("n_rows")).as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("avg_rows",
+        col("total_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew_ratio", col("n_rows").cast("double") / col("avg_rows"))
+      .select(col("o_custkey"), col("n_rows"), col("avg_rows"), col("skew_ratio"))
+      .orderBy(col("n_rows").desc, col("o_custkey"))
+      .limit(5)
+  }
+
+  private val keySkewSql: String = """
+WITH counts AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys FROM counts
+)
+SELECT o_custkey, n_rows,
+  CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_rows,
+  CAST(n_rows AS DOUBLE) / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio
+FROM counts, stats
+ORDER BY n_rows DESC, o_custkey
+LIMIT 5"""
+
+  /** Retraction-aware incremental aggregation (the Flink retract-stream
+    * model): purchases emit (+1, +value) deltas, errors emit (−1, −value),
+    * and the maintained per-user aggregate is the signed sum of deltas.
+    * The query also PROVES merge consistency in-plan: partials computed
+    * per arbitrary sub-batch (event_id mod 4) and re-merged must equal the
+    * direct aggregate — exactly, because the decimal-exact Exact.dsum is
+    * associative where a float sum is not. The oracle asserts the flag as
+    * a TRUE literal (the approx_* oracle pattern). */
+  private def incrementalRetract(s: SparkSession, d: String): DataFrame = {
+    val deltas = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("dc"),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(-col("value")).as("dv"))
+    val direct = deltas.groupBy("user_id").agg(
+      sum(col("dc")).as("net_count"),
+      graft.expr.Exact.dsum(col("dv")).as("net_sum"))
+    val merged = deltas.withColumn("batch", col("event_id") % 4)
+      .groupBy("user_id", "batch")
+      .agg(sum(col("dc")).as("pc"), graft.expr.Exact.dsum(col("dv")).as("pv"))
+      .groupBy("user_id")
+      .agg(sum(col("pc")).as("m_count"), graft.expr.Exact.dsum(col("pv")).as("m_sum"))
+    direct.join(merged, Seq("user_id"))
+      .select(col("user_id"), col("net_count"), col("net_sum"),
+        (col("net_count") === col("m_count") && col("net_sum") === col("m_sum"))
+          .as("merge_consistent"))
+  }
+
+  private val incrementalRetractSql: String = s"""
+WITH deltas AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS dc,
+    CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS dv
+  FROM events WHERE event_type IN ('purchase', 'error')
+)
+SELECT user_id,
+  CAST(sum(dc) AS BIGINT) AS net_count,
+  ${graft.expr.Exact.dsumSql("dv")} AS net_sum,
+  TRUE AS merge_consistent
+FROM deltas GROUP BY user_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ooo_audit"           -> ((s, d) => oooAudit(s, d)),
+    "backfill_gaps"       -> ((s, d) => backfillGaps(s, d)),
+    "key_skew_report"     -> ((s, d) => keySkewReport(s, d)),
+    "incremental_retract" -> ((s, d) => incrementalRetract(s, d)),
     // Per-run ingest report (reference: generate_pipeline_report,
     // airflow/dags/iot_temperature_dag.py:165-195, surfaced with the
     // per-file metadata the reference's file_processing_log carries,
@@ -230,6 +374,10 @@ object Diagnostics {
   }
 
   def oracles: Map[String, String] = Map(
+    "ooo_audit"           -> oooSql,
+    "backfill_gaps"       -> backfillSql,
+    "key_skew_report"     -> keySkewSql,
+    "incremental_retract" -> incrementalRetractSql,
     // The view hides file paths, but the testdata landing zone is exactly
     // one file per table, so the expected report instantiates to a single
     // literal-named row; ts is TIMESTAMP_NS in DuckDB — CAST to micros

@@ -101,4 +101,45 @@ class DiagnosticsSpec extends SparkSpec {
     assert(joined.filter(
       col("covered_us") < iv || col("covered_us") > col("n_iv") * iv).count() == 0)
   }
+
+  test("ooo_audit: ooo count bounded by events, skew non-negative only when late events exist") {
+    val out = Diagnostics.queries("ooo_audit")(spark, sf).cache()
+    assert(out.filter(col("n_ooo") > col("n_events")).count() === 0)
+    assert(out.filter(col("n_ooo") === 0 && col("max_skew_secs").isNotNull).count() === 0)
+    assert(out.filter(col("max_skew_secs") <= 0).count() === 0)
+  }
+
+  test("backfill_gaps: every reported date is truly absent from the sparse feed") {
+    val feedDates = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    val missing = Diagnostics.queries("backfill_gaps")(spark, sf)
+      .collect().map(_.getDate(0).toString)
+    assert(missing.forall(d => !feedDates.contains(d)))
+  }
+
+  test("key_skew_report: 5 heaviest keys, ratio consistent with counts") {
+    val rows = Diagnostics.queries("key_skew_report")(spark, sf).collect()
+    assert(rows.length === 5)
+    val ns = rows.map(_.getAs[Long]("n_rows"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_rows").toDouble / r.getAs[Double]("avg_rows")
+      assert(math.abs(r.getAs[Double]("skew_ratio") - expect) < 1e-12)
+    }
+  }
+
+  test("incremental_retract: merge-consistency flag holds everywhere") {
+    val out = Diagnostics.queries("incremental_retract")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("merge_consistent")).count() === 0)
+    // net_count really is purchases - errors per user
+    val check = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(-1L)).as("expect"))
+    assert(out.join(check, "user_id")
+      .filter(col("net_count") =!= col("expect")).count() === 0)
+  }
 }
