@@ -221,6 +221,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in this report:\n$p")
   }
 
+  test("bm25_topk: 1-row stats broadcast + bounded top-k, no sort-merge anywhere") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranking must be the bounded top-k, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("geo_grid_join: the radius join is an EQUI hash join on grid cells") {
+    val p = plan("geo_grid_join")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on (cx, cy):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a radius join must never degrade to a nested-loop over all pairs:\n$p")
+  }
+
+  test("winsorize_values broadcasts the per-group bounds dim") {
+    val p = plan("winsorize_values")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("allocate_largest_remainder: windows ride one orderkey partitioning") {
+    val p = plan("allocate_largest_remainder")
+    assert(p.contains("Window"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected join + one window partitioning, not an exchange chain:\n$p")
+  }
+
+  test("key_skew_report tops out with TakeOrderedAndProject") {
+    assert(plan("key_skew_report").contains("TakeOrderedAndProject"))
+  }
+
+  test("cms_heavy_counts: sketch and probes join without a shuffle join") {
+    assert(!plan("cms_heavy_counts").contains("SortMergeJoin"))
+  }
+
+  test("rank_normalize and ewma_value are single-shuffle window pipelines") {
+    for (name <- Seq("rank_normalize", "ewma_value")) {
+      val p = plan(name)
+      assert(p.contains("Window"), name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name should shuffle once on its partition key:\n$p")
+    }
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
