@@ -48,7 +48,9 @@ object Retrieval {
     * is exact rational arithmetic (see object doc: cross-engine `ln` is
     * not bit-stable). Single-engine deployments can wrap the idf factor in
     * `log1p` without touching anything else. */
-  def bm25TopK(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+  /** Every doc's BM25 score (no cut) — shared by the top-k query and the
+    * RRF fusion below. */
+  private[llm] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -73,25 +75,28 @@ object Retrieval {
         (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl").cast("double") / avgdl))))
     }
     val score = QueryTerms.indices.map(contrib).reduceLeft(_ + _)
-    joined
-      .select(col("doc_id"), col("dl"), score.as("score"))
+    joined.select(col("doc_id"), col("dl"), score.as("score"))
+  }
+
+  def bm25TopK(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    bm25Scored(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-  }
 
   private val bm25TermSqls: Seq[String] = QueryTerms.zipWithIndex.map { case (t, i) =>
     s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
   }
 
-  val bm25Sql: String = {
+  /** The scored-docs CTE chain (ends in `scored`), shared by the top-k
+    * oracle and the RRF fusion oracle. */
+  private val bm25CtesSql: String = {
     val contribs = QueryTerms.indices.map { i =>
       s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
          | * ((CAST(tf_$i AS DOUBLE) * ${K1 + 1}) /
          |    (CAST(tf_$i AS DOUBLE) + $K1 * ((${1 - B}) + $B * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
         .stripMargin
     }.mkString("(", ") + (", ")")
-    s"""
-WITH toked AS (
+    s"""toked AS (
   SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
 ), dd AS (
   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, ${bm25TermSqls.mkString(", ")}
@@ -100,12 +105,17 @@ WITH toked AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
     ${QueryTerms.indices.map(i => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")}
   FROM dd
-)
-SELECT doc_id, dl, $contribs AS score
-FROM dd, st
+), scored AS (
+  SELECT doc_id, dl, $contribs AS score
+  FROM dd, st
+)"""
+  }
+
+  val bm25Sql: String = s"""
+WITH $bm25CtesSql
+SELECT doc_id, dl, score FROM scored
 ORDER BY score DESC, doc_id
 LIMIT 20"""
-  }
 
   // ---------------------------------------------------------------- CMS --
 
@@ -429,8 +439,57 @@ SELECT doc_a, doc_b, inter_n, sa.n + sb.n - inter_n AS union_n,
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter_n * 10 >= (sa.n + sb.n - inter_n) * 7"""
 
+  // ----------------------------------------------------- rrf_fusion ----
+
+  /** Hybrid-retrieval rank fusion (RRF): combine the BM25 ranking with an
+    * independent lexical-richness ranking via reciprocal rank fusion,
+    * score = Σ 1/(60 + rank) — the standard hybrid-search merge (the k=60
+    * constant is the published default). Ranks come from total orders
+    * (tie-break doc_id) so both engines agree exactly; the two reciprocals
+    * are single exact divisions summed in fixed order. The global ranking
+    * windows run over the DOC DIM — in production fusion runs over two
+    * per-query top-k lists, which are bounded by construction. */
+  def rrfFusion(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = bm25Scored(s, d)
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_bm25"))
+    val rb = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
+      .withColumn("rank_rich", row_number().over(
+        Window.orderBy(col("n_distinct").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_rich"))
+    ra.join(rb, Seq("doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("rank_bm25")).cast("double") +
+          lit(1.0) / (lit(60) + col("rank_rich")).cast("double"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_rich"), col("rrf"))
+  }
+
+  val rrfSql: String = s"""
+WITH $bm25CtesSql, rich AS (
+  SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM toked
+), ra AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_bm25
+  FROM scored
+), rb AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS INT) AS rank_rich
+  FROM rich
+)
+SELECT ra.doc_id, rank_bm25, rank_rich,
+  CAST(1.0 AS DOUBLE) / CAST(60 + rank_bm25 AS DOUBLE)
+    + CAST(1.0 AS DOUBLE) / CAST(60 + rank_rich AS DOUBLE) AS rrf
+FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, ra.doc_id
+LIMIT 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk"           -> ((s, d) => bm25TopK(s, d)),
+    "rrf_fusion"          -> ((s, d) => rrfFusion(s, d)),
     "cms_heavy_counts"    -> ((s, d) => cmsHeavyCounts(s, d)),
     "renyi_diversity"     -> ((s, d) => renyiDiversity(s, d)),
     "oov_rate"            -> ((s, d) => oovRate(s, d)),
@@ -441,6 +500,7 @@ WHERE inter_n * 10 >= (sa.n + sb.n - inter_n) * 7"""
 
   def oracles: Map[String, String] = Map(
     "bm25_topk"           -> bm25Sql,
+    "rrf_fusion"          -> rrfSql,
     "cms_heavy_counts"    -> cmsSql,
     "renyi_diversity"     -> renyiSql,
     "oov_rate"            -> oovSql,

@@ -173,8 +173,45 @@ SELECT user_id,
   TRUE AS merge_consistent
 FROM deltas GROUP BY user_id"""
 
+  /** Right-to-be-forgotten cascade audit: one subject-deletion rule
+    * (every 77th principal id) applied across every table keyed by a
+    * principal, reporting per-table before/deleted/after counts — the
+    * manifest a GDPR erasure job emits before the anti-join rewrite (the
+    * retention_filter mechanism) actually drops the rows. Counting the
+    * deletes as a conditional aggregate means ONE scan per table and no
+    * join against a tombstone list (the id rule is computable); with an
+    * explicit tombstone table the same audit is a broadcast semi-join. */
+  private def gdprCascade(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("rows_before"),
+        sum(when(col(key) % 77 === 0, 1L).otherwise(0L)).as("rows_deleted"))
+        .select(lit(name).as("table_name"), col("rows_before"), col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    audit("events", Tables.events(s, d), "user_id")
+      .unionByName(audit("orders", Tables.orders(s, d), "o_custkey"))
+      .unionByName(audit("customer", Tables.customer(s, d), "c_custkey"))
+  }
+
+  private val gdprSql: String = """
+SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS rows_before,
+  CAST(sum(CASE WHEN user_id % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+  CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN user_id % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_after
+FROM events
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN o_custkey % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN o_custkey % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN c_custkey % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN c_custkey % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ooo_audit"           -> ((s, d) => oooAudit(s, d)),
+    "gdpr_cascade"        -> ((s, d) => gdprCascade(s, d)),
     "backfill_gaps"       -> ((s, d) => backfillGaps(s, d)),
     "key_skew_report"     -> ((s, d) => keySkewReport(s, d)),
     "incremental_retract" -> ((s, d) => incrementalRetract(s, d)),
@@ -375,6 +412,7 @@ FROM deltas GROUP BY user_id"""
 
   def oracles: Map[String, String] = Map(
     "ooo_audit"           -> oooSql,
+    "gdpr_cascade"        -> gdprSql,
     "backfill_gaps"       -> backfillSql,
     "key_skew_report"     -> keySkewSql,
     "incremental_retract" -> incrementalRetractSql,

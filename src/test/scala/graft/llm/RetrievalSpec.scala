@@ -80,6 +80,17 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrf_fusion: scores bounded by 2/61, non-increasing, ranks positive") {
+    val rows = Retrieval.rrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rrf") > 0 && r.getAs[Double]("rrf") <= 2.0 / 61.0 + 1e-12)
+      assert(r.getAs[Int]("rank_bm25") >= 1 && r.getAs[Int]("rank_rich") >= 1)
+    }
+  }
+
   test("renyi diversity: collision mass in (0,1], eff_vocab bounded by support") {
     val rows = Retrieval.renyiDiversity(spark, sf).collect()
     assert(rows.nonEmpty)

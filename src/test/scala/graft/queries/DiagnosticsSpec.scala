@@ -130,6 +130,17 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("gdpr_cascade: per-table counts balance and cover all three keyed tables") {
+    val rows = Diagnostics.queries("gdpr_cascade")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSet ===
+      Set("events", "orders", "customer"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_after") + r.getAs[Long]("rows_deleted") ===
+        r.getAs[Long]("rows_before"), r.toString)
+      assert(r.getAs[Long]("rows_deleted") >= 0)
+    }
+  }
+
   test("incremental_retract: merge-consistency flag holds everywhere") {
     val out = Diagnostics.queries("incremental_retract")(spark, sf).cache()
     assert(out.count() > 0)
