@@ -544,7 +544,14 @@ FROM orders o JOIN bounds USING (o_orderpriority)"""
   /** Rank normalization (quantile-uniform feature transform): per
     * event_type, value → (rank − 0.5) / n ∈ (0, 1) under a total order
     * (value, event_id) — the distribution-free scaling used before
-    * inverse-CDF transforms. One shuffle + one ordered window. */
+    * inverse-CDF transforms. One shuffle + one ordered window.
+    *
+    * Scale caveat: event_type has ~5 values, so each window partition is
+    * N/5 rows on one task — fine here, a straggler at 100 TB. The scalable
+    * form is the two-phase global rank: range-partition each group on
+    * value (rangepartitioning exchange), rank within ranges, then add the
+    * per-range row-count prefix (the pps_systematic_sample cumsum
+    * pattern); same result, no single-task partition. */
   def rankNormalize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     Tables.events(s, d)
