@@ -26,7 +26,12 @@ object Bench {
     // one-time costs (cache materialization) to the query that causes them
     // on its first pass only.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val allRuns = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val allRuns = selected.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         // noop-format write: full execution of every column without sink cost
@@ -39,6 +44,34 @@ object Bench {
     }
     val results = allRuns.map { case (name, ts) => name -> ts.min }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // First-run-only total: min-of-N (round 7+) systematically selects
+    // warm timings, so the min total is not comparable to rounds 1-6's
+    // single-run totals — this line preserves the old methodology.
+    val firstRunTotal = if (allRuns.nonEmpty) allRuns.map(_._2.head).sum else 0.0
+    // Per-query regression gate vs the committed previous-round snapshot
+    // (bench_prev.json, refreshed each round after review): a query is a
+    // regression when it is BOTH >2x its previous min AND >1s absolute
+    // slower. Rounds 6 (stream gates +25s) and 7 (xml_extract 40s) were
+    // both caught by the judge, not the tooling — this closes that gap.
+    val prevPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json"))
+    val prevTimes: Map[String, Double] =
+      if (java.nio.file.Files.exists(prevPath)) {
+        val txt = java.nio.file.Files.readString(prevPath)
+        // minimal parse of {"queries":{"name":sec,...}} — no JSON lib on
+        // the classpath beyond Spark's shaded ones
+        val qsec = """"([A-Za-z0-9_]+)":([0-9]+\.?[0-9]*)""".r
+        val start = txt.indexOf("\"queries\"")
+        if (start < 0) Map.empty
+        else qsec.findAllMatchIn(txt.substring(start))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressions = results.flatMap { case (name, cur) =>
+      prevTimes.get(name).collect {
+        case prev if cur > 2.0 * prev && cur - prev > 1.0 =>
+          name -> (prev, cur)
+      }
+    }
     // Full per-query detail on its own (non-final) line for humans; the
     // driver's log tail keeps only the last 2000 chars of stdout and parses
     // the last line, so the FINAL line must be a compact JSON that fits.
@@ -50,8 +83,14 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val mean = if (results.nonEmpty) total / results.size else 0.0
+    // show at most the 8 worst regressions on the summary line (it must
+    // stay under the driver's 2000-char stdout tail); the full list goes
+    // to bench_full.json
+    val regJson = regressions.sortBy { case (_, (p, c)) => -(c - p) }.take(8)
+      .map { case (k, (p, c)) => s"\"" + k + s"\":[${r3(p)},${r3(c)}]" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"queries":$slow,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"first_run_total":${r3(firstRunTotal)},"regressions":$regJson,"queries":$slow,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     // Belt-and-braces against stdout-tail truncation (round 4 lost its
@@ -60,9 +99,12 @@ object Bench {
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_summary.json"), line + "\n")
+      val fullRegs = regressions
+        .map { case (k, (p, c)) => s"\"" + k + s"\":[${r3(p)},${r3(c)}]" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_full.json"),
-        s"""{"total":$total,"n":${results.size},"queries":$fullQs}""" + "\n")
+        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
       // every individual run, for variance archaeology
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"" + k + "\":[" + ts.map(t => "%.3f".format(t)).mkString(",") + "]"
