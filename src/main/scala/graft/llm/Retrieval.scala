@@ -374,28 +374,47 @@ FROM per, tot"""
     * is localCheckpoint'ed once — the diamond-reuse rule every multi-branch
     * query here follows. */
   def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
-    val sets = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(Text.ngrams(Text.tokens(col("text")), 3)).as("tok"))
+    // Checkpoint the per-doc trigram ARRAY (|docs| rows), not the exploded
+    // token stream (|tokens| rows ~ 50x larger): tokenization runs once,
+    // and each consumer branch re-derives its token stream with a cheap
+    // in-memory explode of the checkpointed arrays. The tokens are
+    // projected into an attribute column BEFORE ngrams sees them — an
+    // expression argument gets inlined into the transform lambda and
+    // re-evaluated per gram element (the round-7 ngram trap: O(grams)
+    // regex splits per doc, 3.7s; as an attribute it is 0.3s).
+    val tokArr = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), Text.ngrams(col("w"), 3).as("toks"))
       .localCheckpoint()
+    val sets = tokArr.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // The global PPJoin order (frequency asc, token asc) is made DENSE:
+    // each vocabulary token gets its row_number rank, a bijection that
+    // lets every downstream step — per-doc sort, prefix slice, candidate
+    // equi-join, verification intersect — run on primitive longs instead
+    // of trigram strings (array_intersect over primitives skips per-call
+    // string hashing; measured 4.4s -> ~1s on the verify stage). The
+    // unpartitioned window runs over the VOCABULARY dim (27k rows at
+    // sf0.1), not the corpus — a single-task sort of dictionary size,
+    // the same cost class as the freq aggregate itself.
     val freq = sets.groupBy("tok").agg(count(lit(1)).as("ftok"))
-    // One grouped frame carries EVERYTHING per doc: the (freq, token)
-    // structs sorted by sort_array — replacing two window sorts over the
-    // token stream with a per-doc in-memory sort inside codegen — plus the
-    // set size and the full token array for verification. It feeds the
-    // prefix explode and both verify sides, so it is checkpointed once.
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ftok"), col("tok"))).cast("long"))
+    // One grouped frame carries everything per doc: the rank array sorted
+    // ascending (= the global frequency order), the set size, and the
+    // prefix slice. It feeds the prefix explode and both verify sides, so
+    // it is checkpointed once.
     val perDoc = sets.join(freq, Seq("tok"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("ftok"), col("tok")))).as("fa"),
+      .agg(sort_array(collect_list(col("rk"))).as("arr"),
         count(lit(1)).as("n"))
       // prefix length n − ⌈7n/10⌉ + 1, in pure integers
       .withColumn("plen", (col("n") - expr("(7*n + 9) div 10") + 1).cast("int"))
-      .select(col("doc_id"), col("n"),
-        transform(col("fa"), x => x.getField("tok")).as("arr"),
-        expr("transform(slice(fa, 1, plen), x -> x.tok)").as("prefix_toks"))
+      .select(col("doc_id"), col("n"), col("arr"),
+        slice(col("arr"), lit(1), col("plen")).as("prefix_rks"))
       .localCheckpoint()
     val prefix = perDoc.select(col("doc_id"), col("n"),
-      explode(col("prefix_toks")).as("tok"))
+      explode(col("prefix_rks")).as("tok"))
     // PPJoin length filter inside candidate generation: J ≥ 7/10 forces
     // 7·|a| ≤ 10·|b| and 7·|b| ≤ 10·|a| — halves the candidates here
     // (202k → 104k at sf0.1) before any verification work.

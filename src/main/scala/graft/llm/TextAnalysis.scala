@@ -191,8 +191,14 @@ object TextAnalysis {
     // integer sums, and one sqrt at the end. All joins are term/doc_id
     // equi-joins; the pair shuffle is keyed by term — never doc×doc.
     "tf_cosine_pairs" -> ((s, d) => {
+      // tokens pre-projected to an attribute: passing the split()
+      // expression straight into ngramsAll inlines it into the transform
+      // lambda, re-running the regex split per gram element (measured
+      // 1.3s -> 4s regression when CollapseProject merged the projections;
+      // an attribute reference keeps the split at once-per-row)
       val terms = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Text.ngramsAll(T, 2)).as("term"))
+        .select(col("doc_id"), T.as("w"))
+        .select(col("doc_id"), explode(Text.ngramsAll(col("w"), 2)).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df via a window over tf (tf rows are distinct (doc, term), so the
       // per-term row count IS the df): ONE evaluation of the
