@@ -322,9 +322,15 @@ FROM ranked"""
       .crossJoin(broadcast(total))
       .withColumn("step", expr(s"total_w div $SampleK"))
       .withColumn("off", expr("step div 2"))
+    // Threshold index clamped at SampleK on both engines: without the
+    // clamp, whenever total_w % K > step/2 an extra (K+1)-th threshold
+    // off + K*step still lands inside the weighted axis and the sample
+    // emits K+1 picks — the clamp makes the sample size exactly K for
+    // ANY weight distribution, not just the current data.
     withCum
       .withColumn("n_picks",
-        expr("(cum - 1 - off + step) div step - (cum - w - 1 - off + step) div step"))
+        expr(s"least((cum - 1 - off + step) div step, ${SampleK}L) - " +
+          s"least((cum - w - 1 - off + step) div step, ${SampleK}L)"))
       .filter(col("n_picks") > 0)
       .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
   }
@@ -339,9 +345,11 @@ WITH cums AS (
   SELECT *, total_w // $SampleK AS step, (total_w // $SampleK) // 2 AS off FROM cums
 )
 SELECT doc_id, w, cum,
-  (cum - 1 - off + step) // step - (cum - w - 1 - off + step) // step AS n_picks
+  least((cum - 1 - off + step) // step, $SampleK) -
+  least((cum - w - 1 - off + step) // step, $SampleK) AS n_picks
 FROM params
-WHERE (cum - 1 - off + step) // step - (cum - w - 1 - off + step) // step > 0"""
+WHERE least((cum - 1 - off + step) // step, $SampleK) -
+      least((cum - w - 1 - off + step) // step, $SampleK) > 0"""
 
   // ------------------------------------------------------- url_parse --
 

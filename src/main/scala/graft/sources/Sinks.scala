@@ -126,7 +126,11 @@ object Sinks {
       properties: java.util.Properties = new java.util.Properties): Unit = {
     require(keys.nonEmpty, "jdbcMerge needs at least one key column")
     val stage = table + "__stage"
-    df.write.mode("overwrite").jdbc(url, stage, properties)
+    // A batch carrying the same key twice would land both copies (the
+    // DELETE removes target rows, not intra-stage duplicates) — dedupe on
+    // the keys before staging so the merge is key-idempotent regardless
+    // of upstream batch composition.
+    df.dropDuplicates(keys).write.mode("overwrite").jdbc(url, stage, properties)
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       val st = conn.createStatement()
@@ -139,10 +143,21 @@ object Sinks {
       // Derby/Postgres) — qualify with quoted identifiers to match
       def q(c: String) = "\"" + c + "\""
       val pred = keys.map(k => s"$stage.${q(k)} = $table.${q(k)}").mkString(" AND ")
-      st.executeUpdate(
-        s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $stage WHERE $pred)")
-      val cols = df.columns.map(q).mkString(", ")
-      st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+      // delete-matched + insert are ONE transaction: autocommitting them
+      // separately leaves a window where a crash after the DELETE loses
+      // the matched target rows until the batch is retried
+      conn.setAutoCommit(false)
+      try {
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $stage WHERE $pred)")
+        val cols = df.columns.map(q).mkString(", ")
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      } finally conn.setAutoCommit(true)
       st.executeUpdate(s"DROP TABLE $stage")
       st.close()
     } finally conn.close()

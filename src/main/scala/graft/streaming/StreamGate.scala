@@ -46,9 +46,20 @@ object StreamGate {
     try {
       val cutoff = java.time.Instant.now().minusSeconds(24 * 3600)
       Files.list(base).iterator().forEachRemaining { sib =>
-        if (sib.getFileName.toString.startsWith("graft_stream_gate_") &&
-            Files.getLastModifiedTime(sib).toInstant.isBefore(cutoff))
-          deleteRecursively(sib)
+        val name = sib.getFileName.toString
+        if (name.startsWith("graft_stream_gate_")) {
+          // Liveness first, age only as a fallback: an mtime-only reap
+          // would delete the live checkpoints of a legitimately
+          // long-running sibling (e.g. a large-SF bench past 24h).
+          val sibPid = name.stripPrefix("graft_stream_gate_").toLongOption
+          val alive = sibPid.exists { p =>
+            try { val h = ProcessHandle.of(p); h.isPresent && h.get().isAlive }
+            catch { case _: Exception => true } // can't tell -> keep
+          }
+          val old = Files.getLastModifiedTime(sib).toInstant.isBefore(cutoff)
+          val dead = sibPid.isDefined && !alive
+          if (dead || (sibPid.isEmpty && old)) deleteRecursively(sib)
+        }
       }
     } catch { case _: Exception => () }
     val p = base.resolve(s"graft_stream_gate_$pid")
