@@ -51,6 +51,46 @@ class DedupSpec extends SparkSpec {
     assert(j.filter(col("jaccard") < 0.5).count() === 0)
   }
 
+  test("substring dedup equals the brute-force span merge on every document") {
+    val g = TextDedup.SubstringG
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // corpus-wide occurrence count of every G-char window
+    val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (t <- texts.values; i <- 0 to t.length - g) occ(t.substring(i, i + g)) += 1
+    // independent driver-side reimplementation: duplicated positions ->
+    // gap>G interval merge -> (start, end, len, n_dup_grams)
+    val expected = (for {
+      (doc, t) <- texts.toSeq
+      dupPos = (1 to t.length - g + 1).filter(p => occ(t.substring(p - 1, p - 1 + g)) >= 2)
+      if dupPos.nonEmpty
+      island <- dupPos.foldLeft(List.empty[List[Int]]) {
+        case ((cur :: rest), p) if p - cur.head <= g => (p :: cur) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+    } yield (doc, island.min.toLong, island.max.toLong + g - 1,
+      (island.max + g - island.min).toLong, island.size.toLong)).toSet
+    val actual = TextDedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(expected.nonEmpty, "testdata should contain duplicate spans")
+    assert(actual === expected)
+    // structural invariants: spans per doc are disjoint with a real gap
+    // (two spans closer than G would have merged) and within bounds
+    for ((doc, spans) <- actual.groupBy(_._1)) {
+      val sorted = spans.toSeq.sortBy(_._2)
+      sorted.foreach { case (_, s0, e0, len, n) =>
+        assert(len === e0 - s0 + 1); assert(len >= g)
+        assert(s0 >= 1 && e0 <= texts(doc).length); assert(n >= 1)
+      }
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1, _, _), (_, s2, _, _, _)) =>
+          assert(s2 - (e1 - g + 1) > g, s"spans in doc $doc should not merge")
+        case _ =>
+      }
+    }
+  }
+
   test("incremental dedup = full pair set restricted to new-bucket partners") {
     def isNew(id: Long): Boolean = ((id * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
     val inc = TextDedup.queries("dedup_incremental")(spark, sf)

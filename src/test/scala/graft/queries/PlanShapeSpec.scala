@@ -266,6 +266,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring shuffles the gram stream exactly once") {
+    // Lee et al. span dedup: the |total_chars|-row gram stream must cross
+    // the wire once (the hash-partition by gram that replaces the paper's
+    // suffix-array sort); everything after runs on the much smaller
+    // flagged-position stream, partitioned by doc.
+    val p = plan("dedup_substring")
+    val gramShuffles = "hashpartitioning\\(gv".r.findAllIn(p).size
+    assert(gramShuffles === 1, s"gram stream should shuffle exactly once:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected gram + doc-window + span-agg only:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
