@@ -20,6 +20,73 @@ object CorpusClean {
 
   val QualityThreshold = 0.5
 
+  /** Hashed feature space of the linear quality classifier. */
+  val ClfDim = 1024L
+  private val P = 1000000007L
+
+  /** fastText-style linear quality classifier: hashed bag of word unigrams
+    * + bigrams (the hashing trick — no vocabulary pass, streaming/100 TB
+    * friendly), dotted with a broadcast D-row weight vector, thresholded
+    * WITHOUT a sigmoid (sigmoid(m) ≥ 1/2 ⟺ m ≥ 0, so the keep/drop
+    * decision and the ranking are pure integer arithmetic; the only float
+    * is the final length-normalized score, one exact division). The
+    * weights here are a deterministic literal dim standing in for trained
+    * parameters — in production the same plan runs with a trained vector;
+    * the plan shape (explode → hash → broadcast-join weights → per-doc
+    * sum) is the entire operator.
+    *
+    * Columns: doc_id, n_terms, margin (Σ w·tf, BIGINT), score
+    * (margin / (1000·n_terms), in [-1, 1]), keep (margin ≥ 0). */
+  def classifierScores(s: SparkSession, d: String): DataFrame = {
+    // weight vector as a literal broadcast dim: w(b) ∈ [-1000, 1000]
+    val weights = s.range(0, ClfDim).select(col("id").as("b"),
+      (((col("id") * 1103515245L + 12345L) % 2001L) - 1000L).as("wgt"))
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(concat(col("w"), Text.ngramsAll(col("w"), 2))).as("term"))
+    terms
+      // char-polynomial code mod P, bucketed mod D — identical integer
+      // fold in the oracle
+      .withColumn("code", aggregate(split(col("term"), ""), lit(0L),
+        (a, c) => (a * 131L + ascii(c).cast("long")) % P))
+      .withColumn("b", col("code") % ClfDim)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("wgt")).as("margin"))
+      .withColumn("score",
+        col("margin").cast("double") / (col("n_terms") * 1000L).cast("double"))
+      .withColumn("keep", col("margin") >= 0L)
+  }
+
+  private def classifierSql: String = {
+    val ts = Text.tokensSql("text")
+    // the token-array alias must differ from ngramsAllSql's internal `w`
+    // alias — DuckDB treats a same-named outer column as a self-reference
+    val bigrams = Text.ngramsAllSql("toks", 2)
+    s"""
+WITH base AS (
+  SELECT doc_id, $ts AS toks FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(toks || $bigrams) AS term FROM base
+),
+hashed AS (
+  SELECT doc_id,
+    (list_reduce([CAST(0 AS BIGINT)] || list_transform(regexp_split_to_array(term, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*131 + b) % $P)) % $ClfDim AS b
+  FROM terms
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(((b * 1103515245 + 12345) % 2001) - 1000) AS BIGINT) AS margin
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, n_terms, margin,
+       CAST(margin AS DOUBLE) / CAST(n_terms * 1000 AS DOUBLE) AS score,
+       margin >= 0 AS keep
+FROM scored"""
+  }
+
   def clean(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val stats = Tables.documents(s, d)
@@ -44,14 +111,28 @@ object CorpusClean {
     val losers = TextDedup.queries("dedup_jaccard")(s, d)
       .select(col("d2").as("doc_id")).distinct()
 
+    // stage 6 — learned filter: the linear classifier's keep/drop on top
+    // of the rule-based quality score (the standard curation stack runs
+    // both: rules catch structural junk, the classifier catches fluent
+    // junk the rules can't)
+    val clf = classifierScores(s, d)
+      .select(col("doc_id"), col("margin").as("clf_margin"), col("keep"))
+
     keepers
       .filter(col("quality_score") >= QualityThreshold)
       .join(losers, Seq("doc_id"), "left_anti")
-      .select("doc_id", "n_tokens", "quality_score")
+      .join(clf, Seq("doc_id"))
+      .filter(col("keep"))
+      .select("doc_id", "n_tokens", "quality_score", "clf_margin")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> ((s, d) => clean(s, d))
+    "corpus_clean" -> ((s, d) => clean(s, d)),
+    // Learned-filter ranking surface: the 50 highest-scoring documents
+    // under the hashed linear classifier (TakeOrdered top-k, never a
+    // global sort).
+    "quality_score_topk" -> ((s, d) =>
+      classifierScores(s, d).orderBy(col("score").desc, col("doc_id")).limit(50))
   )
 
   def oracles: Map[String, String] = {
@@ -95,10 +176,28 @@ losers AS (
   SELECT DISTINCT d2 AS doc_id
   FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
   WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= ${TextDedup.JaccardThreshold}
+),
+cterms AS (
+  SELECT doc_id, unnest(toks || ${Text.ngramsAllSql("toks", 2)}) AS term FROM base
+),
+chashed AS (
+  SELECT doc_id,
+    (list_reduce([CAST(0 AS BIGINT)] || list_transform(regexp_split_to_array(term, ''), c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*131 + b) % 1000000007) ) % $ClfDim AS b
+  FROM cterms
+),
+cmargin AS (
+  SELECT doc_id,
+         CAST(sum(((b * 1103515245 + 12345) % 2001) - 1000) AS BIGINT) AS clf_margin
+  FROM chashed GROUP BY doc_id
 )
-SELECT doc_id, n_tokens, quality_score
-FROM keepers
-WHERE quality_score >= $QualityThreshold
-  AND doc_id NOT IN (SELECT doc_id FROM losers)""")
+SELECT k.doc_id, k.n_tokens, k.quality_score, c.clf_margin
+FROM keepers k JOIN cmargin c ON k.doc_id = c.doc_id
+WHERE k.quality_score >= $QualityThreshold
+  AND k.doc_id NOT IN (SELECT doc_id FROM losers)
+  AND c.clf_margin >= 0""",
+
+    "quality_score_topk" -> s"""
+SELECT * FROM ($classifierSql)
+ORDER BY score DESC, doc_id LIMIT 50""")
   }
 }

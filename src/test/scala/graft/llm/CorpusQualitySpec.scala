@@ -18,6 +18,39 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  test("linear classifier margin matches the driver-side dot product") {
+    val P = 1000000007L
+    def code(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 131L + c.toLong) % P)
+    def wgt(b: Long): Long = ((b * 1103515245L + 12345L) % 2001L) - 1000L
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val expected = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val w = toks(r.getString(1))
+        val terms = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        val margin = terms.map(t => wgt(code(t) % CorpusClean.ClfDim)).sum
+        (r.getLong(0), (terms.size.toLong, margin))
+      }.filter(_._2._1 > 0).toMap // zero-term docs have no exploded rows
+    val actual = CorpusClean.classifierScores(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(actual === expected)
+    // keep is exactly the sign test, and both classes occur on real data
+    val df = CorpusClean.classifierScores(spark, sf)
+    assert(df.filter(col("keep") =!= (col("margin") >= 0L)).count() === 0)
+    assert(df.filter(col("keep")).count() > 0)
+    assert(df.filter(!col("keep")).count() > 0)
+  }
+
+  test("quality_score_topk is the true top-50 by normalized score") {
+    val all = CorpusClean.classifierScores(spark, sf).collect()
+      .map(r => (r.getDouble(3), r.getLong(0)))
+      .sortBy { case (sc, id) => (-sc, id) }.take(50).toSeq
+    val topk = CorpusClean.queries("quality_score_topk")(spark, sf).collect()
+      .map(r => (r.getDouble(3), r.getLong(0))).toSeq
+    assert(topk === all)
+  }
+
   test("repetition filter flags some docs and dup fraction is in [0,1)") {
     val df = CorpusQuality.queries("repetition_ngrams")(spark, sf)
     val flagged = df.filter(col("is_repetitive")).count()

@@ -266,6 +266,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quality_score_topk broadcasts the weight dim and takes ordered top-k") {
+    val p = plan("quality_score_topk")
+    assert(p.contains("BroadcastHashJoin"), s"weight dim should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
   test("dedup_substring shuffles the gram stream exactly once") {
     // Lee et al. span dedup: the |total_chars|-row gram stream must cross
     // the wire once (the hash-partition by gram that replaces the paper's
