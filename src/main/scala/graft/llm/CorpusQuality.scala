@@ -177,6 +177,45 @@ object CorpusQuality {
       exploded.select(
         col("doc_id"), col("line_no"), col("line"),
         (row_number().over(w) === 1).as("keep"))
+    }),
+
+    // Paragraph-granularity dedup + document reassembly, the full C4-style
+    // round trip in one query: split each document into fixed 10-token
+    // paragraphs (this corpus has no punctuation marker, so the paragraph
+    // boundary is positional — the same construction [[line_dedup]] uses),
+    // keep only the FIRST corpus-wide occurrence of each distinct
+    // paragraph (min (doc_id, para_no) — the C4 policy), and reassemble
+    // every document from its surviving paragraphs in original order.
+    // Shape: posexplode → one shuffle clustered on paragraph text
+    // (row_number window) → per-doc re-agg (sort_array of kept
+    // (para_no, para) structs → array_join). Nothing is all-pairs; the
+    // paragraph shuffle is the C4 line shuffle at coarser granularity.
+    "paragraph_dedup" -> ((s, d) => {
+      val Pw = 10
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), T.as("toks"))
+        .withColumn("nparas", expr(s"(size(toks) + ${Pw - 1}) div $Pw"))
+        .select(col("doc_id"),
+          posexplode(when(col("nparas") >= 1,
+            transform(sequence(lit(0), col("nparas") - 1),
+              k => array_join(slice(col("toks"), k * Pw + 1, lit(Pw)), " ")))
+            .otherwise(array().cast("array<string>")))
+            .as(Seq("para_no", "para")))
+        .select(col("doc_id"), col("para_no").cast("long").as("para_no"),
+          col("para"))
+      val w = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_no"))
+      exploded
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_paras"),
+          count(when(col("keep"), lit(1))).as("n_kept"),
+          array_join(
+            transform(
+              sort_array(collect_list(when(col("keep"),
+                struct(col("para_no"), col("para"))))),
+              x => x.getField("para")),
+            " ").as("clean_text"))
     })
   )
 
@@ -283,6 +322,28 @@ l AS (
 )
 SELECT doc_id, u.no AS line_no, u.ln AS line,
   (row_number() OVER (PARTITION BY u.ln ORDER BY doc_id, u.no)) = 1 AS keep
-FROM l"""
+FROM l""",
+
+    // Mirrors `paragraph_dedup`: same positional 10-token split, same
+    // first-occurrence window, same order-preserving reassembly (the
+    // list(... ORDER BY para_no) fold is the sort_array twin).
+    "paragraph_dedup" -> s"""
+WITH base AS (SELECT doc_id, $TS AS toks FROM documents),
+pe AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, (len(toks)+9)//10 - 1),
+      k -> {'pn': k, 'p': array_to_string(list_slice(toks, k*10+1, k*10+10), ' ')})) AS x
+  FROM base
+), flat AS (
+  SELECT doc_id, CAST(x.pn AS BIGINT) AS para_no, x.p AS para FROM pe
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, para_no) AS rn
+  FROM flat
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+  coalesce(array_to_string(list(para ORDER BY para_no) FILTER (WHERE rn = 1), ' '), '') AS clean_text
+FROM ranked GROUP BY doc_id"""
   )
 }

@@ -99,6 +99,32 @@ class CorpusQualitySpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("paragraph dedup reassembles docs in order and keeps exactly first occurrences") {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).sortBy(_._1)
+    // driver-side reimplementation: positional 10-token paragraphs,
+    // first-occurrence-wins in (doc_id, para_no) order, in-order rejoin
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, w) =>
+      val paras = w.grouped(10).map(_.mkString(" ")).toSeq
+      val kept = paras.filter(p => seen.add(p))
+      id -> ((paras.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val actual = CorpusQuality.queries("paragraph_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(actual === expected)
+    // and the dedup is real on this corpus: some doc loses a paragraph,
+    // and no paragraph text survives twice across all clean_texts
+    assert(actual.values.exists { case (np, nk, _) => nk < np })
+    val keptParas = actual.toSeq.flatMap(_._2._3 match {
+      case "" => Nil
+      case t  => toks(t).grouped(10).map(_.mkString(" ")).toSeq
+    })
+    assert(keptParas.distinct.size === keptParas.size)
+  }
+
   test("line dedup keeps exactly one copy of every distinct line") {
     val df = CorpusQuality.queries("line_dedup")(spark, sf).cache()
     try {
