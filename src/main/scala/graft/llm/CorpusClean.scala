@@ -41,16 +41,36 @@ object CorpusClean {
     // weight vector as a literal broadcast dim: w(b) ∈ [-1000, 1000]
     val weights = s.range(0, ClfDim).select(col("id").as("b"),
       (((col("id") * 1103515245L + 12345L) % 2001L) - 1000L).as("wgt"))
-    val terms = Tables.documents(s, d)
-      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        explode(concat(col("w"), Text.ngramsAll(col("w"), 2))).as("term"))
-    terms
-      // char-polynomial code mod P, bucketed mod D — identical integer
-      // fold in the oracle
-      .withColumn("code", aggregate(split(col("term"), ""), lit(0L),
-        (a, c) => (a * 131L + ascii(c).cast("long")) % P))
-      .withColumn("b", col("code") % ClfDim)
+    // Tokenize + bigram + char-polynomial hash in ONE imperative pass
+    // (the [[TextDedup.gramSetsUncached]] trade: Catalyst's higher-order
+    // aggregate() is interpreted per character — ~2.5s at sf0.1 vs 0.6s
+    // for this loop). Semantics are bit-identical to Text.tokens /
+    // Text.ngramsAll + the (a·131 + ascii) % P fold the oracle replays.
+    val spark = s
+    import spark.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+        def bucketOf(t: String): Long = {
+          var a = 0L; var i = 0
+          while (i < t.length) { a = (a * 131L + t.charAt(i).toLong) % 1000000007L; i += 1 }
+          a % ClfDim
+        }
+        it.flatMap { case (id, text) =>
+          val toks = sep.split(text.toLowerCase).filter(_.nonEmpty)
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](toks.length * 2)
+          var i = 0
+          while (i < toks.length) {
+            out += ((id, bucketOf(toks(i))))
+            if (i + 1 < toks.length) out += ((id, bucketOf(toks(i) + " " + toks(i + 1))))
+            i += 1
+          }
+          out
+        }
+      }
+      .toDF("doc_id", "b")
+    hashed
       .join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("wgt")).as("margin"))
