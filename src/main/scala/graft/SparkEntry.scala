@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, Temporal, Windowed}
-import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, LangModel, Multimodal, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, ScaleOps, Stats, Temporal, Windowed}
+import graft.llm.{CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Multimodal, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,7 +100,8 @@ object SparkEntry {
       KMeans.queries ++
       Similarity.queries ++ Similarity.lshQueries ++
       IvfAnn.queries ++ PqAnn.queries ++ SemDeDup.queries ++ Multimodal.queries ++
-      Retrieval.queries ++ Enrich.queries
+      Retrieval.queries ++ Enrich.queries ++ Stats.queries ++ ScaleOps.queries ++
+      PhraseIndex.queries ++ KnnLabel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -114,5 +115,6 @@ object SparkEntry {
       KMeans.oracles ++
       Similarity.oracles ++ Similarity.lshOracles ++ IvfAnn.oracles ++
       PqAnn.oracles ++ SemDeDup.oracles ++ Multimodal.oracles ++
-      Retrieval.oracles ++ Enrich.oracles
+      Retrieval.oracles ++ Enrich.oracles ++ Stats.oracles ++ ScaleOps.oracles ++
+      PhraseIndex.oracles ++ KnnLabel.oracles
 }

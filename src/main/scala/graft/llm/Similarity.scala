@@ -35,7 +35,7 @@ object Similarity {
     * order matches [[dotSql]] exactly, via the codegen'd native expression
     * [[graft.expr.DotProductFloat]] (see its doc for why not a UDF or a
     * higher-order function). */
-  private def dot(a: Column, b: Column): Column =
+  private[llm] def dot(a: Column, b: Column): Column =
     graft.expr.VectorExpressions.dotF(a, b)
 
   /** Same fold as [[dotSql]]/dotUdf on primitive arrays (used by the
@@ -54,14 +54,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def dotSql(a: String, b: String): String =
+  private[llm] def dotSql(a: String, b: String): String =
     s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private[llm] def norm(a: Column): Column = sqrt(dot(a, a))
+  private[llm] def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   /** Embeddings with precomputed norms (computed once, reused per pair). */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  private[llm] def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 

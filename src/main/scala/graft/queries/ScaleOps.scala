@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scale-posture operators: the classic shipping-priority star query, a
+  * small-file compaction planner, and a salted hot-key join registered as
+  * a driver-checked query (the [[graft.operators.Skew]] kernels had suite
+  * coverage but no oracle row until now).
+  *
+  * Exactness: revenue is integer cents×100 — floor(price·100) cents times
+  * the integer discount complement (100 − floor(discount·100)) — so the
+  * grouped sums are exact BIGINTs on both engines (never
+  * sum(price·(1−discount)) in doubles: that hash depends on fold order).
+  *
+  * Scale shapes:
+  *  - q3_shipping_priority: dim filter (customer segment) broadcasts into
+  *    the orders join; orders⋈lineitem shuffles on the natural key; the
+  *    top-10 is a bounded TakeOrdered, not a global sort.
+  *  - compaction_bins: per-partition (source) window over the FILE
+  *    aggregate — the planner reads file-level stats (bytes per file),
+  *    never data rows, exactly like a real table-maintenance service
+  *    reading the manifest.
+  *  - salted_skew_join: the hot fact key (150 distinct user_ids across
+  *    every event row) is spread over 8 sub-keys before the join; the
+  *    replicated dim makes the join local per salt. Result is provably
+  *    salt-invariant (the final aggregate ignores the salt), which is
+  *    what the oracle — a plain unsalted join — checks.
+  */
+object ScaleOps {
+
+  // ------------------------------------------- q3_shipping_priority --
+
+  private val Cutoff = "1998-06-01"
+
+  /** TPC-H Q3 shape on the synthetic star: revenue of not-yet-shipped
+    * lineitems of BUILDING-segment orders placed before the cutoff,
+    * top 10 orders by revenue (cents×100 exact integers). */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(Cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(Cutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev_c4"))
+    val top = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum("rev_c4").as("revenue_c4"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("revenue_c4").desc, col("l_orderkey"))))
+      .filter(col("rnk") <= 10)
+    top.select(col("rnk").cast("int").as("rnk"), col("l_orderkey"),
+      col("revenue_c4"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  val q3Sql: String = s"""
+WITH j AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '$Cutoff'
+    AND l_shipdate  > TIMESTAMP '$Cutoff'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT CAST(rnk AS INT) AS rnk, l_orderkey, revenue_c4, o_orderdate, o_orderpriority
+FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue_c4 DESC, l_orderkey) AS rnk FROM j
+) WHERE rnk <= 10"""
+
+  // ------------------------------------------------ compaction_bins --
+
+  private val TargetBytes = 65536L
+
+  /** Small-file compaction planner: files (doc_id div 16 per source, with
+    * bytes = Σ n_chars) are packed into ~64 KiB output bins by start
+    * offset on the per-source cumulative byte axis — the deterministic,
+    * window-parallel equivalent of first-fit on a sorted manifest. */
+  def compactionBins(s: SparkSession, d: String): DataFrame = {
+    val files = Tables.documents(s, d)
+      .groupBy(col("source"), expr("doc_id div 16").as("file_id"))
+      .agg(sum("n_chars").as("bytes"))
+    val bySource = Window.partitionBy("source").orderBy("file_id")
+    files
+      .withColumn("cum", sum("bytes").over(bySource))
+      .withColumn("bin", expr(s"(cum - bytes) div $TargetBytes"))
+      .select("source", "file_id", "bytes", "bin")
+  }
+
+  val compactionSql: String = s"""
+WITH files AS (
+  SELECT source, doc_id // 16 AS file_id, CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, file_id, bytes,
+  (CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id) AS BIGINT) - bytes)
+    // $TargetBytes AS bin
+FROM files"""
+
+  // ---------------------------------------------- salted_skew_join --
+
+  /** Events (150 hot user keys over every row) joined to the customer dim
+    * through [[graft.operators.Skew.saltedJoin]] with 8 salts, then
+    * aggregated per market segment. The oracle is the PLAIN join+group —
+    * the whole point is that salting changes the physical key spread, not
+    * the result. */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.events(s, d).select(
+      col("user_id").as("c_custkey"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    graft.operators.Skew.saltedJoin(fact, dim, "c_custkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+  }
+
+  val saltedSql: String = """
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
+    "compaction_bins"      -> ((s, d) => compactionBins(s, d)),
+    "salted_skew_join"     -> ((s, d) => saltedSkewJoin(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q3_shipping_priority" -> q3Sql,
+    "compaction_bins"      -> compactionSql,
+    "salted_skew_join"     -> saltedSql
+  )
+}

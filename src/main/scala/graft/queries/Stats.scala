@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-testing operators: two-sample Kolmogorov–Smirnov, Welch's
+  * unequal-variance t-test, and autocorrelation of an aggregated series —
+  * the distribution-drift / A-B-comparison layer of a data pipeline
+  * (complementing the simpler `drift_tvd` total-variation check).
+  *
+  * Exactness contract (same discipline as [[Enrich]]): every number that
+  * reaches the oracle hash is either an integer, or a short chain of
+  * IEEE correctly-rounded double ops (+ − × ÷ sqrt) over integer-derived
+  * operands, written with the SAME expression tree on both engines.
+  * No ln/exp/pow anywhere (JVM Math.log vs glibc log differ ~1 ulp in
+  * tens-of-ppm of inputs — measured in round 8).
+  *
+  * Scale shapes:
+  *  - ks_statistic: the empirical-CDF cumulative count is the two-phase
+  *    prefix (per-value-bucket partials + a tiny broadcast bucket-prefix
+  *    dim + within-bucket window) — the same scalable pattern as
+  *    `pps_systematic_sample`, never a single-partition global window
+  *    over raw rows.
+  *  - welch_ttest: one scan, one 2-group aggregate of integer sums —
+  *    embarrassingly partial-aggregable (map-side combine does nearly
+  *    all the work at 100 TB).
+  *  - acf_lags: the series is the per-HOUR count aggregate, so its
+  *    length is bounded by the time span (720 points here), not the row
+  *    count; the ordered-window lag runs on that bounded aggregate, and
+  *    the heavy work (the groupBy) is a plain scalable shuffle.
+  */
+object Stats {
+
+  // ---------------------------------------------------- ks_statistic --
+
+  /** Two-sample KS statistic between the `value` distributions of click
+    * vs purchase events, as an exact rational: with cumulative counts
+    * cum1/cum2 at each distinct value and sample sizes n, m,
+    * D = max |cum1·m − cum2·n| / (n·m). The single final division of two
+    * exact BIGINTs is correctly rounded on both engines. */
+  def ksStatistic(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      // order-preserving integer bucket of the double value axis: the
+      // distinct-value rows (already one shuffle) get their cumulative
+      // counts from per-bucket partials, not one global window partition
+      .withColumn("bucket", floor(col("value")).cast("long"))
+    val bucketTotals = pts.groupBy("bucket")
+      .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+    val prefix = bucketTotals
+      .withColumn("p1", coalesce(sum("b1").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("p2", coalesce(sum("b2").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "p1", "p2")
+    val inBucket = Window.partitionBy("bucket").orderBy("value")
+    val totals = pts.agg(sum("c1").as("n"), sum("c2").as("m"))
+    pts
+      .join(broadcast(prefix), Seq("bucket"))
+      .withColumn("cum1", col("p1") + sum("c1").over(inBucket))
+      .withColumn("cum2", col("p2") + sum("c2").over(inBucket))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff", abs(col("cum1") * col("m") - col("cum2") * col("n")))
+      .groupBy("n", "m")
+      .agg(max("diff").as("d_num"))
+      .withColumn("d", col("d_num").cast("double") / (col("n") * col("m")).cast("double"))
+  }
+
+  val ksSql: String = """
+WITH pts AS (
+  SELECT value,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+), c AS (
+  SELECT
+    CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+    CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+  FROM pts
+), t AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(sum(c2) AS BIGINT) AS m FROM pts
+)
+SELECT n, m,
+  CAST(max(abs(cum1 * m - cum2 * n)) AS BIGINT) AS d_num,
+  CAST(max(abs(cum1 * m - cum2 * n)) AS DOUBLE) / CAST(n * m AS DOUBLE) AS d
+FROM c, t GROUP BY n, m"""
+
+  // ----------------------------------------------------- welch_ttest --
+
+  /** Welch's unequal-variance t between l_extendedprice of return flags
+    * R and A, over whole-dollar integer values (floor — BIGINT-safe to
+    * sf10 where cents² sums would overflow int64). n, S=Σv, Q=Σv² are
+    * exact integers; mean, per-group variance-over-n, t, and the
+    * Welch–Satterthwaite df are the identical correctly-rounded double
+    * chains on both engines. */
+  def welchTTest(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice")).cast("long").as("v"))
+    // single scan, conditional sums — map-side combine does all the work
+    def cond(flag: String, e: org.apache.spark.sql.Column) =
+      sum(when(col("flag") === flag, e).otherwise(0L))
+    val joined = v.agg(
+      cond("R", lit(1L)).as("n1"), cond("R", col("v")).as("s1"),
+      cond("R", col("v") * col("v")).as("q1"),
+      cond("A", lit(1L)).as("n2"), cond("A", col("v")).as("s2"),
+      cond("A", col("v") * col("v")).as("q2"))
+    def dbl(c: String) = col(c).cast("double")
+    // se2_i = (Q - S·S/n) / (n-1) / n  — sample variance over n
+    def se2(q: String, sS: String, n: String) =
+      (dbl(q) - dbl(sS) * dbl(sS) / dbl(n)) / (dbl(n) - lit(1.0)) / dbl(n)
+    joined
+      .withColumn("mean1", dbl("s1") / dbl("n1"))
+      .withColumn("mean2", dbl("s2") / dbl("n2"))
+      .withColumn("se2_1", se2("q1", "s1", "n1"))
+      .withColumn("se2_2", se2("q2", "s2", "n2"))
+      .withColumn("t",
+        (col("mean1") - col("mean2")) / sqrt(col("se2_1") + col("se2_2")))
+      .withColumn("df",
+        (col("se2_1") + col("se2_2")) * (col("se2_1") + col("se2_2")) /
+          (col("se2_1") * col("se2_1") / (dbl("n1") - lit(1.0)) +
+           col("se2_2") * col("se2_2") / (dbl("n2") - lit(1.0))))
+      .select("n1", "n2", "mean1", "mean2", "t", "df")
+  }
+
+  val welchSql: String = """
+WITH g AS (
+  SELECT l_returnflag AS flag, CAST(floor(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN flag = 'R' THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN flag = 'R' THEN v * v ELSE 0 END) AS BIGINT) AS q1,
+    CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN flag = 'A' THEN v ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN flag = 'A' THEN v * v ELSE 0 END) AS BIGINT) AS q2
+  FROM g
+), w AS (
+  SELECT n1, n2,
+    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS se2_1,
+    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS se2_2
+  FROM agg
+)
+SELECT n1, n2, mean1, mean2,
+  (mean1 - mean2) / sqrt(se2_1 + se2_2) AS t,
+  (se2_1 + se2_2) * (se2_1 + se2_2) /
+    (se2_1 * se2_1 / (CAST(n1 AS DOUBLE) - 1.0) +
+     se2_2 * se2_2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
+FROM w"""
+
+  // ------------------------------------------------------- acf_lags --
+
+  private val MaxLag = 6
+
+  /** Autocorrelation of the hourly event-count series at lags 1..6, as an
+    * exact integer rational. With S=Σx, Q=Σx², n the series length,
+    * A_k = Σ x_t·x_{t+k} and B_k = Σ (x_t + x_{t+k}) over the n−k lag
+    * pairs, the mean-centered ACF multiplies out to
+    * r_k = (n²·A_k − n·S·B_k + (n−k)·S²) / (n²·Q − n·S²) — integer
+    * numerator and denominator, one final division. The ordered lag
+    * window runs over the per-hour AGGREGATE (bounded by the time span,
+    * 720 points here), never over raw events. */
+  def acfLags(s: SparkSession, d: String): DataFrame = {
+    val series = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("h")
+    // the lagged frame feeds 7 plan branches (6 per-lag aggregates +
+    // totals) — without the checkpoint each branch re-runs the events
+    // groupBy (the diamond-reuse trap; 1.46 s → one scan). 720 rows.
+    val lagged = (1 to MaxLag).foldLeft(series) { (df, k) =>
+      df.withColumn(s"x$k", lead("x", k).over(w))
+    }.localCheckpoint()
+    val totals = lagged.agg(
+      count(lit(1)).as("n"), sum("x").as("s"), sum(col("x") * col("x")).as("q"))
+    // all six lag aggregates in ONE pass: explode each series row into its
+    // (lag, x·x_k, x+x_k) contributions, then a single groupBy(lag) — six
+    // union branches would cost six jobs for 720 rows of data
+    val perLag = lagged
+      .select(explode(array((1 to MaxLag).map(k => struct(
+        lit(k).as("lag"),
+        (col("x") * col(s"x$k")).as("xx"),
+        (col("x") + col(s"x$k")).as("xs"))): _*)).as("e"))
+      .filter(col("e.xx").isNotNull)
+      .groupBy(col("e.lag").as("lag"))
+      .agg(sum("e.xx").as("a"), sum("e.xs").as("b"))
+    perLag.crossJoin(broadcast(totals))
+      .withColumn("num",
+        col("n") * col("n") * col("a") - col("n") * col("s") * col("b") +
+          (col("n") - col("lag")) * col("s") * col("s"))
+      .withColumn("den",
+        col("n") * col("n") * col("q") - col("n") * col("s") * col("s"))
+      .withColumn("r", col("num").cast("double") / col("den").cast("double"))
+      .select("lag", "num", "den", "r")
+  }
+
+  val acfSql: String = {
+    val lags = (1 to MaxLag).map { k =>
+      s"""SELECT $k AS lag,
+  CAST(sum(x * x$k) FILTER (WHERE x$k IS NOT NULL) AS BIGINT) AS a,
+  CAST(sum(x + x$k) FILTER (WHERE x$k IS NOT NULL) AS BIGINT) AS b
+FROM lagged"""
+    }.mkString("\nUNION ALL\n")
+    val leadCols = (1 to MaxLag).map(k =>
+      s"lead(x, $k) OVER (ORDER BY h) AS x$k").mkString(", ")
+    s"""
+WITH series AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT x, $leadCols FROM series
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM series
+), per_lag AS (
+$lags
+)
+SELECT CAST(lag AS INT) AS lag,
+  n * n * a - n * s * b + (n - lag) * s * s AS num,
+  n * n * q - n * s * s AS den,
+  CAST(n * n * a - n * s * b + (n - lag) * s * s AS DOUBLE)
+    / CAST(n * n * q - n * s * s AS DOUBLE) AS r
+FROM per_lag, t"""
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ks_statistic" -> ((s, d) => ksStatistic(s, d)),
+    "welch_ttest"  -> ((s, d) => welchTTest(s, d)),
+    "acf_lags"     -> ((s, d) => acfLags(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ks_statistic" -> ksSql,
+    "welch_ttest"  -> welchSql,
+    "acf_lags"     -> acfSql
+  )
+}

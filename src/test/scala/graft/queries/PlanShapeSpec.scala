@@ -284,6 +284,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected gram + doc-window + span-agg only:\n$p")
   }
 
+  test("q3_shipping_priority broadcasts the segment dim and group-limits the rank") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    // the RewriteWindowTopK rule lowers the ungrouped rank<=10 filter to a
+    // bounded TakeOrderedAndProject feeding a 10-row window — never a
+    // global sort of the aggregated result
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"rank<=10 filter should lower to a bounded top-k, not rank the full result:\n$p")
+  }
+
+  test("ks_statistic rides broadcast prefix/totals dims — no sort-merge join") {
+    val p = plan("ks_statistic")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), s"tiny prefix dims must broadcast:\n$p")
+  }
+
+  test("welch_ttest is one conditional-aggregate scan (single agg exchange)") {
+    val p = plan("welch_ttest")
+    assert(!p.contains("Join"), s"one scan, no self-join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"partial+final agg needs at most one exchange:\n$p")
+  }
+
+  test("knn ops keep the bounded-heap top-k operator, no window over all pairs") {
+    for (q <- Seq("knn_classify", "hard_negatives")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"), s"$q should use the bounded-heap top-k:\n$p")
+    }
+  }
+
+  test("collocation_lift broadcasts the vocabulary dims") {
+    val p = plan("collocation_lift")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"unigram dim is vocab-sized, must broadcast:\n$p")
+  }
+
+  test("phrase_search scan reads only doc_id and text; postings equi-join") {
+    val p = plan("phrase_search")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"postings projection should prune the documents scan:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics checks for the scale-posture operators (ScaleOps.scala). */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("q3: revenue is the exact cents×100 sum and rows rank by it") {
+    val rows = ScaleOps.q3ShippingPriority(spark, sf).orderBy("rnk").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // ranks are 1..n and revenue is non-increasing
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to rows.length))
+    val revs = rows.map(_.getAs[Long]("revenue_c4"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // spot-check the top order's revenue against a direct recomputation
+    val top = rows.head
+    val expect = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === top.getAs[Long]("l_orderkey") &&
+        col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .select(sum(floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))))
+      .collect().head.getLong(0)
+    assert(top.getAs[Long]("revenue_c4") === expect)
+  }
+
+  test("compaction_bins: bins are the start-offset packing of the manifest") {
+    val rows = ScaleOps.compactionBins(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("file_id"),
+        r.getAs[Long]("bytes"), r.getAs[Long]("bin")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, bytes, bin) =>
+        assert(bin === cum / 65536L)
+        cum += bytes
+      }
+      // bins are monotone non-decreasing in file order
+      val bins = sorted.map(_._4)
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("salted_skew_join equals the plain unsalted join+aggregate") {
+    val salted = ScaleOps.saltedSkewJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = graft.Tables.events(spark, sf)
+      .select(col("user_id").as("c_custkey"), floor(col("value") * 100).cast("long").as("cents"))
+      .join(graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"), Seq("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted === plain)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics checks for the statistical-test family (Stats.scala) — each
+  * distributed formulation is compared against a driver-side brute-force
+  * recomputation at test scale. */
+class StatsSpec extends SparkSpec {
+
+  test("ks_statistic matches the brute-force two-sample KS") {
+    val row = Stats.ksStatistic(spark, sf).collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+    val s1 = ev.filter(_.getString(0) == "click").map(_.getDouble(1)).sorted
+    val s2 = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1)).sorted
+    val (n, m) = (s1.length.toLong, s2.length.toLong)
+    val dNum = (s1 ++ s2).distinct.map { v =>
+      val c1 = s1.count(_ <= v).toLong
+      val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * m - c2 * n)
+    }.max
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("m") === m)
+    assert(row.getAs[Long]("d_num") === dNum)
+    assert(row.getAs[Double]("d") === dNum.toDouble / (n * m).toDouble)
+  }
+
+  test("welch_ttest matches the brute-force t statistic") {
+    val row = Stats.welchTTest(spark, sf).collect().head
+    val vs = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag"), floor(col("l_extendedprice")).cast("long"))
+      .collect()
+    def stats(flag: String): (Long, Double, Double) = {
+      val xs = vs.filter(_.getString(0) == flag).map(_.getLong(1))
+      val n = xs.length.toLong
+      val mean = xs.sum.toDouble / n.toDouble
+      val s2 = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1).toDouble
+      (n, mean, s2)
+    }
+    val (n1, m1, v1) = stats("R")
+    val (n2, m2, v2) = stats("A")
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(math.abs(row.getAs[Double]("mean1") - m1) < 1e-6)
+    assert(math.abs(row.getAs[Double]("t") - t) < 1e-6)
+    val df = row.getAs[Double]("df")
+    assert(df > math.min(n1, n2) / 2.0 && df < (n1 + n2).toDouble)
+  }
+
+  test("acf_lags matches brute force and stays within [-1, 1]") {
+    val out = Stats.acfLags(spark, sf).collect().map(r =>
+      r.getAs[Int]("lag") -> r.getAs[Double]("r")).toMap
+    val series = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("h").collect().map(_.getAs[Long]("x").toDouble)
+    val n = series.length
+    val mean = series.sum / n
+    val den = series.map(x => (x - mean) * (x - mean)).sum
+    for (k <- 1 to 6) {
+      val num = (0 until n - k).map(t => (series(t) - mean) * (series(t + k) - mean)).sum
+      assert(math.abs(out(k) - num / den) < 1e-9, s"lag $k")
+      assert(out(k) >= -1.0 && out(k) <= 1.0)
+    }
+  }
+}
