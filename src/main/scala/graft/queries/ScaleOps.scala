@@ -133,15 +133,52 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment"""
 
+  // --------------------------------------------------- copurchase_pairs --
+
+  /** Market-basket co-occurrence: part pairs appearing in the same order,
+    * top 20 by order count. The pair explosion is bounded PER GROUP
+    * (orders hold ~4-7 lines → ≤21 pairs each), so the self-join on the
+    * natural key co-partitions and the candidate volume grows linearly
+    * with orders — the shape that makes basket analysis feasible at
+    * 100 TB, unlike a global part×part cross. */
+  def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_orders").desc, col("p1"), col("p2"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk").cast("int").as("rnk"), col("p1"), col("p2"), col("n_orders"))
+  }
+
+  val copurchaseSql: String = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT CAST(rnk AS INT) AS rnk, p1, p2, n_orders FROM (
+  SELECT *, row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rnk FROM pairs
+) WHERE rnk <= 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
     "compaction_bins"      -> ((s, d) => compactionBins(s, d)),
-    "salted_skew_join"     -> ((s, d) => saltedSkewJoin(s, d))
+    "salted_skew_join"     -> ((s, d) => saltedSkewJoin(s, d)),
+    "copurchase_pairs"     -> ((s, d) => copurchasePairs(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q3_shipping_priority" -> q3Sql,
     "compaction_bins"      -> compactionSql,
-    "salted_skew_join"     -> saltedSql
+    "salted_skew_join"     -> saltedSql,
+    "copurchase_pairs"     -> copurchaseSql
   )
 }

@@ -43,6 +43,20 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("copurchase_pairs matches brute-force per-order pair counting") {
+    val fast = ScaleOps.copurchasePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) -> r.getAs[Long]("n_orders")).toMap
+    val op = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val counts = op.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = counts.toSeq.sortBy { case ((p1, p2), n) => (-n, p1, p2) }.take(20)
+    assert(fast === top.toMap)
+  }
+
   test("salted_skew_join equals the plain unsalted join+aggregate") {
     val salted = ScaleOps.saltedSkewJoin(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
