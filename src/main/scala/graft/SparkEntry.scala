@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, ScaleOps, Stats, Temporal, Windowed}
-import graft.llm.{BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Multimodal, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.llm.{BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Lexicon, Multimodal, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,7 +101,7 @@ object SparkEntry {
       Similarity.queries ++ Similarity.lshQueries ++
       IvfAnn.queries ++ PqAnn.queries ++ SemDeDup.queries ++ Multimodal.queries ++
       Retrieval.queries ++ Enrich.queries ++ Stats.queries ++ ScaleOps.queries ++
-      PhraseIndex.queries ++ KnnLabel.queries ++ BatchPrep.queries
+      PhraseIndex.queries ++ KnnLabel.queries ++ BatchPrep.queries ++ Lexicon.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -116,5 +116,5 @@ object SparkEntry {
       Similarity.oracles ++ Similarity.lshOracles ++ IvfAnn.oracles ++
       PqAnn.oracles ++ SemDeDup.oracles ++ Multimodal.oracles ++
       Retrieval.oracles ++ Enrich.oracles ++ Stats.oracles ++ ScaleOps.oracles ++
-      PhraseIndex.oracles ++ KnnLabel.oracles ++ BatchPrep.oracles
+      PhraseIndex.oracles ++ KnnLabel.oracles ++ BatchPrep.oracles ++ Lexicon.oracles
 }

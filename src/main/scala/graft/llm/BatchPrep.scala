@@ -64,6 +64,55 @@ SELECT CAST(epoch AS INT) AS epoch, doc_id, h % $Shards AS shard,
     PARTITION BY epoch, h % $Shards ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM e"""
 
+  // ------------------------------------------------------ resume_page --
+
+  /** Checkpoint-resume over the epoch-1 global order WITHOUT a global
+    * sort: the global order is (shard, pos) lexicographic; each shard's
+    * starting offset is a cumulative sum over the tiny per-shard-count
+    * dim ($Shards rows), broadcast back. global_pos = shard_offset + pos.
+    * The page after the checkpoint (skip the first 40 %, take 100) is
+    * then a plain distributed filter — the shape a dataloader resume
+    * takes at 100 TB, where materializing one globally sorted sequence
+    * is impossible but per-shard orders plus offsets are free. */
+  def resumePage(s: SparkSession, d: String): DataFrame = {
+    val e1 = epochShuffle(s, d).filter(col("epoch") === 1)
+      .select("doc_id", "shard", "pos")
+    val sizes = e1.groupBy("shard").agg(count(lit(1)).as("cnt"))
+    val before = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = sizes
+      .withColumn("shard_off", coalesce(sum("cnt").over(before), lit(0L)))
+      .withColumn("total", sum("cnt").over(whole))
+      .select("shard", "shard_off", "total")
+    e1.join(broadcast(off), Seq("shard"))
+      .withColumn("global_pos", col("pos") + col("shard_off"))
+      .withColumn("skip", expr("(total * 2) div 5"))
+      .filter(col("global_pos") > col("skip") && col("global_pos") <= col("skip") + 100)
+      .select("global_pos", "doc_id", "shard", "pos")
+  }
+
+  val resumePageSql: String = s"""
+WITH e AS (
+  SELECT doc_id, ${lcgSql("doc_id * 7919 + 1")} AS h FROM documents
+), r AS (
+  SELECT doc_id, h % $Shards AS shard,
+    CAST(row_number() OVER (PARTITION BY h % $Shards ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM e
+), sizes AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY shard
+), offs AS (
+  SELECT shard,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_off,
+    CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM sizes
+)
+SELECT r.pos + o.shard_off AS global_pos, r.doc_id, r.shard, r.pos
+FROM r JOIN offs o USING (shard)
+WHERE r.pos + o.shard_off > (o.total * 2) // 5
+  AND r.pos + o.shard_off <= (o.total * 2) // 5 + 100"""
+
   // -------------------------------------------------- length_batching --
 
   private val BinWidth = 16L
@@ -139,12 +188,14 @@ FROM per_doc GROUP BY lang"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "epoch_shuffle"       -> ((s, d) => epochShuffle(s, d)),
+    "resume_page"         -> ((s, d) => resumePage(s, d)),
     "length_batching"     -> ((s, d) => lengthBatching(s, d)),
     "tokenizer_fertility" -> ((s, d) => tokenizerFertility(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "epoch_shuffle"       -> epochShuffleSql,
+    "resume_page"         -> resumePageSql,
     "length_batching"     -> lengthBatchingSql,
     "tokenizer_fertility" -> fertilitySql
   )

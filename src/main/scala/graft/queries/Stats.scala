@@ -36,12 +36,12 @@ object Stats {
 
   // ---------------------------------------------------- ks_statistic --
 
-  /** Two-sample KS statistic between the `value` distributions of click
-    * vs purchase events, as an exact rational: with cumulative counts
-    * cum1/cum2 at each distinct value and sample sizes n, m,
-    * D = max |cum1·m − cum2·n| / (n·m). The single final division of two
-    * exact BIGINTs is correctly rounded on both engines. */
-  def ksStatistic(s: SparkSession, d: String): DataFrame = {
+  /** Per-distinct-value click/purchase counts with their cumulative sums,
+    * shared by `ks_statistic` and `mannwhitney_u`. The cumulative count
+    * is the two-phase prefix: per-bucket partials + a tiny broadcast
+    * bucket-prefix dim + within-bucket windows — never a global window
+    * over the raw value axis. */
+  private def cumCounts(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy("value")
@@ -61,11 +61,21 @@ object Stats {
         Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("bucket", "p1", "p2")
     val inBucket = Window.partitionBy("bucket").orderBy("value")
-    val totals = pts.agg(sum("c1").as("n"), sum("c2").as("m"))
     pts
       .join(broadcast(prefix), Seq("bucket"))
       .withColumn("cum1", col("p1") + sum("c1").over(inBucket))
       .withColumn("cum2", col("p2") + sum("c2").over(inBucket))
+  }
+
+  /** Two-sample KS statistic between the `value` distributions of click
+    * vs purchase events, as an exact rational: with cumulative counts
+    * cum1/cum2 at each distinct value and sample sizes n, m,
+    * D = max |cum1·m − cum2·n| / (n·m). The single final division of two
+    * exact BIGINTs is correctly rounded on both engines. */
+  def ksStatistic(s: SparkSession, d: String): DataFrame = {
+    val cc = cumCounts(s, d)
+    val totals = cc.agg(sum("c1").as("n"), sum("c2").as("m"))
+    cc
       .crossJoin(broadcast(totals))
       .withColumn("diff", abs(col("cum1") * col("m") - col("cum2") * col("n")))
       .groupBy("n", "m")
@@ -91,6 +101,80 @@ SELECT n, m,
   CAST(max(abs(cum1 * m - cum2 * n)) AS BIGINT) AS d_num,
   CAST(max(abs(cum1 * m - cum2 * n)) AS DOUBLE) / CAST(n * m AS DOUBLE) AS d
 FROM c, t GROUP BY n, m"""
+
+  // --------------------------------------------------- mannwhitney_u --
+
+  /** Mann–Whitney U (rank-sum) test between click and purchase `value`
+    * samples — the nonparametric counterpart of `welch_ttest`, robust to
+    * the non-normal value distribution. Everything structural is kept in
+    * EXACT integers by working with doubled rank sums: with pooled
+    * counts below a value L = (cum1−c1)+(cum2−c2) and ties t = c1+c2,
+    * the doubled average rank is 2L + t + 1 (an integer even when the
+    * average rank itself is x.5), so
+    *   2·R1 = Σ_v c1·(2L + t + 1),   2·U1 = 2·R1 − n1·(n1+1),
+    *   2·U2 = 2·n1·n2 − 2·U1,        ΣT   = Σ_v (t³ − t).
+    * The normal-approximation z with tie correction is the only float:
+    *   z = (2U1 − n1·n2) / (2·sqrt(var)),
+    *   var = n1·n2·(N³ − N − ΣT) / (12·N·(N−1)),  N = n1+n2,
+    * where N³−N−ΣT is computed as one exact BIGINT (safe to N ≈ 2M)
+    * before the cast, and the double chain is identical on both engines.
+    * Cumulative counts reuse the scalable two-phase prefix of
+    * [[cumCounts]] — one extra conditional aggregate over that frame. */
+  def mannWhitneyU(s: SparkSession, d: String): DataFrame = {
+    val cc = cumCounts(s, d)
+    val less2 = lit(2L) * (col("cum1") - col("c1") + col("cum2") - col("c2"))
+    val tie = col("c1") + col("c2")
+    val agg = cc.agg(
+      sum("c1").as("n1"),
+      sum("c2").as("n2"),
+      sum(col("c1") * (less2 + tie + 1L)).as("r1_x2"),
+      sum(tie * tie * tie - tie).as("tie_sum"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1L)
+    val bigN = col("n1") + col("n2")
+    val varNum = bigN * bigN * bigN - bigN - col("tie_sum")
+    val variance = dbl(col("n1")) * dbl(col("n2")) * dbl(varNum) /
+      (lit(12.0) * dbl(bigN) * (dbl(bigN) - lit(1.0)))
+    agg
+      .withColumn("u1_x2", u1x2)
+      .withColumn("u2_x2", lit(2L) * col("n1") * col("n2") - col("u1_x2"))
+      .withColumn("z",
+        (dbl(col("u1_x2")) - dbl(col("n1")) * dbl(col("n2"))) /
+          (lit(2.0) * sqrt(variance)))
+      .select("n1", "n2", "r1_x2", "u1_x2", "u2_x2", "tie_sum", "z")
+  }
+
+  val mannWhitneySql: String = """
+WITH pts AS (
+  SELECT value,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+), c AS (
+  SELECT c1, c2,
+    CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+    CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+  FROM pts
+), agg AS (
+  SELECT
+    CAST(sum(c1) AS BIGINT) AS n1,
+    CAST(sum(c2) AS BIGINT) AS n2,
+    CAST(sum(c1 * (2 * ((cum1 - c1) + (cum2 - c2)) + (c1 + c2) + 1)) AS BIGINT) AS r1_x2,
+    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS tie_sum
+  FROM c
+), u AS (
+  SELECT n1, n2, r1_x2, tie_sum,
+    r1_x2 - n1 * (n1 + 1) AS u1_x2,
+    2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+    n1 + n2 AS nn
+  FROM agg
+)
+SELECT n1, n2, r1_x2, u1_x2, u2_x2, tie_sum,
+  (CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        * CAST(nn * nn * nn - nn - tie_sum AS DOUBLE)
+      / (12.0 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))) AS z
+FROM u"""
 
   // ----------------------------------------------------- welch_ttest --
 
@@ -238,14 +322,16 @@ FROM per_lag, t"""
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ks_statistic" -> ((s, d) => ksStatistic(s, d)),
-    "welch_ttest"  -> ((s, d) => welchTTest(s, d)),
-    "acf_lags"     -> ((s, d) => acfLags(s, d))
+    "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
+    "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
+    "welch_ttest"   -> ((s, d) => welchTTest(s, d)),
+    "acf_lags"      -> ((s, d) => acfLags(s, d))
   )
 
   def oracles: Map[String, String] = Map(
-    "ks_statistic" -> ksSql,
-    "welch_ttest"  -> welchSql,
-    "acf_lags"     -> acfSql
+    "ks_statistic"  -> ksSql,
+    "mannwhitney_u" -> mannWhitneySql,
+    "welch_ttest"   -> welchSql,
+    "acf_lags"      -> acfSql
   )
 }

@@ -27,6 +27,22 @@ class BatchPrepSpec extends SparkSpec {
     assert(order(1) !== order(2), "epoch seed must change the permutation")
   }
 
+  test("resume_page: page is the shard-offset global order, 100 rows past 40%") {
+    val rows = BatchPrep.resumePage(spark, sf).collect()
+    assert(rows.length === 100)
+    val total = graft.Tables.documents(spark, sf).count()
+    val skip = total * 2 / 5
+    val poss = rows.map(_.getAs[Long]("global_pos")).sorted
+    assert(poss.toSeq === ((skip + 1) to (skip + 100)))
+    // global_pos is consistent with (shard, pos) lexicographic order:
+    // same shard → global_pos ordered like pos
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("global_pos")).toSeq ===
+        sorted.map(_.getAs[Long]("global_pos")).sorted.toSeq)
+    }
+  }
+
   test("length_batching: batches respect size cap and pad waste is exact") {
     val rows = BatchPrep.lengthBatching(spark, sf).collect()
     assert(rows.nonEmpty)

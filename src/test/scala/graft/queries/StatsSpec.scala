@@ -28,6 +28,31 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Double]("d") === dNum.toDouble / (n * m).toDouble)
   }
 
+  test("mannwhitney_u matches brute-force pooled average ranks") {
+    val row = Stats.mannWhitneyU(spark, sf).collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+    val s1 = ev.filter(_.getString(0) == "click").map(_.getDouble(1))
+    val s2 = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1))
+    val pooled = (s1.map((_, 1)) ++ s2.map((_, 2))).sortBy(_._1)
+    // average rank per tie group, doubled to stay integral
+    val rankX2 = pooled.zipWithIndex.groupBy(_._1._1).toSeq.flatMap { case (_, g) =>
+      val rx2 = g.map(_._2 + 1L).sum * 2 / g.length // 2*avg of consecutive ints
+      g.map { case ((_, grp), _) => (grp, rx2) }
+    }
+    val r1x2 = rankX2.filter(_._1 == 1).map(_._2).sum
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("r1_x2") === r1x2)
+    assert(row.getAs[Long]("u1_x2") === r1x2 - n1 * (n1 + 1))
+    // U1 + U2 = n1*n2 identity
+    assert(row.getAs[Long]("u1_x2") + row.getAs[Long]("u2_x2") === 2 * n1 * n2)
+    // z must be finite and modest for same-ish distributions
+    assert(!row.getAs[Double]("z").isNaN)
+  }
+
   test("welch_ttest matches the brute-force t statistic") {
     val row = Stats.welchTTest(spark, sf).collect().head
     val vs = graft.Tables.lineitem(spark, sf)
