@@ -506,9 +506,90 @@ FROM ra JOIN rb ON ra.doc_id = rb.doc_id
 ORDER BY rrf DESC, ra.doc_id
 LIMIT 20"""
 
+  // --------------------------------------------------- rbo_rankings ----
+
+  private val RboDepth = 10
+
+  /** Rank-biased overlap (Webber et al. 2010) between the BM25 ranking
+    * and the lexical-richness ranking of `rrf_fusion`, truncated at depth
+    * 10 with persistence p = 1/2:
+    *   RBO = Σ_{d=1..10} (1−p)·p^(d−1) · |A_1:d ∩ B_1:d| / d.
+    * p = 1/2 makes every weight an EXACT dyadic double (1/2^d via integer
+    * shift — no `pow`), each per-depth agreement is one correctly rounded
+    * division of exact integers, and the final sum is an explicitly
+    * ordered left fold over the depth-sorted terms (the `list(... ORDER
+    * BY ...)` + fold pattern — window cumsums over doubles are NOT used
+    * because DuckDB's segment-tree windowed sum need not associate like a
+    * left fold). The overlap-at-depth census needs no per-depth pass: a
+    * doc in both top-10s contributes to every depth ≥ max(rank_a, rank_b),
+    * so one explode of that range + one count covers all depths. Both
+    * rankings live on the bounded top-10 frame after the rank filter. */
+  def rboRankings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = bm25Scored(s, d)
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("ra") <= RboDepth).select("doc_id", "ra")
+    val rb = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("n_distinct").desc, col("doc_id"))))
+      .filter(col("rb") <= RboDepth).select("doc_id", "rb")
+    val overlaps = ra.join(rb, Seq("doc_id"))
+      .select(explode(sequence(greatest(col("ra"), col("rb")), lit(RboDepth))).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("overlap"))
+    val spine = s.range(1).select(
+      explode(sequence(lit(1), lit(RboDepth))).as("depth"))
+    val perDepth = spine.join(overlaps, Seq("depth"), "left")
+      .select(col("depth").cast("long").as("depth"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("a_d", col("overlap").cast("double") / col("depth").cast("double"))
+      // 1/2^d via integer shift: the Scala shiftleft() helper only takes a
+      // literal shift amount, so spell the column-shift in SQL
+      .withColumn("term",
+        expr("(1.0D / cast(shiftleft(1L, cast(depth as int)) as double))") * col("a_d"))
+    val rbo = perDepth
+      .agg(sort_array(collect_list(struct(col("depth"), col("term")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + x.getField("term")).as("rbo"))
+    perDepth.crossJoin(broadcast(rbo))
+      .select("depth", "overlap", "a_d", "term", "rbo")
+  }
+
+  val rboSql: String = s"""
+WITH $bm25CtesSql, rich AS (
+  SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM toked
+), ta AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_a
+  FROM scored QUALIFY rank_a <= $RboDepth
+), tb AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS INT) AS rank_b
+  FROM rich QUALIFY rank_b <= $RboDepth
+), ov AS (
+  SELECT depth, CAST(count(*) AS BIGINT) AS overlap FROM (
+    SELECT unnest(generate_series(CAST(greatest(rank_a, rank_b) AS BIGINT), $RboDepth)) AS depth
+    FROM ta JOIN tb USING (doc_id)
+  ) GROUP BY depth
+), spine AS (SELECT unnest(generate_series(1, $RboDepth)) AS depth),
+pd AS (
+  SELECT CAST(s.depth AS BIGINT) AS depth,
+    CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+    CAST(coalesce(o.overlap, 0) AS DOUBLE) / CAST(s.depth AS DOUBLE) AS a_d,
+    (1.0 / CAST(1 << s.depth AS DOUBLE))
+      * (CAST(coalesce(o.overlap, 0) AS DOUBLE) / CAST(s.depth AS DOUBLE)) AS term
+  FROM spine s LEFT JOIN ov o USING (depth)
+), r AS (
+  SELECT list_reduce([CAST(0.0 AS DOUBLE)] || list(term ORDER BY depth),
+    (a, b) -> a + b) AS rbo
+  FROM pd
+)
+SELECT depth, overlap, a_d, term, rbo FROM pd, r"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk"           -> ((s, d) => bm25TopK(s, d)),
     "rrf_fusion"          -> ((s, d) => rrfFusion(s, d)),
+    "rbo_rankings"        -> ((s, d) => rboRankings(s, d)),
     "cms_heavy_counts"    -> ((s, d) => cmsHeavyCounts(s, d)),
     "renyi_diversity"     -> ((s, d) => renyiDiversity(s, d)),
     "oov_rate"            -> ((s, d) => oovRate(s, d)),
@@ -520,6 +601,7 @@ LIMIT 20"""
   def oracles: Map[String, String] = Map(
     "bm25_topk"           -> bm25Sql,
     "rrf_fusion"          -> rrfSql,
+    "rbo_rankings"        -> rboSql,
     "cms_heavy_counts"    -> cmsSql,
     "renyi_diversity"     -> renyiSql,
     "oov_rate"            -> oovSql,

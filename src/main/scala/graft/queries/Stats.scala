@@ -245,6 +245,55 @@ SELECT n1, n2, mean1, mean2,
      se2_2 * se2_2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
 FROM w"""
 
+  // ---------------------------------------------------- spearman_rho --
+
+  /** Spearman rank correlation between two per-customer metrics (total
+    * order value in exact cents vs order count), on the tie-broken total
+    * orders (rank by metric DESC, custkey — a permutation, so
+    * rho = 1 − 6·Σd² / (n·(n²−1)) applies directly with Σd² an exact
+    * BIGINT; the single closing division is correctly rounded on both
+    * engines; widen to decimal(38,0) before n³ nears 2^63, ~10⁶
+    * customers). The ranking windows run over the CUSTOMER DIM (same
+    * posture note as `rrf_fusion`); for a rank over a fact-scale axis
+    * use the two-phase bucket prefix of `vocab_coverage`. */
+  def spearmanRho(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val ranked = per
+      .withColumn("rank_rev", row_number().over(
+        Window.orderBy(col("rev_cents").desc, col("o_custkey"))).cast("long"))
+      .withColumn("rank_cnt", row_number().over(
+        Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
+    val dd = (col("rank_rev") - col("rank_cnt")) * (col("rank_rev") - col("rank_cnt"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(dd).as("sum_d2"))
+      .withColumn("rho",
+        lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n") * (col("n") * col("n") - 1L)).cast("double"))
+      .select("n", "sum_d2", "rho")
+  }
+
+  val spearmanSql: String = """
+WITH per AS (
+  SELECT o_custkey,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT
+    CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS BIGINT) AS rank_rev,
+    CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS rank_cnt
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum((rank_rev - rank_cnt) * (rank_rev - rank_cnt)) AS BIGINT) AS sum_d2,
+  1.0 - 6.0 * CAST(sum((rank_rev - rank_cnt) * (rank_rev - rank_cnt)) AS DOUBLE)
+    / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
+FROM ranked"""
+
   // ------------------------------------------------------- acf_lags --
 
   private val MaxLag = 6
@@ -324,6 +373,7 @@ FROM per_lag, t"""
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
+    "spearman_rho"  -> ((s, d) => spearmanRho(s, d)),
     "welch_ttest"   -> ((s, d) => welchTTest(s, d)),
     "acf_lags"      -> ((s, d) => acfLags(s, d))
   )
@@ -331,6 +381,7 @@ FROM per_lag, t"""
   def oracles: Map[String, String] = Map(
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,
+    "spearman_rho"  -> spearmanSql,
     "welch_ttest"   -> welchSql,
     "acf_lags"      -> acfSql
   )

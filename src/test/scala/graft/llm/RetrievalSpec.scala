@@ -91,6 +91,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rbo_rankings: overlap census is consistent and RBO is the exact dyadic fold") {
+    val rows = Retrieval.rboRankings(spark, sf).collect()
+      .sortBy(_.getAs[Long]("depth"))
+    assert(rows.map(_.getAs[Long]("depth")).toSeq === (1L to 10L))
+    val ov = rows.map(_.getAs[Long]("overlap"))
+    // overlap-at-depth is non-decreasing, grows by at most 2 per depth
+    // (one new doc per list), and never exceeds the depth
+    ov.zip(ov.tail).foreach { case (a, b) => assert(b >= a && b - a <= 2) }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("depth")
+      val o = r.getAs[Long]("overlap")
+      assert(o >= 0 && o <= d, r.toString)
+      assert(r.getAs[Double]("a_d") === o.toDouble / d.toDouble)
+      // term = a_d / 2^d exactly (dyadic weight — no rounding slack)
+      assert(r.getAs[Double]("term") === r.getAs[Double]("a_d") / (1L << d).toDouble)
+    }
+    // rbo column: constant across rows, equals the depth-ordered left fold,
+    // bounded by sum of weights = 1 - 2^-10
+    val rbos = rows.map(_.getAs[Double]("rbo")).distinct
+    assert(rbos.length === 1)
+    val fold = rows.map(_.getAs[Double]("term")).foldLeft(0.0)(_ + _)
+    assert(rbos.head === fold)
+    assert(rbos.head >= 0.0 && rbos.head <= 1.0 - 1.0 / 1024.0)
+  }
+
   test("renyi diversity: collision mass in (0,1], eff_vocab bounded by support") {
     val rows = Retrieval.renyiDiversity(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -77,6 +77,28 @@ class StatsSpec extends SparkSpec {
     assert(df > math.min(n1, n2) / 2.0 && df < (n1 + n2).toDouble)
   }
 
+  test("spearman_rho matches brute-force rank correlation") {
+    val row = Stats.spearmanRho(spark, sf).collect().head
+    val per = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (ck, rs) => (ck, rs.length.toLong, rs.map(_.getLong(1)).sum) }
+    val rankRev = per.sortBy { case (ck, _, cents) => (-cents, ck) }
+      .zipWithIndex.map { case ((ck, _, _), i) => ck -> (i + 1L) }.toMap
+    val rankCnt = per.sortBy { case (ck, n, _) => (-n, ck) }
+      .zipWithIndex.map { case ((ck, _, _), i) => ck -> (i + 1L) }.toMap
+    val n = per.length.toLong
+    val sumD2 = per.map { case (ck, _, _) =>
+      val dd = rankRev(ck) - rankCnt(ck); dd * dd
+    }.sum
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("sum_d2") === sumD2)
+    val rho = 1.0 - 6.0 * sumD2.toDouble / (n * (n * n - 1)).toDouble
+    assert(row.getAs[Double]("rho") === rho)
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
   test("acf_lags matches brute force and stays within [-1, 1]") {
     val out = Stats.acfLags(spark, sf).collect().map(r =>
       r.getAs[Int]("lag") -> r.getAs[Double]("r")).toMap
