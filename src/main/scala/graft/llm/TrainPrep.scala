@@ -110,6 +110,32 @@ object TrainPrep {
           (sum(sampled).cast("double") / count(lit(1)).cast("double")).as("sampled_frac"))
     }),
 
+    // Temperature-scaled mixture weights over language shards — the
+    // multilingual-sampling step (exponent-smoothed p^α, the XLM-R
+    // pattern) at α = 1/2: q_lang ∝ sqrt(n_tokens). α = 1/2 is chosen
+    // deliberately — sqrt is the one non-trivial exponent IEEE requires
+    // correctly rounded, so the whole schedule stays oracle-hashable
+    // (general pow/ln are NOT cross-engine stable; see the header note).
+    // Shape: one token-count aggregate + a 1-row total broadcast back;
+    // the Σ√n fold runs over the ~5-row lang dim in an explicitly ordered
+    // left fold (sort_array + aggregate == list(ORDER BY) + list_reduce).
+    "temperature_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+      val tot = per.agg(
+        sum(col("n_tokens")).as("n_total"),
+        aggregate(
+          sort_array(collect_list(struct(col("lang"),
+            sqrt(col("n_tokens").cast("double")).as("sq")))),
+          lit(0.0), (a, x) => a + x.getField("sq")).as("z"))
+      val p = col("n_tokens").cast("double") / col("n_total").cast("double")
+      val q = sqrt(col("n_tokens").cast("double")) / col("z")
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"), p.as("p_raw"), q.as("p_temp"),
+          (q / p).as("upsample"))
+    }),
+
     "embed_slice_norm" -> ((s, d) => {
       def sq(v: org.apache.spark.sql.Column) = {
         val x = v.cast("double"); x * x
@@ -185,6 +211,24 @@ SELECT lang,
   CAST(SUM(CASE WHEN ($h % 5) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
   CAST(SUM(CASE WHEN ($h % 5) = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sampled_frac
 FROM documents GROUP BY lang""",
+
+      "temperature_mix" -> s"""
+WITH toks AS (
+  SELECT lang, unnest(${Text.tokensSql("text")}) AS tok FROM documents
+), per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+    list_reduce([CAST(0.0 AS DOUBLE)] || list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang),
+      (a, b) -> a + b) AS z
+  FROM per
+)
+SELECT lang, n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
+  sqrt(CAST(n_tokens AS DOUBLE)) / z AS p_temp,
+  (sqrt(CAST(n_tokens AS DOUBLE)) / z)
+    / (CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE)) AS upsample
+FROM per, t""",
 
       "embed_slice_norm" -> """
 WITH m AS (

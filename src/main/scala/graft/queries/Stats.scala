@@ -294,6 +294,76 @@ SELECT CAST(count(*) AS BIGINT) AS n,
     / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
 FROM ranked"""
 
+  // -------------------------------------------------- theil_sen_trend --
+
+  /** Theil–Sen robust trend of weekly order revenue: the median of all
+    * pairwise slopes (y_b − y_a)/(x_b − x_a) over the weekly series, plus
+    * the companion robust intercept median(y − slope·x). Up to 29.4% of
+    * the points can be corrupted before the estimator breaks down —
+    * the robust alternative to the OLS `regr_price_qty`.
+    *
+    * Exactness: y is exact revenue cents (BIGINT), x is exact week index
+    * (both engines truncate to the same Monday); each slope is ONE
+    * correctly-rounded division of exact integers, and both medians are
+    * `percentile_cont` over those doubles (the winsorize/mad parity
+    * precedent). No float accumulates anywhere.
+    *
+    * Scale shape: the pair set is quadratic in the TIME AXIS, not rows —
+    * the weekly aggregate is calendar-bounded (~370 weeks regardless of
+    * SF, ~68k pairs), so the fact-side work is one linear groupBy and the
+    * pair join is a broadcast nested loop over a bounded dim. Week (not
+    * day) granularity keeps the slope set small enough that the exact
+    * single-buffer `percentile_cont` is a non-issue; for a finer or
+    * unbounded x-axis, swap in the two-phase bucket-prefix selection
+    * (`vocab_coverage` pattern) or the repeated-median variant. */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.orders(s, d)
+      .select(
+        expr("datediff(cast(date_trunc('week', o_orderdate) as date), date'1991-12-30') div 7")
+          .cast("long").as("x"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("x").agg(sum("cents").as("y"))
+      // tiny calendar-bounded frame feeding 3 plan branches (a, b, resid)
+      // — checkpoint once so orders isn't rescanned per branch
+      .localCheckpoint()
+    val a = weekly.select(col("x").as("xa"), col("y").as("ya"))
+    val b = weekly.select(col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(broadcast(b), col("xa") < col("xb"))
+      .select(((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double")).as("slope"))
+    val med = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)").as("slope_med"))
+    weekly.crossJoin(broadcast(med))
+      .select(col("x"), col("y"), col("n_pairs"), col("slope_med"),
+        (col("y").cast("double") - col("slope_med") * col("x").cast("double"))
+          .as("resid"))
+      .groupBy("n_pairs", "slope_med")
+      .agg(
+        count(lit(1)).as("n_weeks"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY resid)").as("intercept_med"))
+      .select("n_weeks", "n_pairs", "slope_med", "intercept_med")
+  }
+
+  val theilSenSql: String = """
+WITH weekly AS (
+  SELECT CAST(datediff('day', DATE '1991-12-30',
+      date_trunc('week', CAST(o_orderdate AS DATE))) // 7 AS BIGINT) AS x,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM weekly a JOIN weekly b ON a.x < b.x
+), med AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    quantile_cont(slope, 0.5) AS slope_med
+  FROM pairs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_weeks, n_pairs, slope_med,
+  quantile_cont(CAST(y AS DOUBLE) - slope_med * CAST(x AS DOUBLE), 0.5) AS intercept_med
+FROM weekly, med
+GROUP BY n_pairs, slope_med"""
+
   // ------------------------------------------------------- acf_lags --
 
   private val MaxLag = 6
@@ -374,6 +444,7 @@ FROM per_lag, t"""
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
     "spearman_rho"  -> ((s, d) => spearmanRho(s, d)),
+    "theil_sen_trend" -> ((s, d) => theilSenTrend(s, d)),
     "welch_ttest"   -> ((s, d) => welchTTest(s, d)),
     "acf_lags"      -> ((s, d) => acfLags(s, d))
   )
@@ -382,6 +453,7 @@ FROM per_lag, t"""
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,
     "spearman_rho"  -> spearmanSql,
+    "theil_sen_trend" -> theilSenSql,
     "welch_ttest"   -> welchSql,
     "acf_lags"      -> acfSql
   )

@@ -116,6 +116,47 @@ class RetrievalSpec extends SparkSpec {
     assert(rbos.head >= 0.0 && rbos.head <= 1.0 - 1.0 / 1024.0)
   }
 
+  test("hll_union_estimate: registers replay exactly; union merges by max") {
+    val rows = Retrieval.hllUnionEstimate(spark, sf).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val M31 = 2147483648L
+    def h3(k: Long): Long = {
+      val h0 = (k * 1103515245L + 12345L) % M31
+      val h2 = ((h0 ^ (h0 / 65536)) * 69069L + 1L) % M31
+      h2 ^ (h2 / 2048)
+    }
+    val regs = scala.collection.mutable.Map.empty[(String, Long), Long]
+    li.foreach { case (flag, k) =>
+      val h = h3(k); val j = h % 64; val w = h / 64
+      val rho = if (w == 0) 25L else java.lang.Long.numberOfTrailingZeros(w) + 1L
+      val key = (flag, j)
+      if (rho > regs.getOrElse(key, 0L)) regs(key) = rho
+    }
+    def sInt(m: Map[Long, Long]): Long =
+      (0L until 64L).map(j => 1L << (25 - m.getOrElse(j, 0L))).sum
+    val flags = li.map(_._1).distinct
+    flags.foreach { flag =>
+      val m = regs.collect { case ((f, j), v) if f == flag => j -> v }.toMap
+      assert(rows(flag).getAs[Long]("s_int") === sInt(m), flag)
+      assert(rows(flag).getAs[Long]("m_zero") === 64L - m.size, flag)
+    }
+    // the ALL row is the elementwise register max of the shard sketches
+    val mu = regs.groupBy(_._1._2).map { case (j, kv) => j -> kv.values.max }
+    assert(rows("ALL").getAs[Long]("s_int") === sInt(mu))
+    assert(rows("ALL").getAs[Long]("exact_distinct") ===
+      li.map(_._2).distinct.length.toLong)
+    // union estimate must not double-count the cross-flag order overlap:
+    // it stays below the sum of the shard estimates
+    val shardSum = flags.map(f => rows(f).getAs[Double]("hll_estimate")).sum
+    assert(rows("ALL").getAs[Double]("hll_estimate") < shardSum)
+    // tempered hash keeps the raw estimator inside sane error at every SF
+    rows.values.foreach(r =>
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.35, r.toString))
+  }
+
   test("renyi diversity: collision mass in (0,1], eff_vocab bounded by support") {
     val rows = Retrieval.renyiDiversity(spark, sf).collect()
     assert(rows.nonEmpty)

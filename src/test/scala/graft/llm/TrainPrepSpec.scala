@@ -50,6 +50,33 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("temperature_mix: valid distributions; smoothing compresses toward uniform") {
+    val rows = TrainPrep.queries("temperature_mix")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n_tokens"))
+    assert(rows.length > 1)
+    // both p and q are distributions
+    assert(math.abs(rows.map(_.getAs[Double]("p_raw")).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_.getAs[Double]("p_temp")).sum - 1.0) < 1e-12)
+    // q matches the closed form sqrt(n)/Σsqrt(n) with the ordered fold
+    val z = rows.sortBy(_.getAs[String]("lang"))
+      .map(r => math.sqrt(r.getAs[Long]("n_tokens").toDouble))
+      .foldLeft(0.0)(_ + _)
+    rows.foreach { r =>
+      val q = math.sqrt(r.getAs[Long]("n_tokens").toDouble) / z
+      assert(r.getAs[Double]("p_temp") === q, r.toString)
+      assert(r.getAs[Double]("upsample") ===
+        r.getAs[Double]("p_temp") / r.getAs[Double]("p_raw"))
+    }
+    // α = 1/2 smoothing: upsample factor strictly decreases as shard size
+    // grows — small shards are boosted, big shards damped
+    val ups = rows.map(_.getAs[Double]("upsample"))
+    ups.zip(ups.tail).foreach { case (small, big) => assert(small >= big) }
+    // and if shard sizes differ, the smallest is upsampled above 1
+    if (rows.head.getAs[Long]("n_tokens") < rows.last.getAs[Long]("n_tokens")) {
+      assert(ups.head > 1.0 && ups.last < 1.0)
+    }
+  }
+
   test("embed_slice_norm: prefix energy is a valid fraction of full energy") {
     val bad = TrainPrep.queries("embed_slice_norm")(spark, sf)
       .filter(col("norm16") > col("norm64") ||

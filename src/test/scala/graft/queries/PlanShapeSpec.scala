@@ -326,6 +326,26 @@ class PlanShapeSpec extends SparkSpec {
       s"postings projection should prune the documents scan:\n$p")
   }
 
+  test("hll_union_estimate builds registers with a map-side-combined max") {
+    val p = plan("hll_union_estimate")
+    // the sketch state must be partial-aggregable (the whole point of a
+    // mergeable sketch): a partial_max register build before the exchange
+    assert(p.contains("partial_max"), s"register max must map-side combine:\n$p")
+  }
+
+  test("theil_sen_trend broadcasts the calendar-bounded daily dim") {
+    val p = plan("theil_sen_trend")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise slopes must be a broadcast non-equi join over the bounded day dim:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-scale shuffle join:\n$p")
+  }
+
+  test("temperature_mix folds the shard schedule on a broadcast 1-row total") {
+    val p = plan("temperature_mix")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals frame must broadcast:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),

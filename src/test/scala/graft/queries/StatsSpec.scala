@@ -99,6 +99,33 @@ class StatsSpec extends SparkSpec {
     assert(rho >= -1.0 && rho <= 1.0)
   }
 
+  test("theil_sen_trend matches the brute-force median of pairwise slopes") {
+    val row = Stats.theilSenTrend(spark, sf).collect().head
+    val weekly = graft.Tables.orders(spark, sf)
+      .select(
+        expr("datediff(cast(date_trunc('week', o_orderdate) as date), date'1991-12-30') div 7")
+          .cast("long"),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (x, rs) => (x, rs.map(_.getLong(1)).sum) }
+      .sortBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val slopes = for {
+      i <- weekly.indices; j <- (i + 1) until weekly.length
+    } yield (weekly(j)._2 - weekly(i)._2).toDouble / (weekly(j)._1 - weekly(i)._1).toDouble
+    assert(row.getAs[Long]("n_weeks") === weekly.length.toLong)
+    assert(row.getAs[Long]("n_pairs") === slopes.length.toLong)
+    val slope = row.getAs[Double]("slope_med")
+    assert(math.abs(slope - median(slopes)) <= 1e-9 * math.abs(median(slopes)))
+    val resid = weekly.map { case (x, y) => y.toDouble - slope * x.toDouble }
+    val icept = row.getAs[Double]("intercept_med")
+    assert(math.abs(icept - median(resid)) <= 1e-9 * math.abs(median(resid)))
+  }
+
   test("acf_lags matches brute force and stays within [-1, 1]") {
     val out = Stats.acfLags(spark, sf).collect().map(r =>
       r.getAs[Int]("lag") -> r.getAs[Double]("r")).toMap
