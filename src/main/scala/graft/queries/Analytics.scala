@@ -219,6 +219,38 @@ object Analytics {
             .otherwise(lit(null).cast("double")))
     }),
 
+    // Linear multi-touch attribution with a 7-day lookback: every click of
+    // the same user in the week before a purchase shares the purchase
+    // value equally (credit = value / n_touches); purchases with no touch
+    // window keep full credit on a sentinel touch_id = -1 row (the
+    // "direct" bucket — a LEFT join, so untouched conversions are never
+    // dropped). Interval arithmetic runs on epoch microseconds (the funnel
+    // precedent — no engine INTERVAL semantics in the oracle path), and
+    // the per-purchase fan-out is bounded by the lookback window, so the
+    // join output is linear in events at any scale. credit is ONE
+    // correctly-rounded division per row — oracle-hashable.
+    "attribution_credit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pt"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("ct"))
+      val j = p.join(c,
+        col("user_id") === col("c_user") &&
+          unix_micros(col("ct")) < unix_micros(col("pt")) &&
+          unix_micros(col("ct")) >= unix_micros(col("pt")) - lit(604800000000L),
+        "left")
+      val n = count(col("click_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("purchase_id"))
+      j.select(col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("touch_id"),
+        n.as("n_touches"),
+        when(n > 0, col("value") / n.cast("double"))
+          .otherwise(col("value")).as("credit"))
+    }),
+
     // Fixed-width histogram binning of the value column (floor arithmetic —
     // no engine-specific width_bucket semantics), one aggregation pass.
     "value_histogram" -> ((s, d) => {
@@ -1859,6 +1891,27 @@ SELECT user_id, first_click, first_purchase,
        THEN (epoch_us(first_purchase) - epoch_us(first_click)) / CAST(6e7 AS DOUBLE)
        ELSE NULL END AS minutes_to_convert
 FROM joined""",
+
+    "attribution_credit" -> """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pt, value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS ct FROM events
+  WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.value, c.click_id
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
+    AND epoch_us(c.ct) < epoch_us(p.pt)
+    AND epoch_us(c.ct) >= epoch_us(p.pt) - 604800000000
+)
+SELECT purchase_id,
+  CAST(coalesce(click_id, -1) AS BIGINT) AS touch_id,
+  CAST(count(click_id) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+  CASE WHEN count(click_id) OVER (PARTITION BY purchase_id) > 0
+    THEN value / CAST(count(click_id) OVER (PARTITION BY purchase_id) AS DOUBLE)
+    ELSE value END AS credit
+FROM j""",
 
     "value_histogram" -> s"""
 SELECT CAST(floor((value - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE)) AS INT) AS bin,

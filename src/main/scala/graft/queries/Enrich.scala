@@ -392,6 +392,77 @@ SELECT event_id, url,
   regexp_extract(url, '[?&]u=([^&#]*)', 1) AS u_val
 FROM u"""
 
+  // ------------------------------------------------------- url_dedup --
+
+  /** Canonical-URL deduplication — the web-corpus ingest step that
+    * collapses crawl variants of the same page before text dedup ever
+    * runs. Each event synthesizes a DELIBERATELY messy URL (upper-case
+    * host, explicit :443 port, tracking params, fragment, trailing
+    * slash — each keyed off a different event_id residue so the variants
+    * mix), then canonicalizes in a fixed normalization order:
+    * fragment → utm params → default port → trailing slash → lowercase.
+    * Grouping on the canonical form reports how many raw variants each
+    * page collapsed from. All string primitives (regexp_replace on
+    * patterns valid in both Java and RE2 dialects, fixed-string replace,
+    * lower) — codegen'd, shuffle only on the final canonical groupBy. */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val host = concat(lit("shard"), (col("user_id") % 4).cast("string"),
+      when(col("event_id") % 3 === 0, lit(".EXAMPLE.com")).otherwise(lit(".example.com")))
+    val raw = concat(lit("https://"), host,
+      when(col("event_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), (col("k") % 16).cast("string"),
+      when(col("event_id") % 11 === 0, lit("/")).otherwise(lit("")),
+      lit("?u="), col("user_id").cast("string"),
+      when(col("event_id") % 2 === 0, lit("&utm_source=news")).otherwise(lit("")),
+      when(col("event_id") % 7 === 0, lit("#ref")).otherwise(lit("")))
+    val canon = lower(
+      regexp_replace(
+        expr("replace(" +
+          "regexp_replace(regexp_replace(raw_url, '#.*$', ''), '&utm_[a-z]+=[^&#]*', '')" +
+          ", ':443/', '/')"),
+        "/\\?", "?"))
+    ev.select(col("event_id"), raw.as("raw_url"))
+      .withColumn("canonical_url", canon)
+      .groupBy("canonical_url")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("event_id")).as("first_event"))
+  }
+
+  val urlDedupSql: String = """
+WITH base AS (
+  SELECT event_id, user_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), raw AS (
+  SELECT event_id,
+    'https://shard' || CAST(user_id % 4 AS VARCHAR)
+      || CASE WHEN event_id % 3 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END
+      || CASE WHEN event_id % 5 = 0 THEN ':443' ELSE '' END
+      || '/page/' || CAST(k % 16 AS VARCHAR)
+      || CASE WHEN event_id % 11 = 0 THEN '/' ELSE '' END
+      || '?u=' || CAST(user_id AS VARCHAR)
+      || CASE WHEN event_id % 2 = 0 THEN '&utm_source=news' ELSE '' END
+      || CASE WHEN event_id % 7 = 0 THEN '#ref' ELSE '' END AS raw_url
+  FROM base
+), canon AS (
+  SELECT event_id, raw_url,
+    lower(regexp_replace(
+      replace(
+        regexp_replace(regexp_replace(raw_url, '#.*$', ''), '&utm_[a-z]+=[^&#]*', ''),
+        ':443/', '/'),
+      '/\?', '?')) AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+  CAST(min(event_id) AS BIGINT) AS first_event
+FROM canon GROUP BY 1"""
+
   // ------------------------------------------------------ ewma_value --
 
   /** Finite-lag EWMA (half-life smoothing, α = 1/2) of each user's value
@@ -616,6 +687,7 @@ FROM folds"""
     "allocate_largest_remainder" -> ((s, d) => allocateLargestRemainder(s, d)),
     "pps_systematic_sample"      -> ((s, d) => ppsSystematicSample(s, d)),
     "url_parse"                  -> ((s, d) => urlParse(s, d)),
+    "url_dedup"                  -> ((s, d) => urlDedup(s, d)),
     "ewma_value"                 -> ((s, d) => ewmaValue(s, d)),
     "stream_exec_left_join"      -> ((s, d) => streamLeftJoin(s, d)),
     "winsorize_values"           -> ((s, d) => winsorizeValues(s, d)),
@@ -631,6 +703,7 @@ FROM folds"""
     "allocate_largest_remainder" -> allocateSql,
     "pps_systematic_sample"      -> ppsSql,
     "url_parse"                  -> urlSql,
+    "url_dedup"                  -> urlDedupSql,
     "ewma_value"                 -> ewmaSql,
     "stream_exec_left_join"      -> streamLeftJoinSql,
     "winsorize_values"           -> winsorizeSql,

@@ -165,4 +165,22 @@ class EnrichSpec extends SparkSpec {
         =!= col("url"))
     assert(bad.count() === 0)
   }
+
+  test("url_dedup: canonical forms are clean and variants actually collapse") {
+    val rows = Enrich.urlDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // canonicalization left no mess behind
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(!u.contains(":443") && !u.contains("utm_") && !u.contains("#") &&
+        !u.contains("/?") && u == u.toLowerCase, u)
+      assert(r.getAs[Long]("n_raw_forms") >= 1L &&
+        r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_events"), u)
+    }
+    // every event lands in exactly one canonical group
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total === graft.Tables.events(spark, sf).count())
+    // and the mess residues really produce multi-variant pages somewhere
+    assert(rows.exists(_.getAs[Long]("n_raw_forms") > 1L))
+  }
 }

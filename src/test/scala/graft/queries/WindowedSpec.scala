@@ -78,4 +78,39 @@ class WindowedSpec extends SparkSpec {
       val q = r.getAs[Int]("quartile"); assert(q >= 1 && q <= 4)
     }
   }
+
+  test("attribution_credit: brute-force touch counts; credit conserves purchase value") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.queries("attribution_credit")(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(rows.map(_.getAs[Long]("purchase_id")).distinct.length === purchases.length)
+    val week = 604800000000L
+    purchases.foreach { p =>
+      val pid = p.getAs[Long]("event_id")
+      val pt = p.getAs[Long]("us")
+      val touched = clicks.filter { c =>
+        c.getAs[Long]("user_id") == p.getAs[Long]("user_id") && {
+          val ct = c.getAs[Long]("us"); ct < pt && ct >= pt - week
+        }
+      }.map(_.getAs[Long]("event_id")).toSet
+      val mine = rows.filter(_.getAs[Long]("purchase_id") == pid)
+      if (touched.isEmpty) {
+        // direct conversion: single sentinel row with full credit
+        assert(mine.length === 1 && mine.head.getAs[Long]("touch_id") === -1L)
+        assert(mine.head.getAs[Long]("n_touches") === 0L)
+        assert(mine.head.getAs[Double]("credit") === p.getAs[Double]("value"))
+      } else {
+        assert(mine.map(_.getAs[Long]("touch_id")).toSet === touched)
+        mine.foreach(r => assert(r.getAs[Long]("n_touches") === touched.size.toLong))
+        // equal split conserves the purchase value
+        val total = mine.map(_.getAs[Double]("credit")).sum
+        assert(math.abs(total - p.getAs[Double]("value")) < 1e-9)
+      }
+    }
+  }
 }
