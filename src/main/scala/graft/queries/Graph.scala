@@ -63,8 +63,106 @@ object Graph {
     visited
   }
 
+  // ------------------------------------------------- link_prediction --
+
+  /** Common-neighbors / Jaccard link prediction over the co-purchase
+    * graph, on CAPPED neighbor lists: each part keeps only its top-10
+    * co-purchase partners (by shared-order count, part id tiebreak)
+    * before any pairwise work. The cap is the scale contract — wedge
+    * volume is then ≤ N·K² (linear in nodes, never Σdeg², which explodes
+    * on hub nodes at 100 TB; it's how production kNN-graph builders
+    * bound candidate generation). Candidates are distance-2 pairs that
+    * are NOT already capped edges (left anti join); score = common
+    * capped-neighbors and Jaccard cn/(deg_u+deg_w−cn) — integers and one
+    * division — ranked to a deterministic top-20. Orders are strided
+    * (l_orderkey % 10, the `symmetricEdges` convention) to keep this
+    * bench gate's wedge volume proportionate; the shape is
+    * stride-invariant. */
+  private def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+    // both directions in ONE generator pass — a two-branch union would
+    // re-evaluate the pairs subtree (distinct + self-join + groupBy) twice
+    val sym = pairs.select(explode(array(
+        struct(col("p1").as("node"), col("p2").as("nbr"), col("n_orders")),
+        struct(col("p2").as("node"), col("p1").as("nbr"), col("n_orders")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
+        col("e.n_orders").as("n_orders"))
+    // neighbor cap via the bounded-heap TopKPerGroup operator (map-side
+    // pruned) — not a full per-node window sort over every edge
+    val adj = graft.plans.TopK.perKey(sym,
+        Seq("node"), Seq("n_orders" -> false, "nbr" -> true), 10)
+      .select("node", "nbr")
+      // feeds four plan branches (two wedge sides, the anti join, degrees)
+      .localCheckpoint()
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("node").as("u"), col("nbr").as("v"))
+      .join(adj.select(col("node").as("w2"), col("nbr").as("v")), Seq("v"))
+      .filter(col("u") < col("w2"))
+      .groupBy("u", "w2").agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(adj.select(col("node").as("u"), col("nbr").as("w2")),
+      Seq("u", "w2"), "left_anti")
+    val scored = cand
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("w2"), col("deg").as("deg_w")), Seq("w2"))
+      .select(col("u"), col("w2").as("w"), col("cn"), col("deg_u"), col("deg_w"),
+        (col("cn").cast("double") /
+          (col("deg_u") + col("deg_w") - col("cn")).cast("double")).as("jaccard"))
+    scored.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("jaccard").desc, col("cn").desc, col("u"), col("w"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk").cast("int").as("rnk"), col("u"), col("w"),
+        col("cn"), col("deg_u"), col("deg_w"), col("jaccard"))
+  }
+
+  private val linkPredictionSql: String = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_orders
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT p1 AS node, p2 AS nbr, n_orders FROM pairs
+  UNION ALL
+  SELECT p2 AS node, p1 AS nbr, n_orders FROM pairs
+), adj AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+      row_number() OVER (PARTITION BY node ORDER BY n_orders DESC, nbr) AS rn
+    FROM sym
+  ) WHERE rn <= 10
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
+), wedges AS (
+  SELECT a1.node AS u, a2.node AS w, CAST(count(*) AS BIGINT) AS cn
+  FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+  GROUP BY 1, 2
+), cand AS (
+  SELECT wedges.* FROM wedges
+  LEFT JOIN adj ON adj.node = wedges.u AND adj.nbr = wedges.w
+  WHERE adj.node IS NULL
+), scored AS (
+  SELECT u, w, cn, du.deg AS deg_u, dw.deg AS deg_w,
+    CAST(cn AS DOUBLE) / CAST(du.deg + dw.deg - cn AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN deg du ON du.node = cand.u
+  JOIN deg dw ON dw.node = cand.w
+)
+SELECT CAST(rnk AS INT) AS rnk, u, w, cn, deg_u, deg_w, jaccard FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard DESC, cn DESC, u, w) AS rnk
+  FROM scored
+) WHERE rnk <= 20"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bfs_hops" -> ((s, d) => bfsHops(s, d))
+    "bfs_hops"        -> ((s, d) => bfsHops(s, d)),
+    "link_prediction" -> ((s, d) => linkPrediction(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -91,6 +189,8 @@ WITH RECURSIVE raw AS (
   FROM walk JOIN adj ON adj.src = walk.node
   WHERE walk.d < 4
 )
-SELECT node, CAST(min(d) AS INT) AS hops FROM walk GROUP BY node"""
+SELECT node, CAST(min(d) AS INT) AS hops FROM walk GROUP BY node""",
+
+    "link_prediction" -> linkPredictionSql
   )
 }

@@ -168,17 +168,76 @@ SELECT CAST(rnk AS INT) AS rnk, p1, p2, n_orders FROM (
   SELECT *, row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rnk FROM pairs
 ) WHERE rnk <= 20"""
 
+  // ------------------------------------------------ rendezvous_shards --
+
+  /** Rendezvous (highest-random-weight) shard assignment and the 8→9
+    * rebalance audit — how a 100 TB corpus is spread over storage shards
+    * so that ADDING a shard moves only ~1/(N+1) of the keys, and every
+    * moved key lands on the NEW shard (consistent-hashing's minimal-
+    * movement guarantee, without a ring). Each doc scores every shard
+    * with the xor-shift-tempered LCG (the `geo_grid_join`/HLL mixer — an
+    * untempered affine hash makes the per-shard scores correlated and the
+    * movement wildly off 1/9) and is assigned to the argmax, expressed as
+    * `max(struct(score, shard))` — lexicographic struct max on both
+    * engines, one explode + one groupBy, no shuffle beyond the doc key.
+    * The audit groups by the old shard and asserts IN-PLAN (a bool_and
+    * the oracle pins to true) that movement is only ever toward the new
+    * shard; the ~1/9 movement rate itself is checked by the spec. */
+  def rendezvousShards(s: SparkSession, d: String): DataFrame = {
+    val M31 = 2147483648L
+    val scored = Tables.documents(s, d).select("doc_id")
+      .withColumn("shard", explode(sequence(lit(0L), lit(8L))))
+      .withColumn("h0",
+        (col("doc_id") * lit(1103515245L) + col("shard") * lit(2654435761L) + lit(12345L)) % lit(M31))
+      .withColumn("h2", (col("h0").bitwiseXOR(expr("h0 div 65536")) * lit(69069L) + lit(1L)) % lit(M31))
+      .withColumn("h", col("h2").bitwiseXOR(expr("h2 div 2048")))
+    val asg = scored.groupBy("doc_id").agg(
+      max(when(col("shard") < 8, struct(col("h"), col("shard")))).as("a8"),
+      max(struct(col("h"), col("shard"))).as("a9"))
+      .select(col("doc_id"),
+        col("a8.shard").as("shard8"), col("a9.shard").as("shard9"))
+    asg.groupBy("shard8").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L)).as("n_moved"),
+      (sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("moved_frac"),
+      expr("bool_and(shard9 = shard8 OR shard9 = 8)").as("moves_only_to_new"))
+  }
+
+  val rendezvousSql: String = """
+WITH ex AS (
+  SELECT doc_id, s.shard AS shard,
+    (doc_id * 1103515245 + s.shard * 2654435761 + 12345) % 2147483648 AS h0
+  FROM documents, (SELECT unnest(generate_series(0, 8)) AS shard) s
+), h3s AS (
+  SELECT doc_id, shard, xor(h2, h2 // 2048) AS h FROM (
+    SELECT doc_id, shard, (xor(h0, h0 // 65536) * 69069 + 1) % 2147483648 AS h2 FROM ex)
+), asg AS (
+  SELECT doc_id,
+    max(CASE WHEN shard < 8 THEN {'h': h, 's': shard} END).s AS shard8,
+    max({'h': h, 's': shard}).s AS shard9
+  FROM h3s GROUP BY doc_id
+)
+SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+  CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS moved_frac,
+  bool_and(shard9 = shard8 OR shard9 = 8) AS moves_only_to_new
+FROM asg GROUP BY 1"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
     "compaction_bins"      -> ((s, d) => compactionBins(s, d)),
     "salted_skew_join"     -> ((s, d) => saltedSkewJoin(s, d)),
-    "copurchase_pairs"     -> ((s, d) => copurchasePairs(s, d))
+    "copurchase_pairs"     -> ((s, d) => copurchasePairs(s, d)),
+    "rendezvous_shards"    -> ((s, d) => rendezvousShards(s, d))
   )
 
   def oracles: Map[String, String] = Map(
     "q3_shipping_priority" -> q3Sql,
     "compaction_bins"      -> compactionSql,
     "salted_skew_join"     -> saltedSql,
-    "copurchase_pairs"     -> copurchaseSql
+    "copurchase_pairs"     -> copurchaseSql,
+    "rendezvous_shards"    -> rendezvousSql
   )
 }

@@ -157,7 +157,73 @@ object Windowed {
       (col("v").isNull && col("pv").isNotNull && col("nv").isNotNull).as("interpolated"))
   }
 
+  // ---------------------------------------------- seasonal_decompose --
+
+  /** Classical additive decomposition of daily order revenue:
+    * y = trend + seasonal + residual, with a centered 7-observation
+    * moving-average trend and a day-of-week seasonal component (the
+    * textbook pre-STL decomposition).
+    *
+    * Exactness: y is exact cents; the trend window sums BIGINTs and does
+    * ONE division; the per-dow seasonal mean folds its detrended values
+    * in an explicitly ordered left fold (`sort_array` + `aggregate` ==
+    * `list(ORDER BY x)` + `list_reduce`) — a plain float `avg` would
+    * hash-differently across engines. `detr`/`resid` are single
+    * correctly-rounded subtractions.
+    *
+    * Scale note: the global ORDER BY x window runs on one task — fine on
+    * the calendar-bounded daily axis (~2.4k rows regardless of SF, same
+    * stance as `rank_normalize`); the fact-scale work is the one linear
+    * groupBy(day). The dow dim (7 rows) broadcasts back. */
+  private def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("x").agg(sum("cents").as("y"))
+    val w = Window.orderBy("x").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("trend",
+        sum("y").over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+      .withColumn("detr", col("y").cast("double") - col("trend"))
+      .withColumn("dow", col("x") % 7)
+      // calendar-bounded frame feeding two plan branches (seasonal dim +
+      // final join) — checkpoint once so orders isn't rescanned
+      .localCheckpoint()
+    val seas = t.groupBy("dow").agg(
+      (aggregate(sort_array(collect_list(struct(col("x"), col("detr")))),
+        lit(0.0), (a, e) => a + e.getField("detr"))
+        / count(lit(1)).cast("double")).as("seasonal"))
+    t.join(broadcast(seas), Seq("dow"))
+      .select(col("x"), col("y"), col("trend"), col("dow"), col("seasonal"),
+        (col("detr") - col("seasonal")).as("resid"))
+  }
+
+  private val seasonalSql: String = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT x, y,
+    CAST(CAST(sum(y) OVER w AS BIGINT) AS DOUBLE)
+      / CAST(count(*) OVER w AS DOUBLE) AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), td AS (
+  SELECT x, y, trend, CAST(y AS DOUBLE) - trend AS detr, x % 7 AS dow FROM t
+), seas AS (
+  SELECT dow,
+    list_reduce([CAST(0.0 AS DOUBLE)] || list(detr ORDER BY x), (a, b) -> a + b)
+      / CAST(count(*) AS DOUBLE) AS seasonal
+  FROM td GROUP BY dow
+)
+SELECT x, y, trend, dow, seasonal, detr - seasonal AS resid
+FROM td JOIN seas USING (dow)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonal_decompose"    -> ((s, d) => seasonalDecompose(s, d)),
     "window_percent_ranks"  -> ((s, d) => percentRanks(s, d)),
     "window_nth_values"     -> ((s, d) => nthValues(s, d)),
     "window_distinct_count" -> ((s, d) => windowDistinct(s, d)),
@@ -169,6 +235,8 @@ object Windowed {
   )
 
   def oracles: Map[String, String] = Map(
+    "seasonal_decompose" -> seasonalSql,
+
     "window_percent_ranks" -> """
 SELECT o_orderkey, o_orderpriority, o_totalprice,
   percent_rank() OVER w AS pct_rank,

@@ -86,6 +86,49 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("link_prediction equals the brute-force capped-kNN common-neighbors ranking") {
+    val rows = Graph.queries("link_prediction")(spark, sf).collect()
+    val op = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupMap(_._1)(_._2)
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      val s = ps.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        pairCount((s(i), s(j))) = pairCount.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val sym = pairCount.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val adj: Map[Long, Seq[Long]] = sym.groupBy(_._1).map { case (node, es) =>
+      node -> es.sortBy(e => (-e._3, e._2)).take(10).map(_._2)
+    }
+    // iterator, not Map.flatMap — mapping to pairs would rebuild a Map and
+    // collapse each node to a single neighbor
+    val adjSet = adj.iterator.flatMap { case (n, ns) => ns.map(n -> _) }.toSet
+    val wedges = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val byNbr = adjSet.toSeq.groupMap(_._2)(_._1)
+    byNbr.values.foreach { us =>
+      val s = us.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        wedges((s(i), s(j))) = wedges.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val scored = wedges.toSeq
+      .filter { case ((u, w), _) => !adjSet.contains((u, w)) }
+      .map { case ((u, w), cn) =>
+        val du = adj(u).length.toLong; val dw = adj(w).length.toLong
+        (u, w, cn, du, dw, cn.toDouble / (du + dw - cn).toDouble)
+      }
+      .sortBy { case (u, w, cn, _, _, j) => (-j, -cn, u, w) }
+      .take(20)
+    assert(rows.length === scored.length)
+    rows.sortBy(_.getAs[Int]("rnk")).zip(scored).foreach { case (r, (u, w, cn, du, dw, j)) =>
+      assert(r.getAs[Long]("u") === u && r.getAs[Long]("w") === w, r.toString)
+      assert(r.getAs[Long]("cn") === cn)
+      assert(r.getAs[Long]("deg_u") === du && r.getAs[Long]("deg_w") === dw)
+      assert(r.getAs[Double]("jaccard") === j)
+    }
+  }
+
   test("max_concurrency >= 1 and <= n_intervals for every user") {
     val bad = Temporal.queries("max_concurrency")(spark, sf)
       .filter(col("max_concurrent") < 1 || col("max_concurrent") > col("n_intervals"))

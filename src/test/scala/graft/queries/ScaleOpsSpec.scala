@@ -68,4 +68,33 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(salted === plain)
   }
+
+  test("rendezvous_shards matches brute-force HRW; movement is minimal and one-way") {
+    val rows = ScaleOps.queries("rendezvous_shards")(spark, sf).collect()
+    val M31 = 2147483648L
+    def h(doc: Long, shard: Long): Long = {
+      val h0 = (doc * 1103515245L + shard * 2654435761L + 12345L) % M31
+      val h2 = ((h0 ^ (h0 / 65536)) * 69069L + 1L) % M31
+      h2 ^ (h2 / 2048)
+    }
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    // brute-force argmax (ties broken to the higher shard, matching the
+    // lexicographic struct max)
+    def assign(doc: Long, n: Int): Long =
+      (0L until n.toLong).map(sh => (h(doc, sh), sh)).max._2
+    val expect = docs.map(doc => (doc, assign(doc, 8), assign(doc, 9)))
+    val byShard = expect.groupBy(_._2)
+    rows.foreach { r =>
+      val s8 = r.getAs[Long]("shard8")
+      val mine = byShard(s8)
+      assert(r.getAs[Long]("n_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("n_moved") === mine.count(t => t._3 != t._2).toLong)
+      assert(r.getAs[Boolean]("moves_only_to_new"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    // HRW minimal movement: overall rate near 1/9, never wildly above
+    val moved = rows.map(_.getAs[Long]("n_moved")).sum.toDouble / docs.length
+    assert(moved > 0.0 && moved < 0.25, s"moved rate $moved")
+  }
 }

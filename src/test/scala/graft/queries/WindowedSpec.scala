@@ -79,6 +79,40 @@ class WindowedSpec extends SparkSpec {
     }
   }
 
+  test("seasonal_decompose matches brute force; components reconstruct y") {
+    import org.apache.spark.sql.functions._
+    val rows = Windowed.queries("seasonal_decompose")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("x"))
+    val daily = graft.Tables.orders(spark, sf)
+      .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (x, rs) => (x, rs.map(_.getLong(1)).sum) }
+      .sortBy(_._1)
+    assert(rows.length === daily.length)
+    // brute-force centered 7-observation MA trend
+    val trend = daily.indices.map { i =>
+      val lo = math.max(0, i - 3); val hi = math.min(daily.length - 1, i + 3)
+      val win = (lo to hi).map(daily(_)._2)
+      win.sum.toDouble / win.length.toDouble
+    }
+    val detr = daily.indices.map(i => daily(i)._2.toDouble - trend(i))
+    val seasonal = daily.indices.groupBy(i => daily(i)._1 % 7).map { case (dow, is) =>
+      dow -> is.map(detr).sum / is.length.toDouble
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("y") === daily(i)._2)
+      assert(math.abs(r.getAs[Double]("trend") - trend(i)) < 1e-6, s"x=${daily(i)._1}")
+      val dow = daily(i)._1 % 7
+      assert(math.abs(r.getAs[Double]("seasonal") - seasonal(dow)) < 1e-6)
+      // additive identity: y = trend + seasonal + resid (float-tolerant)
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(recon - daily(i)._2.toDouble) < 1e-6)
+    }
+  }
+
   test("attribution_credit: brute-force touch counts; credit conserves purchase value") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.queries("attribution_credit")(spark, sf).collect()
