@@ -84,13 +84,14 @@ FROM r WHERE rank <= 3"""
   private def symRepr(word: org.apache.spark.sql.Column) =
     concat(lit(" "), array_join(split(word, ""), "  "), lit(" "))
 
-  /** `iters` BPE merge iterations over the corpus vocabulary: each round
-    * counts adjacent symbol pairs weighted by word frequency, picks the
-    * global best (max count, lexicographic tie-break), and rewrites every
-    * word's symbol sequence with the merged token. Returns the merge
-    * table — (iteration, left_sym, right_sym, merged, pair_count) — i.e.
-    * the learned tokenizer. */
-  def bpeMerges(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+  /** Shared BPE learn loop (see [[bpeMerges]] for the algorithm): returns
+    * the merge list AND the final per-word symbol table (word, freq, sym)
+    * — the learned tokenizer in both its rule form and its applied form.
+    * The applied form is what [[bpeEncode]] joins against: real tokenizer
+    * application at scale is exactly this — a bounded vocabulary
+    * dictionary built once, broadcast to the corpus. */
+  private def bpeLearn(s: SparkSession, d: String, iters: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val words = Tables.documents(s, d)
       .select(explode(T).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -130,7 +131,18 @@ FROM r WHERE rank <= 3"""
         i += 1
       }
     }
-    words.unpersist()
+    words.unpersist() // lazy: the syms plan recomputes the tiny vocab if re-evaluated
+    (merges.toSeq, syms)
+  }
+
+  /** `iters` BPE merge iterations over the corpus vocabulary: each round
+    * counts adjacent symbol pairs weighted by word frequency, picks the
+    * global best (max count, lexicographic tie-break), and rewrites every
+    * word's symbol sequence with the merged token. Returns the merge
+    * table — (iteration, left_sym, right_sym, merged, pair_count) — i.e.
+    * the learned tokenizer. */
+  def bpeMerges(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val (merges, _) = bpeLearn(s, d, iters)
     val schema = StructType(Seq(
       StructField("iteration", IntegerType, nullable = false),
       StructField("left_sym", StringType, nullable = false),
@@ -146,7 +158,11 @@ FROM r WHERE rank <= 3"""
   /** Oracle: the identical loop macro-expanded to `iters` CTE stages —
     * same pair counting, same (count desc, pair asc) selection, same
     * string-replace merge on the shared symbol representation. */
-  def bpeMergesSql(iters: Int = 6): String = {
+  /** The learn loop macro-expanded to `iters` CTE stages — same pair
+    * counting, same (count desc, pair asc) selection, same string-replace
+    * merge on the shared symbol representation. Shared by the merge-table
+    * and encode oracles. */
+  private def bpeChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
 WITH w0 AS (
@@ -177,13 +193,62 @@ s${i + 1} AS (
   FROM s$i CROSS JOIN b$i b
 )"""
     }
-    sb ++= (0 until iters).map { i =>
+    sb.toString
+  }
+
+  def bpeMergesSql(iters: Int = 6): String =
+    bpeChainSql(iters) + (0 until iters).map { i =>
       s"""
 SELECT CAST($i AS INTEGER) AS iteration, l AS left_sym, r AS right_sym,
   l || r AS merged, cnt AS pair_count FROM b$i"""
     }.mkString("", "\nUNION ALL", "")
-    sb.toString
+
+  /** Tokenizer APPLICATION — the other half of the BPE lifecycle: encode
+    * a held-out document stride with the 6-merge tokenizer [[bpeLearn]]
+    * just induced, reporting per-document token/char/symbol counts and
+    * the chars-per-symbol compression the merges bought. The applied
+    * tokenizer is the fully-merged VOCABULARY table (word → symbol
+    * sequence), so encoding is a broadcast dictionary join against the
+    * token stream — the production shape: the corpus is never re-scanned
+    * per merge rule, and the dictionary stays bounded no matter the
+    * corpus size. Integer counts + one division (oracle-hashable). */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, syms) = bpeLearn(s, d, 6)
+    val vocab = syms.select(col("word"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_syms"),
+      length(col("word")).cast("long").as("n_chars"))
+    val toks = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), explode(T).as("word"))
+    toks.join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_syms")).as("n_syms"),
+        sum(when(col("n_syms") === 1L, 1L).otherwise(0L)).as("n_single_sym"))
+      .withColumn("chars_per_sym",
+        col("n_chars").cast("double") / col("n_syms").cast("double"))
   }
+
+  def bpeEncodeSql(iters: Int = 6): String =
+    bpeChainSql(iters) + s""",
+enc AS (
+  SELECT word,
+    CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_syms,
+    CAST(len(word) AS BIGINT) AS n_chars
+  FROM s$iters
+), toks AS (
+  SELECT doc_id, unnest($TS) AS word FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(sum(n_syms) AS BIGINT) AS n_syms,
+  CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_sym,
+  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(sum(n_syms) AS BIGINT) AS DOUBLE) AS chars_per_sym
+FROM toks JOIN enc USING (word)
+GROUP BY doc_id"""
 
   /** LM-evaluation analog with integer-exact parity: rank every bigram
     * continuation within its context (count desc, token asc — the model's
@@ -309,6 +374,7 @@ SELECT lang, bigram, rank, cnt FROM r WHERE rank <= 5"""
     "top_ngrams_per_lang" -> ((s, d) => topNgramsPerLang(s, d)),
     "ngram_lm_topk"     -> ((s, d) => bigramTopK(s, d)),
     "bpe_merges"        -> ((s, d) => bpeMerges(s, d)),
+    "bpe_encode"        -> ((s, d) => bpeEncode(s, d)),
     "lexical_diversity" -> ((s, d) => lexicalDiversity(s, d)),
     "continuation_rank" -> ((s, d) => continuationRank(s, d))
   )
@@ -317,6 +383,7 @@ SELECT lang, bigram, rank, cnt FROM r WHERE rank <= 5"""
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "ngram_lm_topk"     -> bigramTopKSql,
     "bpe_merges"        -> bpeMergesSql(),
+    "bpe_encode"        -> bpeEncodeSql(),
     "lexical_diversity" -> lexicalDiversitySql,
     "continuation_rank" -> continuationRankSql
   )

@@ -44,6 +44,43 @@ class LangModelSpec extends SparkSpec {
     assert(merges(2) == (("l", "o", 7L)), s"got ${merges.toSeq}")
   }
 
+  test("BPE encode: classic corpus encodes to the hand-derived symbol counts") {
+    val s0 = spark; import s0.implicits._
+    // same walkthrough corpus; doc_ids chosen so the % 20 stride keeps one
+    // doc per word: 0→low, 100→lower, 200→newest, 300→widest.
+    // 6 merges: e+s, es+t, l+o, lo+w, e+w, ew+est (ties break
+    // lexicographically) → low=[low], lower=[low,e,r], newest=[n,ewest],
+    // widest=[w,i,d,est].
+    val docs = Seq.fill(5)("low").zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq.fill(2)("lower").zipWithIndex.map { case (t, i) => (100L + i, t) } ++
+      Seq.fill(6)("newest").zipWithIndex.map { case (t, i) => (200L + i, t) } ++
+      Seq.fill(3)("widest").zipWithIndex.map { case (t, i) => (300L + i, t) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc_").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LangModel.bpeEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_syms"), r.getAs[Long]("n_single_sym"),
+          r.getAs[Double]("chars_per_sym"))).toMap
+    assert(rows.keySet === Set(0L, 100L, 200L, 300L))
+    assert(rows(0L)   === ((1L, 3L, 1L, 1L, 3.0)))       // low → [low]
+    assert(rows(100L) === ((1L, 5L, 3L, 0L, 5.0 / 3.0))) // lower → [low, e, r]
+    assert(rows(200L) === ((1L, 6L, 2L, 0L, 3.0)))       // newest → [n, ewest]
+    assert(rows(300L) === ((1L, 6L, 4L, 0L, 1.5)))       // widest → [w, i, d, est]
+  }
+
+  test("BPE encode: compression invariants hold on the real corpus") {
+    val rows = LangModel.bpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nc, ns) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_syms"))
+      assert(ns >= nt && ns <= nc, r.toString) // 1..len(word) symbols per token
+      assert(r.getAs[Long]("n_single_sym") <= nt)
+      assert(r.getAs[Double]("chars_per_sym") >= 1.0)
+    }
+  }
+
   test("BPE: consecutive pair occurrences merge greedily left-to-right") {
     val s0 = spark; import s0.implicits._
     // "aaaa" x3: pairs (a,a) count 9 (3 per word-occurrence x 3)... after
