@@ -25,13 +25,11 @@ object Profile {
         .write.format("noop").mode("overwrite").save()
     }
     time("events + tsconv noop") {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
         .write.format("noop").mode("overwrite").save()
     }
     time("events + tsconv + repartition noop") {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
         .repartition(32)
         .write.format("noop").mode("overwrite").save()
     }

@@ -46,14 +46,53 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = spreadTable(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = spreadTable(spark, sfDir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). With
-    * `spark.sql.legacy.parquet.nanosAsLong` (set at session construction —
-    * see [[Sessions]]) the nanos arrive as a plain long; truncate to
-    * microseconds — byte-for-byte the same truncation DuckDB applies when it
-    * reads the same file, so the oracle sees identical timestamps.
+  /** `events.ts` arrives in one of two parquet encodings depending on the
+    * testdata generation: TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
+    * (set at session construction — see [[Sessions]]) delivers it as a plain
+    * long of nanos — or plain TIMESTAMP(MICROS) without timezone, which
+    * Spark reads as TIMESTAMP_NTZ. Normalize both to session-zone TIMESTAMP
+    * micros: the long path truncates nanos→micros (byte-for-byte the same
+    * truncation DuckDB applies reading the same file), and the NTZ path is a
+    * wall-clock-preserving cast (session tz is pinned UTC, so the instant is
+    * unchanged and every downstream hour/date_trunc/unix_ts derivation sees
+    * identical values on both engines).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spreadTable(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spreadTable(spark, sfDir, "events"))
+
+  /** Normalize an events frame's `ts` to session-zone TIMESTAMP micros
+    * whatever encoding it arrived in (see [[events]]). Applied by every
+    * reader of the events table — batch, streaming, and the `_metadata`
+    * direct scans — so the encoding branch lives in exactly one place. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampType => df
+    case _ => // TIMESTAMP_NTZ from plain micros parquet
+      df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** True when the events parquet delivers `ts` as a raw nanos long (the
+    * legacy TIMESTAMP(NANOS) encoding surfaced by `nanosAsLong`) rather
+    * than a native timestamp column. Footer-only schema read — no data
+    * scan; used to pick the matching user-schema for file-stream sources
+    * (streaming reads REQUIRE an explicit schema, so the branch cannot be
+    * left to schema inference there). */
+  def eventsTsIsLong(spark: SparkSession, sfDir: String): Boolean =
+    table(spark, sfDir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+
+  /** Streaming twin of [[events]]: a file-stream source over the events
+    * parquet (and only that file, via pathGlobFilter) with `ts` normalized
+    * to session-zone TIMESTAMP micros under either testdata encoding. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val tsDdl = if (eventsTsIsLong(spark, sfDir)) "BIGINT" else "TIMESTAMP_NTZ"
+    val schema = s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
 }

@@ -350,12 +350,7 @@ object Analytics {
     // single AvailableNow pass == the batch result, so the oracle is the
     // identical full window set.
     "stream_exec_window_counts" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet") // only this table's file
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = Tables.eventsStream(s, d)
       val agg = graft.streaming.StreamAggregates.windowedTypeCounts(src)
       val name = "graft_stream_exec_sink"
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_wc_")
@@ -376,12 +371,7 @@ object Analytics {
     // (single-copy) counts. Exercises T2/T3 plus the stateful-dedup
     // operator (the streaming half of W1) end-to-end.
     "stream_exec_dedup" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = Tables.eventsStream(s, d)
       val deduped = src.union(src)
         .dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -405,12 +395,7 @@ object Analytics {
     // arriving inside the window the result equals the batch single-copy
     // counts, which is the oracle.
     "stream_exec_dedup_wm" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = Tables.eventsStream(s, d)
       val deduped = src.union(src)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -433,11 +418,7 @@ object Analytics {
     // than only in ScalaTest.
     "stream_exec_state" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       import s.implicits._
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+      val src = Tables.eventsStream(s, d)
         .select(col("user_id"), col("value")).as[(Long, Double)]
       val totals = graft.streaming.StreamAggregates.runningUserTotals(src)
         .select(col("user_id"), col("events"))
@@ -464,11 +445,7 @@ object Analytics {
     // oracle computes the identical quantized sum.
     "stream_exec_tws" -> ((s, d) => graft.streaming.StreamGate.scopedTws(s) {
       import s.implicits._
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+      val src = Tables.eventsStream(s, d)
         .select(col("user_id"),
           round(col("value") * lit(1e6), 0).cast("long").as("q"))
         .as[(Long, Long)]
@@ -697,12 +674,8 @@ object Analytics {
     // sub-millisecond parity.
     "stream_exec_session" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       import s.implicits._
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      val src = Tables.eventsStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("event_type"))
         .as[(Long, Long, Long, String)]
       val sessions = graft.streaming.StreamAggregates.sessionized(src)
@@ -729,12 +702,7 @@ object Analytics {
     // and the append-mode output of one AvailableNow pass over a static
     // file equals the batch interval join.
     "stream_exec_join" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = Tables.eventsStream(s, d)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))

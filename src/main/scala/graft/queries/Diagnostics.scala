@@ -224,10 +224,10 @@ FROM customer"""
     // multi-file landing zone this reports per file with zero extra I/O;
     // the grouped agg is one shuffle over (file, tiny payload).
     "pipeline_report" -> ((s, d) => {
-      s.read.parquet(s"$d/events.parquet")
+      Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
         .select(
           col("_metadata.file_name").as("file_name"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("ts"),
           col("user_id"))
         .groupBy("file_name")
         .agg(

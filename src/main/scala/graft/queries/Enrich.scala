@@ -528,12 +528,7 @@ FROM events"""
         max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
         .head()
       val cutoff = math.min(bounds.getLong(0), bounds.getLong(1)) - 3L * 3600 * 1000000L
-      val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = Tables.eventsStream(s, d)
       // Clicks past the cutoff are NOT dropped — dropping them would cap
       // the click-side watermark 3 h early and strand the tail of the
       // eligible clicks in state forever. They stay in the stream as
