@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, ScaleOps, Stats, Temporal, Windowed}
-import graft.llm.{BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Lexicon, Multimodal, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.llm.{AnnRecall, BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Lexicon, Multimodal, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,7 +99,7 @@ object SparkEntry {
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       KMeans.queries ++
       Similarity.queries ++ Similarity.lshQueries ++
-      IvfAnn.queries ++ PqAnn.queries ++ SemDeDup.queries ++ Multimodal.queries ++
+      IvfAnn.queries ++ PqAnn.queries ++ AnnRecall.queries ++ SemDeDup.queries ++ Multimodal.queries ++
       Retrieval.queries ++ Enrich.queries ++ Stats.queries ++ ScaleOps.queries ++
       PhraseIndex.queries ++ KnnLabel.queries ++ BatchPrep.queries ++ Lexicon.queries
 
@@ -114,7 +114,7 @@ object SparkEntry {
       CorpusQuality.oracles ++ TrainPrep.oracles ++
       KMeans.oracles ++
       Similarity.oracles ++ Similarity.lshOracles ++ IvfAnn.oracles ++
-      PqAnn.oracles ++ SemDeDup.oracles ++ Multimodal.oracles ++
+      PqAnn.oracles ++ AnnRecall.oracles ++ SemDeDup.oracles ++ Multimodal.oracles ++
       Retrieval.oracles ++ Enrich.oracles ++ Stats.oracles ++ ScaleOps.oracles ++
       PhraseIndex.oracles ++ KnnLabel.oracles ++ BatchPrep.oracles ++ Lexicon.oracles
 }

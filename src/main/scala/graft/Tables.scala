@@ -73,21 +73,25 @@ object Tables {
       df.withColumn("ts", col("ts").cast("timestamp"))
   }
 
-  /** True when the events parquet delivers `ts` as a raw nanos long (the
-    * legacy TIMESTAMP(NANOS) encoding surfaced by `nanosAsLong`) rather
-    * than a native timestamp column. Footer-only schema read — no data
-    * scan; used to pick the matching user-schema for file-stream sources
-    * (streaming reads REQUIRE an explicit schema, so the branch cannot be
-    * left to schema inference there). */
-  def eventsTsIsLong(spark: SparkSession, sfDir: String): Boolean =
-    table(spark, sfDir, "events").schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+  /** DDL type for the stream source's `ts` column, derived from the batch
+    * reader's inferred type with the SAME three-way branch [[normalizeTs]]
+    * handles — raw nanos long (legacy TIMESTAMP(NANOS) via `nanosAsLong`),
+    * UTC-adjusted micros (TIMESTAMP), or plain micros (TIMESTAMP_NTZ).
+    * Footer-only schema read — no data scan; used to pick the matching
+    * user-schema for file-stream sources (streaming reads REQUIRE an
+    * explicit schema, so the branch cannot be left to schema inference). */
+  def eventsTsDdl(spark: SparkSession, sfDir: String): String =
+    table(spark, sfDir, "events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType      => "BIGINT"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case _                                        => "TIMESTAMP_NTZ"
+    }
 
   /** Streaming twin of [[events]]: a file-stream source over the events
     * parquet (and only that file, via pathGlobFilter) with `ts` normalized
-    * to session-zone TIMESTAMP micros under either testdata encoding. */
+    * to session-zone TIMESTAMP micros under any testdata encoding. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val tsDdl = if (eventsTsIsLong(spark, sfDir)) "BIGINT" else "TIMESTAMP_NTZ"
+    val tsDdl = eventsTsDdl(spark, sfDir)
     val schema = s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
     normalizeTs(

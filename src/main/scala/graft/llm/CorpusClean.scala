@@ -127,8 +127,13 @@ FROM scored"""
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("fingerprint")))
       .filter(col("doc_id") === col("keeper"))
 
-    // near-dup removal: drop the higher id of each pair (keep-first policy)
-    val losers = TextDedup.queries("dedup_jaccard")(s, d)
+    // near-dup removal: drop the higher id of each pair (keep-first
+    // policy). Pairs come from the MinHash-banded candidates + exact
+    // verification ([[TextDedup.nearDupPairs]]) — the same pair set as the
+    // exact inverted-index join (the oracle's formulation) at banded cost,
+    // so the pipeline's near-dup stage scales like `dedup_minhash` (7.7×
+    // at 10× data) instead of the exact join's 27× (BASELINE.md).
+    val losers = TextDedup.nearDupPairs(s, d)
       .select(col("d2").as("doc_id")).distinct()
 
     // stage 6 — learned filter: the linear classifier's keep/drop on top

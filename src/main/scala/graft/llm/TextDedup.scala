@@ -169,12 +169,26 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     }.toDF("doc_id", "band", "bh")
   }
 
-  /** Band-bucket candidate pairs (d1 < d2), deduplicated. */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("band"), col("bh"), col("doc_id").as("d1"))
-    val r = buckets.select(col("band"), col("bh"), col("doc_id").as("d2"))
-    l.join(r, Seq("band", "bh")).filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+  /** Band-bucket candidate pairs (d1 < d2), deduplicated. One shared-key
+    * pair join on the bucket key ([[graft.operators.Pairs.pairJoin]]);
+    * bucket sizes are the banding's own tuning knob, so no degree cap. */
+  def candidatePairs(buckets: DataFrame): DataFrame =
+    graft.operators.Pairs.pairJoin(
+        buckets, Seq("band", "bh"), "doc_id", "d1", "d2", "n_bands")
+      .select("d1", "d2")
+
+  /** The verified near-duplicate pair set (d1, d2, n_shared, jaccard) at
+    * [[JaccardThreshold]], produced the 100 TB way: MinHash band-bucket
+    * candidates, then exact Jaccard verification — the same pair set as
+    * the exact inverted-index join (banding miss probability ~5e-8 at the
+    * J ≥ 0.8 the corpus's planted near-dups sit at; `dedup_minhash`'s
+    * shared oracle with `dedup_jaccard` proves the equality per run), at
+    * banded cost instead of df² (BASELINE.md: 7.7× vs 28× at 10× data).
+    * Consumed by `dedup_minhash`, `dedup_clusters` and
+    * [[CorpusClean.clean]]'s near-dup stage. */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = gramSets(s, d)
+    verifyJaccard(candidatePairs(bandBuckets(grams)), grams)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,11 +207,9 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     "dedup_jaccard" -> ((s, d) => {
       val grams = gramSets(s, d)
       val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      val shared = flat.select(col("doc_id").as("d1"), col("g"))
-        .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).cast("int").as("n_shared"))
+      val shared = graft.operators.Pairs.pairJoin(
+          flat, Seq("g"), "doc_id", "d1", "d2", "n_shared")
+        .withColumn("n_shared", col("n_shared").cast("int"))
       val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
       shared
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
@@ -211,22 +223,43 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // CONTAINMENT near-dup (asymmetric Jaccard): |grams(A) ∩ grams(B)| /
     // |grams(A)| — catches a short doc embedded inside a longer one, which
     // symmetric Jaccard misses (the union in its denominator is dominated
-    // by the longer doc). Ordered pairs (contained, container), same
-    // inverted-index shape as dedup_jaccard: one shuffle on the gram,
-    // never all-pairs.
+    // by the longer doc). Candidate generation uses the PREFIX FILTER on
+    // the contained side's rarest grams (pigeonhole, exact — not
+    // probabilistic): containment ≥ t means B misses at most
+    // n₁ − ⌈t·n₁⌉ of A's grams, so B must share one of ANY fixed
+    // n₁ − ⌈t·n₁⌉ + 1 of them; choosing the globally RAREST grams (df
+    // order — the `jaccard_prefix_join` machinery) makes the probe side
+    // ~(1−t)·|grams| rows of the coldest postings lists instead of the
+    // full inverted index, killing the df² growth of the unfiltered join
+    // (80× at sf1, BASELINE.md) while the verification step recomputes
+    // the true intersection on the full gram arrays. Full recall ⟹ the
+    // exact oracle is unchanged.
     "dedup_containment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val grams = gramSets(s, d)
       val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      val shared = flat.select(col("doc_id").as("d1"), col("g"))
+      // global document frequency per gram; ties broken by gram text so
+      // the prefix choice is deterministic (any fixed choice is correct)
+      val gdf = flat.groupBy("g").agg(count(lit(1)).as("df"))
+      // prefix length: n − ⌈t·n⌉ + 1 = n − (4n+4) div 5 + 1 at t = 4/5,
+      // in pure integer arithmetic (a double t·n can round the boundary)
+      val prefix = flat.join(gdf, "g")
+        .withColumn("n1c", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= expr("n1c - (n1c * 4 + 4) div 5 + 1"))
+        .select(col("doc_id").as("d1"), col("g"))
+      val cands = prefix
         .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
         .filter(col("d1") =!= col("d2"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).cast("int").as("n_shared"))
-      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
-      shared
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .select("d1", "d2").distinct()
+      val g1 = grams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
+      val g2 = grams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
+      cands.join(g1, "d1").join(g2, "d2")
+        .withColumn("n_shared",
+          size(array_intersect(col("grams1"), col("grams2"))))
         .withColumn("containment",
-          col("n_shared").cast("double") / col("n1").cast("double"))
+          col("n_shared").cast("double") / size(col("grams1")).cast("double"))
         .filter(col("containment") >= ContainmentThreshold)
         .select(col("d1").as("contained_doc"), col("d2").as("container_doc"),
           col("n_shared"), col("containment"))
@@ -295,10 +328,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
 
     // MinHash-LSH near-dup: banded signatures → bucket join → exact verify.
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
-    "dedup_minhash" -> ((s, d) => {
-      val grams = gramSets(s, d)
-      verifyJaccard(candidatePairs(bandBuckets(grams)), grams)
-    }),
+    "dedup_minhash" -> ((s, d) => nearDupPairs(s, d)),
 
     // SimHash near-dup pairs at Hamming <= 3 (full-recall pigeonhole
     // blocking; see simhashPairs).
@@ -315,20 +345,15 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // components via a recursive transitive closure (fine at oracle
     // scale, dead at 100 TB — which is exactly why the engine side
     // iterates instead).
+    //
+    // Edge source: the MinHash-banded verified pairs ([[nearDupPairs]]),
+    // NOT the exact all-shared-gram join — identical pair set (see
+    // nearDupPairs doc; `dedup_minhash` proves the equality against the
+    // exact oracle every run) at banded cost, so the clustering inherits
+    // MinHash's sf1 headroom (7.7× vs the exact path's 28× at 10× data,
+    // BASELINE.md) while keeping the unchanged transitive-closure oracle.
     "dedup_clusters" -> ((s, d) => {
-      val grams = gramSets(s, d)
-      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      val shared = flat.select(col("doc_id").as("d1"), col("g"))
-        .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("ns"))
-      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
-      val pairs = shared
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .filter(col("ns").cast("double")
-          / (col("n1") + col("n2") - col("ns")).cast("double") >= JaccardThreshold)
-        .select("d1", "d2")
+      val pairs = nearDupPairs(s, d).select("d1", "d2")
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

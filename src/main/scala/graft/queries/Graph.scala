@@ -82,10 +82,8 @@ object Graph {
     val op = Tables.lineitem(s, d)
       .filter(col("l_orderkey") % 10 === 0)
       .select("l_orderkey", "l_partkey").distinct()
-    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+    val pairs = graft.operators.Pairs.pairJoin(
+      op, Seq("l_orderkey"), "l_partkey", "p1", "p2", "n_orders")
     // both directions in ONE generator pass — a two-branch union would
     // re-evaluate the pairs subtree (distinct + self-join + groupBy) twice
     val sym = pairs.select(explode(array(
@@ -101,10 +99,10 @@ object Graph {
       // feeds four plan branches (two wedge sides, the anti join, degrees)
       .localCheckpoint()
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
-    val wedges = adj.select(col("node").as("u"), col("nbr").as("v"))
-      .join(adj.select(col("node").as("w2"), col("nbr").as("v")), Seq("v"))
-      .filter(col("u") < col("w2"))
-      .groupBy("u", "w2").agg(count(lit(1)).as("cn"))
+    // wedge join = the same shared-key pair join, keyed by the common
+    // neighbor; the degree cap above already bounds each key's fan-out
+    val wedges = graft.operators.Pairs.pairJoin(
+      adj.select(col("nbr").as("v"), col("node")), Seq("v"), "node", "u", "w2", "cn")
     val cand = wedges.join(adj.select(col("node").as("u"), col("nbr").as("w2")),
       Seq("u", "w2"), "left_anti")
     val scored = cand

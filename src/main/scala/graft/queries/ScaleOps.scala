@@ -143,12 +143,8 @@ GROUP BY c_mktsegment"""
     * 100 TB, unlike a global part×part cross. */
   def copurchasePairs(s: SparkSession, d: String): DataFrame = {
     val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2")
-      .agg(count(lit(1)).as("n_orders"))
+    graft.operators.Pairs.pairJoin(
+        op, Seq("l_orderkey"), "l_partkey", "p1", "p2", "n_orders")
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_orders").desc, col("p1"), col("p2"))))
       .filter(col("rnk") <= 20)
