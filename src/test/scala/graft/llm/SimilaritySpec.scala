@@ -64,6 +64,24 @@ class SimilaritySpec extends SparkSpec {
     assert(agree > 0, s"no rank-1 agreement at all (${lshTop.size} queries)")
   }
 
+  test("ann_recall_audit bounds at sf0.01: full k sets, nonzero recall, IVF >= 0.5") {
+    // the driver-gate SF, not the spec default: recall@k is meaningless on
+    // the 1/10th corpus where buckets hold a handful of vectors
+    val rows = AnnRecall.annRecallAudit(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet === Set("ivf", "lsh", "partitioned", "pq"))
+    rows.foreach { case (m, (ret, hits, nExact, rec)) =>
+      assert(ret === nExact, s"$m returned $ret of $nExact expected pairs")
+      assert(rec === hits.toDouble / nExact, s"$m recall arithmetic")
+      assert(rec > 0.0, s"$m recall is zero")
+    }
+    // embeddings are label-clustered; IVF probes 3 of 16 cells and must
+    // recover over half the true top-k set (same bound the sf0.001 IVF
+    // test pins)
+    assert(rows("ivf")._4 >= 0.5, s"ivf recall ${rows("ivf")._4}")
+  }
+
   test("near-dup block-grid fallback returns exactly the broadcast path's pairs") {
     val e = graft.Tables.embeddings(spark, sf).select(
       col("vec_id"), col("embedding"),
