@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(exact.count(sh.contains).toDouble / exact.size >= 0.2)
   }
 
+  test("containment rarest-gram prefix filter is lossless vs the unfiltered join") {
+    // ground truth: the UNFILTERED inverted-index join (every shared gram a
+    // candidate) at the same threshold — the pigeonhole prefix must find
+    // every ordered pair it finds, by construction, not probabilistically
+    val grams = TextDedup.gramSets(spark, sf)
+    val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val t = TextDedup.ContainmentThreshold
+    val brute = flat.select(col("doc_id").as("d1"), col("g"))
+      .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
+      .filter(col("d1") =!= col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ns"))
+      .join(grams.select(col("doc_id").as("d1"), size(col("grams")).as("n1")), "d1")
+      .filter(col("ns").cast("double") / col("n1").cast("double") >= t)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = TextDedup.queries("dedup_containment")(spark, sf)
+      .select(col("contained_doc"), col("container_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain containment pairs")
+    assert(pruned === brute)
+  }
+
   test("exact dedup groups every document and keeps the min doc_id") {
     val docs = Tables.documents(spark, sf).count()
     val dd = TextDedup.queries("dedup_exact")(spark, sf).cache()
