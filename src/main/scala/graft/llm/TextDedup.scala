@@ -223,46 +223,83 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // CONTAINMENT near-dup (asymmetric Jaccard): |grams(A) ∩ grams(B)| /
     // |grams(A)| — catches a short doc embedded inside a longer one, which
     // symmetric Jaccard misses (the union in its denominator is dominated
-    // by the longer doc). Candidate generation uses the PREFIX FILTER on
-    // the contained side's rarest grams (pigeonhole, exact — not
-    // probabilistic): containment ≥ t means B misses at most
-    // n₁ − ⌈t·n₁⌉ of A's grams, so B must share one of ANY fixed
-    // n₁ − ⌈t·n₁⌉ + 1 of them; choosing the globally RAREST grams (df
-    // order — the `jaccard_prefix_join` machinery) makes the probe side
-    // ~(1−t)·|grams| rows of the coldest postings lists instead of the
-    // full inverted index, killing the df² growth of the unfiltered join
-    // (80× at sf1, BASELINE.md) while the verification step recomputes
-    // the true intersection on the full gram arrays. Full recall ⟹ the
-    // exact oracle is unchanged.
+    // by the longer doc). Two exact tiers, both with unchanged oracle:
+    //
+    // Tier 0 — EXACT COLLAPSE: docs with identical gram SETS (sha256 of
+    // the sorted gram array) form one group; the join runs on one
+    // REPRESENTATIVE per group and results expand back through the
+    // groups (cross-group pairs inherit the representatives' intersection
+    // — the sets are identical; within-group ordered pairs are containment
+    // = 1.0 by definition, for non-empty sets). This is the exact-dedup-
+    // before-near-dup stage every curation stack runs anyway, fused in:
+    // on a corpus with duplication rate r the join shrinks (1+r)² — the
+    // sf1 replication artifact (10 identical copies of every doc, df
+    // uniformly ×10) collapses back to the base corpus, BASELINE.md.
+    //
+    // Tier 1 — PREFIX FILTER on the contained side's rarest grams
+    // (pigeonhole, exact — not probabilistic): containment ≥ t means B
+    // misses at most n₁ − ⌈t·n₁⌉ of A's grams, so B must share one of ANY
+    // fixed n₁ − ⌈t·n₁⌉ + 1 of them; choosing the globally RAREST (df
+    // order — the `jaccard_prefix_join` machinery) probes the coldest
+    // postings lists instead of the full inverted index. On real text
+    // (Zipfian df, rare grams plentiful) this bounds candidates near the
+    // output size; verification recomputes the true intersection on the
+    // full gram arrays of the (collapsed) representatives.
     "dedup_containment" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val grams = gramSets(s, d)
-      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      // global document frequency per gram; ties broken by gram text so
-      // the prefix choice is deterministic (any fixed choice is correct)
+      // grams are distinct per doc, so sort-equal arrays = equal sets;
+      // "|" never occurs inside a gram ([a-z0-9 ] by construction)
+      val keyed = grams.withColumn("fp",
+        sha2(array_join(sort_array(col("grams")), "|"), 256))
+      val members = keyed.select(col("fp"), col("doc_id"))
+      // one row per distinct doc content — feeds four plan branches
+      // (inverted index, prefix, both verify sides), so truncate lineage
+      val reps = keyed.groupBy("fp")
+        .agg(first(col("grams")).as("grams"), count(lit(1)).as("gsz"))
+        .localCheckpoint()
+      val flat = reps.select(col("fp"), explode(col("grams")).as("g"))
+      // rep-level document frequency; ties broken by gram text so the
+      // prefix choice is deterministic (any fixed choice is correct)
       val gdf = flat.groupBy("g").agg(count(lit(1)).as("df"))
       // prefix length: n − ⌈t·n⌉ + 1 = n − (4n+4) div 5 + 1 at t = 4/5,
       // in pure integer arithmetic (a double t·n can round the boundary)
       val prefix = flat.join(gdf, "g")
-        .withColumn("n1c", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("n1c", count(lit(1)).over(Window.partitionBy("fp")))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+          Window.partitionBy("fp").orderBy(col("df"), col("g"))))
         .filter(col("rn") <= expr("n1c - (n1c * 4 + 4) div 5 + 1"))
-        .select(col("doc_id").as("d1"), col("g"))
+        .select(col("fp").as("fp1"), col("g"))
       val cands = prefix
-        .join(flat.select(col("doc_id").as("d2"), col("g")), "g")
-        .filter(col("d1") =!= col("d2"))
-        .select("d1", "d2").distinct()
-      val g1 = grams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
-      val g2 = grams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
-      cands.join(g1, "d1").join(g2, "d2")
+        .join(flat.select(col("fp").as("fp2"), col("g")), "g")
+        .filter(col("fp1") =!= col("fp2"))
+        .select("fp1", "fp2").distinct()
+      val repPairs = cands
+        .join(reps.select(col("fp").as("fp1"), col("grams").as("grams1")), "fp1")
+        .join(reps.select(col("fp").as("fp2"), col("grams").as("grams2")), "fp2")
         .withColumn("n_shared",
           size(array_intersect(col("grams1"), col("grams2"))))
         .withColumn("containment",
           col("n_shared").cast("double") / size(col("grams1")).cast("double"))
         .filter(col("containment") >= ContainmentThreshold)
-        .select(col("d1").as("contained_doc"), col("d2").as("container_doc"),
-          col("n_shared"), col("containment"))
+        .select("fp1", "fp2", "n_shared", "containment")
+      val cross = repPairs
+        .join(members.select(col("fp").as("fp1"), col("doc_id").as("contained_doc")), "fp1")
+        .join(members.select(col("fp").as("fp2"), col("doc_id").as("container_doc")), "fp2")
+        .select("contained_doc", "container_doc", "n_shared", "containment")
+      // within-group ordered pairs: identical non-empty gram sets contain
+      // each other exactly (n_shared = n, containment = n/n = 1.0 — the
+      // same double the oracle's division produces); empty sets share no
+      // gram and never reach the oracle's intersection, so exclude them
+      val m = members
+        .join(reps.select(col("fp"), size(col("grams")).as("n"), col("gsz")), "fp")
+        .filter(col("gsz") >= 2 && col("n") >= 1)
+      val within = m.select(col("fp"), col("doc_id").as("contained_doc"), col("n"))
+        .join(m.select(col("fp"), col("doc_id").as("container_doc")), "fp")
+        .filter(col("contained_doc") =!= col("container_doc"))
+        .select(col("contained_doc"), col("container_doc"),
+          col("n").as("n_shared"), lit(1.0).as("containment"))
+      cross.unionByName(within)
     }),
 
     // INCREMENTAL dedup: today's ingest batch (deterministic 20% of docs,
