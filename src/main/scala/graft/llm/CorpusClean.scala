@@ -151,8 +151,61 @@ FROM scored"""
       .select("doc_id", "n_tokens", "quality_score", "clf_margin")
   }
 
+  /** Per-stage survivor counts of the [[clean]] pipeline — the yield
+    * funnel every curation dashboard tracks (how many documents each
+    * filter kills is THE operating metric of a training-data pipeline; a
+    * stage suddenly dropping 40% flags a broken filter or a poisoned
+    * crawl). One pass computes per-doc stage flags (exact-dedup keeper,
+    * quality, near-dup survivor, classifier keep), one aggregate counts
+    * the five cumulative stages, `stack` unpivots to funnel rows — no
+    * per-stage rescans. */
+  def yieldFunnel(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val flags = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("stops",
+        size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "is", "to", "in"))))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) * lit(0.4)
+          + (col("n_distinct").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
+          + least(lit(1.0), (col("stops").cast("double") / col("n_tokens").cast("double")) * lit(5.0)) * lit(0.3))
+      .withColumn("fingerprint", sha2(array_join(col("toks"), " "), 256))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fingerprint"))
+          === col("doc_id"))
+      .withColumn("q_ok", col("quality_score") >= QualityThreshold)
+      .select("doc_id", "keeper", "q_ok")
+      .join(TextDedup.nearDupPairs(s, d).select(col("d2").as("doc_id")).distinct()
+        .withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
+      .join(classifierScores(s, d).select(col("doc_id"), (col("margin") >= 0L).as("clf_ok")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keeper"), col("q_ok"),
+        coalesce(col("is_loser"), lit(false)).as("is_loser"),
+        // docs with zero classifier terms have no score row and are
+        // dropped by the pipeline's inner join — same semantics here
+        coalesce(col("clf_ok"), lit(false)).as("clf_ok"))
+    flags
+      .agg(
+        count(lit(1)).as("n0"),
+        count(when(col("keeper"), 1)).as("n1"),
+        count(when(col("keeper") && col("q_ok"), 1)).as("n2"),
+        count(when(col("keeper") && col("q_ok") && !col("is_loser"), 1)).as("n3"),
+        count(when(col("keeper") && col("q_ok") && !col("is_loser") && col("clf_ok"), 1)).as("n4"))
+      .selectExpr(
+        """stack(5,
+             0, 'raw',         n0,
+             1, 'exact_dedup', n1,
+             2, 'quality',     n2,
+             3, 'near_dedup',  n3,
+             4, 'classifier',  n4) AS (stage, stage_name, n_docs)""")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> ((s, d) => clean(s, d)),
+    "corpus_yield_funnel" -> ((s, d) => yieldFunnel(s, d)),
     // Learned-filter ranking surface: the 50 highest-scoring documents
     // under the hashed linear classifier (TakeOrdered top-k, never a
     // global sort).
@@ -162,8 +215,10 @@ FROM scored"""
 
   def oracles: Map[String, String] = {
     val ts = Text.tokensSql("text")
-    Map("corpus_clean" -> s"""
-WITH base AS (
+    // the pipeline CTE stack, shared verbatim by the corpus_clean and
+    // corpus_yield_funnel oracles (the funnel IS the pipeline, counted
+    // per stage)
+    val pipelineCtes = s"""base AS (
   SELECT doc_id, $ts AS toks FROM documents
 ),
 m AS (
@@ -214,12 +269,34 @@ cmargin AS (
   SELECT doc_id,
          CAST(sum(((b * 1103515245 + 12345) % 2001) - 1000) AS BIGINT) AS clf_margin
   FROM chashed GROUP BY doc_id
-)
+)"""
+    Map("corpus_clean" -> s"""
+WITH $pipelineCtes
 SELECT k.doc_id, k.n_tokens, k.quality_score, c.clf_margin
 FROM keepers k JOIN cmargin c ON k.doc_id = c.doc_id
 WHERE k.quality_score >= $QualityThreshold
   AND k.doc_id NOT IN (SELECT doc_id FROM losers)
   AND c.clf_margin >= 0""",
+
+    // Mirrors [[yieldFunnel]]: each stage's cumulative survivor count out
+    // of the SAME CTE stack corpus_clean selects from.
+    "corpus_yield_funnel" -> s"""
+WITH $pipelineCtes
+SELECT 0 AS stage, 'raw' AS stage_name,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM keepers)
+UNION ALL SELECT 2, 'quality',
+  (SELECT CAST(count(*) AS BIGINT) FROM keepers WHERE quality_score >= $QualityThreshold)
+UNION ALL SELECT 3, 'near_dedup',
+  (SELECT CAST(count(*) AS BIGINT) FROM keepers
+   WHERE quality_score >= $QualityThreshold
+     AND doc_id NOT IN (SELECT doc_id FROM losers))
+UNION ALL SELECT 4, 'classifier',
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM keepers k JOIN cmargin c ON k.doc_id = c.doc_id
+   WHERE k.quality_score >= $QualityThreshold
+     AND k.doc_id NOT IN (SELECT doc_id FROM losers)
+     AND c.clf_margin >= 0)""",
 
     "quality_score_topk" -> s"""
 SELECT * FROM ($classifierSql)

@@ -266,6 +266,36 @@ FROM customer"""
             "'relationships_o_custkey', rel) AS (test_name, failures)"))
     }),
 
+    // k-anonymity audit over the customer dimension — the privacy screen a
+    // training-data pipeline runs before releasing user-adjacent features:
+    // rows whose quasi-identifier combination (market segment, nation,
+    // account-balance band) lands in a group smaller than k are
+    // re-identifiable at that k. One grouped count builds the group-size
+    // table (the only shuffle, on the QI key); the audit itself is a
+    // single aggregate over groups — at any corpus size the group table is
+    // bounded by the QI-combination cardinality, not the row count.
+    "k_anonymity_audit" -> ((s, d) => {
+      val groups = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("gsz"))
+      def below(k: Int) = Seq(
+        sum(when(col("gsz") < k, 1L).otherwise(0L)).as(s"g$k"),
+        sum(when(col("gsz") < k, col("gsz")).otherwise(0L)).as(s"r$k"))
+      val aggs = Seq(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"),
+        min(col("gsz")).as("min_gsz")) ++ below(2) ++ below(5) ++ below(10)
+      groups
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          """stack(3,
+               2,  g2,  r2,
+               5,  g5,  r5,
+               10, g10, r10) AS (k, groups_below_k, rows_below_k)""",
+          "n_groups", "n_rows", "min_gsz AS min_group_size")
+        .withColumn("risk_frac",
+          col("rows_below_k").cast("double") / col("n_rows").cast("double"))
+    }),
+
     // Benford's-law first-digit profile of order totals: exact per-digit
     // counts, observed fraction, and the quantized deviation from the
     // Benford expectation — the classic fraud/drift screen. The aggregate
@@ -435,6 +465,34 @@ SELECT 'not_null_o_custkey' AS test_name, nn AS failures FROM base
 UNION ALL SELECT 'unique_o_orderkey', uq FROM base
 UNION ALL SELECT 'accepted_values_o_orderstatus', av FROM base
 UNION ALL SELECT 'relationships_o_custkey', rel FROM rel""",
+
+    // Mirrors the Spark audit: same QI grouping, same ELSE-0 sums (an
+    // empty below-k set must count 0, not NULL), same single division.
+    "k_anonymity_audit" -> """
+WITH groups AS (
+  SELECT c_mktsegment, c_nationkey,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+    CAST(count(*) AS BIGINT) AS gsz
+  FROM customer GROUP BY 1, 2, 3
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(sum(gsz) AS BIGINT) AS n_rows,
+    CAST(min(gsz) AS BIGINT) AS min_group_size,
+    CAST(sum(CASE WHEN gsz < 2  THEN 1   ELSE 0 END) AS BIGINT) AS g2,
+    CAST(sum(CASE WHEN gsz < 2  THEN gsz ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN gsz < 5  THEN 1   ELSE 0 END) AS BIGINT) AS g5,
+    CAST(sum(CASE WHEN gsz < 5  THEN gsz ELSE 0 END) AS BIGINT) AS r5,
+    CAST(sum(CASE WHEN gsz < 10 THEN 1   ELSE 0 END) AS BIGINT) AS g10,
+    CAST(sum(CASE WHEN gsz < 10 THEN gsz ELSE 0 END) AS BIGINT) AS r10
+  FROM groups
+)
+SELECT k, groups_below_k, rows_below_k, n_groups, n_rows, min_group_size,
+  CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE) AS risk_frac
+FROM (
+  SELECT 2 AS k, g2 AS groups_below_k, r2 AS rows_below_k, n_groups, n_rows, min_group_size FROM a
+  UNION ALL SELECT 5, g5, r5, n_groups, n_rows, min_group_size FROM a
+  UNION ALL SELECT 10, g10, r10, n_groups, n_rows, min_group_size FROM a
+)""",
 
     "pipeline_report" -> """
 SELECT 'events.parquet' AS file_name,

@@ -42,6 +42,38 @@ class CorpusQualitySpec extends SparkSpec {
     assert(df.filter(!col("keep")).count() > 0)
   }
 
+  test("yield funnel is monotone and its last stage equals corpus_clean's output") {
+    val stages = CorpusClean.yieldFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(stages.keySet === Set(0, 1, 2, 3, 4))
+    // each stage can only drop documents
+    (0 to 3).foreach { i =>
+      assert(stages(i) >= stages(i + 1), s"stage $i -> ${i + 1} grew")
+    }
+    assert(stages(0) === graft.Tables.documents(spark, sf).count())
+    assert(stages(4) === CorpusClean.clean(spark, sf).count(),
+      "funnel terminus must equal the pipeline's actual output")
+  }
+
+  test("k-anonymity audit: cumulative in k and consistent with the QI groups") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Diagnostics.queries("k_anonymity_audit")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet === Set(2, 5, 10))
+    // below-k counts are cumulative in k; totals identical on every row
+    assert(rows(2).getLong(1) <= rows(5).getLong(1))
+    assert(rows(5).getLong(1) <= rows(10).getLong(1))
+    assert(rows.values.map(_.getLong(4)).toSet.size === 1, "n_rows constant")
+    assert(rows(2).getLong(4) === graft.Tables.customer(spark, sf).count())
+    // cross-check one threshold against a direct group-size computation
+    val direct = graft.Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .count().filter(col("count") < 5)
+      .agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+    assert(rows(5).getLong(2) === direct, "rows_below_5 cross-check")
+  }
+
   test("quality_score_topk is the true top-50 by normalized score") {
     val all = CorpusClean.classifierScores(spark, sf).collect()
       .map(r => (r.getDouble(3), r.getLong(0)))
