@@ -56,10 +56,13 @@ object TextDedup {
     * loop below implements the *identical* semantics as [[Text.tokens]] /
     * [[Text.ngrams]] (ASCII lower → split on non-alphanumeric runs → drop
     * empties → space-joined distinct 3-grams), so oracle parity holds. */
-  private def gramSetsUncached(s: SparkSession, d: String): DataFrame = {
-    val spark = s
+  private def gramSetsUncached(s: SparkSession, d: String): DataFrame =
+    gramsOf(Tables.documents(s, d))
+
+  private[llm] def gramsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .mapPartitions { it =>
         val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
         it.map { case (id, text) =>
@@ -177,18 +180,76 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         buckets, Seq("band", "bh"), "doc_id", "d1", "d2", "n_bands")
       .select("d1", "d2")
 
+  /** Exact-collapse tier shared by the MinHash pair path and the
+    * containment join: group docs whose gram SETS are identical (sha256 of
+    * the sorted gram array — sort-equal distinct arrays = equal sets; "|"
+    * never occurs inside a gram), keep one representative per group.
+    * Returns (members: fp→doc_id, reps: fp, rep_id, grams, gsz). reps is
+    * one row per distinct doc content and feeds several plan branches, so
+    * its lineage is truncated. */
+  private def collapse(grams: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = grams.withColumn("fp",
+      sha2(array_join(sort_array(col("grams")), "|"), 256))
+    val members = keyed.select(col("fp"), col("doc_id"))
+    // group members have sort-equal gram arrays, so first() is
+    // deterministic up to gram ORDER, which nothing downstream observes
+    // (signatures min over the set, intersections are set-sized)
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_id"),
+        first(col("grams")).as("grams"),
+        count(lit(1)).as("gsz"))
+      .localCheckpoint()
+    (members, reps)
+  }
+
+  /** Expand representative-level verified pairs back to doc-level pairs:
+    * cross-group pairs inherit the representatives' intersection (the
+    * sets are identical), within-group ordered pairs of every duplicate
+    * group are J = 1.0 by definition (non-empty sets only — empty sets
+    * share no gram and are never pairs). */
+  private def expandPairs(
+      repPairs: DataFrame, members: DataFrame, reps: DataFrame): DataFrame = {
+    val repFp = reps.select(col("rep_id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("rep_id").as("d1"), col("fp").as("fp1")), "d1")
+      .join(repFp.select(col("rep_id").as("d2"), col("fp").as("fp2")), "d2")
+      .join(members.select(col("fp").as("fp1"), col("doc_id").as("a")), "fp1")
+      .join(members.select(col("fp").as("fp2"), col("doc_id").as("b")), "fp2")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"),
+        col("n_shared"), col("jaccard"))
+    val dup = members
+      .join(reps.select(col("fp"), size(col("grams")).as("n"), col("gsz")), "fp")
+      .filter(col("gsz") >= 2 && col("n") >= 1)
+    val within = dup.select(col("fp"), col("doc_id").as("a"), col("n"))
+      .join(dup.select(col("fp"), col("doc_id").as("b")), "fp")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("d1"), col("b").as("d2"),
+        col("n").as("n_shared"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
   /** The verified near-duplicate pair set (d1, d2, n_shared, jaccard) at
-    * [[JaccardThreshold]], produced the 100 TB way: MinHash band-bucket
-    * candidates, then exact Jaccard verification — the same pair set as
-    * the exact inverted-index join (banding miss probability ~5e-8 at the
+    * [[JaccardThreshold]], produced the 100 TB way: exact-collapse of
+    * identical gram sets ([[collapse]] — a duplication rate r shrinks the
+    * banded join (1+r)²; the sf1 replication artifact collapses back to
+    * the base corpus), then MinHash band-bucket candidates over the
+    * representatives, exact Jaccard verification, and expansion back
+    * through the duplicate groups. The result equals the exact
+    * inverted-index pair set (banding miss probability ~5e-8 at the
     * J ≥ 0.8 the corpus's planted near-dups sit at; `dedup_minhash`'s
-    * shared oracle with `dedup_jaccard` proves the equality per run), at
-    * banded cost instead of df² (BASELINE.md: 7.7× vs 28× at 10× data).
-    * Consumed by `dedup_minhash`, `dedup_clusters` and
+    * shared oracle with `dedup_jaccard` proves the equality per run, and
+    * DedupSpec proves the collapse/expansion on a corpus with planted
+    * exact duplicates). Consumed by `dedup_minhash`, `dedup_clusters` and
     * [[CorpusClean.clean]]'s near-dup stage. */
-  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val grams = gramSets(s, d)
-    verifyJaccard(candidatePairs(bandBuckets(grams)), grams)
+  def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsFromGrams(gramSets(s, d))
+
+  private[llm] def nearDupPairsFromGrams(grams: DataFrame): DataFrame = {
+    val (members, reps) = collapse(grams)
+    val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
+    val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
+    expandPairs(repPairs, members, reps)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -383,53 +444,11 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // scale, dead at 100 TB — which is exactly why the engine side
     // iterates instead).
     //
-    // Edge source: the MinHash-banded verified pairs ([[nearDupPairs]]),
-    // NOT the exact all-shared-gram join — identical pair set (see
-    // nearDupPairs doc; `dedup_minhash` proves the equality against the
-    // exact oracle every run) at banded cost, so the clustering inherits
-    // MinHash's sf1 headroom (7.7× vs the exact path's 28× at 10× data,
-    // BASELINE.md) while keeping the unchanged transitive-closure oracle.
-    "dedup_clusters" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d).select("d1", "d2")
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      // (frame, wasCheckpointed): checkpointed frames must NOT be
-      // unpersisted mid-loop — descendants read their stored blocks with
-      // no lineage to fall back on; persisted frames can always recompute
-      var prev: Option[(DataFrame, Boolean)] = None
-      var changed = 1L
-      var iter = 0
-      while (changed > 0) {
-        iter += 1
-        val nbrMin = edges
-          .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
-          .groupBy("src").agg(min(col("dlbl")).as("nl"))
-          .select(col("src").as("node"), col("nl"))
-        val step = labels
-          .join(nbrMin, Seq("node"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        // every 5 supersteps the label frame is localCheckpoint'ed instead
-        // of persisted: label propagation runs diameter-many rounds, and
-        // without lineage truncation the plan nests one join tree per
-        // round — unbounded optimizer/DAG-scheduler cost at real cluster
-        // diameters (VERDICT r6). The label frame is one row per node, so
-        // the materialization is cheap relative to the edge shuffle.
-        val ckpt = iter % 5 == 0
-        val next =
-          if (ckpt) step.localCheckpoint()
-          else step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.select(col("node"), col("lbl").as("old")), "node")
-          .filter(col("lbl") =!= col("old")).count() // materializes `next`
-        prev.foreach { case (f, wasCkpt) => if (!wasCkpt) f.unpersist() }
-        prev = Some((next, ckpt))
-        labels = next
-      }
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_rep"),
-        (col("node") === col("lbl")).as("is_kept"))
-    }),
+    // Edge source: the MinHash-banded verified pairs over the
+    // exact-collapsed representatives ([[clusterAssignments]]) — identical
+    // component structure (see clusterAssignments doc) at banded,
+    // collapsed cost, with the unchanged transitive-closure oracle.
+    "dedup_clusters" -> ((s, d) => clusterAssignments(gramSets(s, d))),
 
     // Exact duplicate SUBSTRING spans (Lee et al., "Deduplicating
     // Training Data"): find every maximal character span whose G-wide
@@ -438,6 +457,77 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // otherwise-distinct documents). See [[substringSpans]].
     "dedup_substring" -> ((s, d) => substringSpans(s, d))
   )
+
+  /** Connected components over the near-dup pair graph, computed at
+    * REPRESENTATIVE level: min-label propagation runs on the collapsed
+    * rep-pair graph (one edge-shuffle per superstep, iterations = graph
+    * diameter — the GraphX/GraphFrames CC loop), then labels expand
+    * through the duplicate groups. Correctness: the expanded pair graph's
+    * edges are exactly (cross-group expansions of rep edges) ∪ (within-
+    * group cliques), so its components are the union of the groups of
+    * each rep component, plus every edge-less duplicate group (≥2 members,
+    * non-empty gram set) as its own clique component. cluster_rep = the
+    * min doc_id of the expanded component (the oracle's least(a, MIN
+    * reachable)), computed as a window min over the component label.
+    *
+    * Scale: the CC superstep cost is bounded by the COLLAPSED graph (the
+    * sf1 replication artifact's 979× pair growth never enters the loop);
+    * the expansion is pure output work. */
+  private[llm] def clusterAssignments(grams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (members, reps) = collapse(grams)
+    val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
+    val pairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
+      .select("d1", "d2")
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    // (frame, wasCheckpointed): checkpointed frames must NOT be
+    // unpersisted mid-loop — descendants read their stored blocks with
+    // no lineage to fall back on; persisted frames can always recompute
+    var prev: Option[(DataFrame, Boolean)] = None
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      iter += 1
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy("src").agg(min(col("dlbl")).as("nl"))
+        .select(col("src").as("node"), col("nl"))
+      val step = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // every 5 supersteps the label frame is localCheckpoint'ed instead
+      // of persisted: label propagation runs diameter-many rounds, and
+      // without lineage truncation the plan nests one join tree per
+      // round — unbounded optimizer/DAG-scheduler cost at real cluster
+      // diameters (VERDICT r6). The label frame is one row per node, so
+      // the materialization is cheap relative to the edge shuffle.
+      val ckpt = iter % 5 == 0
+      val next =
+        if (ckpt) step.localCheckpoint()
+        else step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("node"), col("lbl").as("old")), "node")
+        .filter(col("lbl") =!= col("old")).count() // materializes `next`
+      prev.foreach { case (f, wasCkpt) => if (!wasCkpt) f.unpersist() }
+      prev = Some((next, ckpt))
+      labels = next
+    }
+    // duplicate groups with no rep-level edge are their own components
+    val isolatedDups = reps
+      .filter(col("gsz") >= 2 && size(col("grams")) >= 1)
+      .select(col("rep_id").as("node"))
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .withColumn("lbl", col("node"))
+    labels.unionByName(isolatedDups)
+      .join(reps.select(col("rep_id").as("node"), col("fp")), "node")
+      .join(members, "fp")
+      .withColumn("cluster_rep", min(col("doc_id")).over(Window.partitionBy("lbl")))
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("is_kept"))
+  }
 
   /** Duplicate-span width: a span is reported when every one of its
     * G-char windows occurs ≥2 times corpus-wide — the character-level

@@ -39,6 +39,51 @@ class DedupSpec extends SparkSpec {
     assert(exact.count(sh.contains).toDouble / exact.size >= 0.2)
   }
 
+  test("collapse/expansion tier is exact on a corpus with planted exact duplicates") {
+    // The driver testdata has no exact-duplicate docs, so the collapse
+    // tier's expansion paths (cross-group, within-group clique, isolated
+    // dup group, gram-less doc) never fire there — exercise them against
+    // a brute-force JVM ground truth. 0=1 exact dups, 2 a near-dup of
+    // both; 3=4 an exact-dup group with NO rep-level edge (isolated
+    // clique); 5 has fewer than 3 tokens (empty gram set -> no pairs).
+    val s0 = spark; import s0.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different text about apples bananas and cherries today"),
+      (4L, "completely different text about apples bananas and cherries today"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+    val grams = TextDedup.gramsOf(docs)
+    // brute-force ground truth on the driver
+    val sets = grams.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val truth = (for {
+      (a, ga) <- sets.toSeq; (b, gb) <- sets.toSeq
+      if a < b && ga.nonEmpty
+      inter = (ga & gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if j >= TextDedup.JaccardThreshold
+    } yield (a, b) -> ((inter, j))).toMap
+    val got = TextDedup.nearDupPairsFromGrams(grams).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (k, (ns, j)) =>
+      assert((ns, j) === truth(k), s"pair $k")
+    }
+    assert(got.contains((0L, 1L)) && got.contains((3L, 4L)),
+      "exact-dup pairs must surface through the within-group expansion")
+    assert(got.contains((0L, 2L)) && got.contains((1L, 2L)),
+      "near-dup pairs must expand to every group member")
+    // clusters: {0,1,2} keep 0; {3,4} keep 3 (the isolated-clique path)
+    val clusters = TextDedup.clusterAssignments(grams).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(clusters === Map(
+      0L -> ((0L, true)), 1L -> ((0L, false)), 2L -> ((0L, false)),
+      3L -> ((3L, true)), 4L -> ((3L, false))))
+  }
+
   test("containment rarest-gram prefix filter is lossless vs the unfiltered join") {
     // ground truth: the UNFILTERED inverted-index join (every shared gram a
     // candidate) at the same threshold — the pigeonhole prefix must find
