@@ -252,6 +252,27 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     expandPairs(repPairs, members, reps)
   }
 
+  /** The EXACT inverted-index Jaccard pair set, over collapsed
+    * representatives — the full-recall baseline `dedup_minhash` is
+    * measured against (same collapse, different candidate generator:
+    * every shared gram vs the banded buckets). */
+  private[llm] def jaccardPairsFromGrams(grams: DataFrame): DataFrame = {
+    val (members, reps) = collapse(grams)
+    val flat = reps.select(col("rep_id").as("doc_id"), explode(col("grams")).as("g"))
+    val shared = graft.operators.Pairs.pairJoin(
+        flat, Seq("g"), "doc_id", "d1", "d2", "n_shared")
+      .withColumn("n_shared", col("n_shared").cast("int"))
+    val sizes = reps.select(col("rep_id").as("doc_id"), size(col("grams")).as("n"))
+    val repPairs = shared
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n1") + col("n2") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2", "n_shared", "jaccard")
+    expandPairs(repPairs, members, reps)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by normalized-content fingerprint: one hash aggregation.
     "dedup_exact" -> ((s, d) => {
@@ -261,25 +282,16 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("copies"))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs via inverted-index join. The
-    // shared-gram count IS the join-match count (grams are distinct per
-    // doc), so one groupBy replaces any per-pair set intersection — the
-    // shape that survives scale-up: shuffle on gram, aggregate on pair.
-    "dedup_jaccard" -> ((s, d) => {
-      val grams = gramSets(s, d)
-      val flat = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      val shared = graft.operators.Pairs.pairJoin(
-          flat, Seq("g"), "doc_id", "d1", "d2", "n_shared")
-        .withColumn("n_shared", col("n_shared").cast("int"))
-      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
-      shared
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jaccard",
-          col("n_shared").cast("double") / (col("n1") + col("n2") - col("n_shared")).cast("double"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("d1", "d2", "n_shared", "jaccard")
-    }),
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join over
+    // the exact-collapsed representatives ([[collapse]] — still the exact
+    // algorithm: identical gram sets have identical intersections, so
+    // rep-level pairs expand losslessly). The shared-gram count IS the
+    // join-match count (grams are distinct per doc), so one groupBy
+    // replaces any per-pair set intersection — the shape that survives
+    // scale-up: shuffle on gram, aggregate on pair, and the df² candidate
+    // growth of duplicated text never enters the join (BASELINE.md: the
+    // uncollapsed join was 56× at 10× replicated data).
+    "dedup_jaccard" -> ((s, d) => jaccardPairsFromGrams(gramSets(s, d))),
 
     // CONTAINMENT near-dup (asymmetric Jaccard): |grams(A) ∩ grams(B)| /
     // |grams(A)| — catches a short doc embedded inside a longer one, which
@@ -308,17 +320,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // full gram arrays of the (collapsed) representatives.
     "dedup_containment" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = gramSets(s, d)
-      // grams are distinct per doc, so sort-equal arrays = equal sets;
-      // "|" never occurs inside a gram ([a-z0-9 ] by construction)
-      val keyed = grams.withColumn("fp",
-        sha2(array_join(sort_array(col("grams")), "|"), 256))
-      val members = keyed.select(col("fp"), col("doc_id"))
-      // one row per distinct doc content — feeds four plan branches
-      // (inverted index, prefix, both verify sides), so truncate lineage
-      val reps = keyed.groupBy("fp")
-        .agg(first(col("grams")).as("grams"), count(lit(1)).as("gsz"))
-        .localCheckpoint()
+      val (members, reps) = collapse(gramSets(s, d))
       val flat = reps.select(col("fp"), explode(col("grams")).as("g"))
       // rep-level document frequency; ties broken by gram text so the
       // prefix choice is deterministic (any fixed choice is correct)

@@ -72,6 +72,10 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (k, (ns, j)) =>
       assert((ns, j) === truth(k), s"pair $k")
     }
+    // the exact inverted-index path collapses and expands identically
+    val exact = TextDedup.jaccardPairsFromGrams(grams).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(exact === got)
     assert(got.contains((0L, 1L)) && got.contains((3L, 4L)),
       "exact-dup pairs must surface through the within-group expansion")
     assert(got.contains((0L, 2L)) && got.contains((1L, 2L)),
