@@ -165,14 +165,53 @@ object Similarity {
     //    shuffle volume instead of a driver/executor OOM at the broadcast
     //    hint (an explicit broadcast() bypasses
     //    autoBroadcastJoinThreshold — ADVICE r6).
+    // An EXACT-COLLAPSE tier runs first (the [[graft.llm.TextDedup]]
+    // pattern, on vectors): byte-identical embeddings (array-equality
+    // groupBy — no hashing, no collision risk) form one group, the
+    // quadratic scan runs on one representative per group, and pairs
+    // expand back (cross-group pairs inherit the reps' cosine — the
+    // arrays are identical; within-group pairs score the rep against
+    // itself with the same kernel). Still the exact result; a corpus
+    // duplication rate r shrinks the N² scan (1+r)².
     // Scale ladder at 100 TB stays as before: namespace partitioning →
     // LSH candidates → block grid when exactness must hold.
-    "cosine_neardup" -> ((s, d) => {
-      val e = withNorm(s, d)
-      val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes <= BroadcastBoundBytes) nearDupBroadcast(e) else nearDupBlocked(e)
-    })
+    "cosine_neardup" -> ((s, d) => nearDupCollapsed(Tables.embeddings(s, d)))
   )
+
+  /** Exact all-pairs cosine near-dup over the exact-collapse tier — see
+    * the `cosine_neardup` entry comment. Input needs (vec_id, embedding). */
+  private[llm] def nearDupCollapsed(emb: DataFrame): DataFrame = {
+    val reps = emb.groupBy("embedding")
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("gsz"))
+      .localCheckpoint()
+    // (rep_id, vec_id) membership with the heavy array column dropped
+    // early; feeds three plan branches
+    val m = emb.select(col("embedding"), col("vec_id"))
+      .join(reps.select(col("embedding"), col("vec_id").as("rep_id")), Seq("embedding"))
+      .select(col("rep_id"), col("vec_id"))
+      .localCheckpoint()
+    val e = reps.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val repPairs =
+      if (bytes <= BroadcastBoundBytes) nearDupBroadcast(e) else nearDupBlocked(e)
+    val cross = repPairs
+      .join(m.select(col("rep_id").as("id_a"), col("vec_id").as("a")), "id_a")
+      .join(m.select(col("rep_id").as("id_b"), col("vec_id").as("b")), "id_b")
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("cosine"))
+    val selfCos = reps.filter(col("gsz") >= 2)
+      .select(col("vec_id").as("rep_id"),
+        (dot(col("embedding"), col("embedding"))
+          / (norm(col("embedding")) * norm(col("embedding")))).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+    val dupMembers = m.join(selfCos, "rep_id")
+    val within = dupMembers.select(col("rep_id"), col("vec_id").as("id_a"), col("cosine"))
+      .join(dupMembers.select(col("rep_id"), col("vec_id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "cosine")
+    cross.unionByName(within)
+  }
 
   /** Hard bound on the broadcast build side for the exact near-dup join:
     * past this the blocked path is both safer (no OOM cliff) and faster

@@ -98,6 +98,30 @@ class SimilaritySpec extends SparkSpec {
     blocked.foreach { r => assert(bcSims(key(r)) === r.getDouble(2), s"pair ${key(r)}") }
   }
 
+  test("vector exact-collapse tier equals the uncollapsed scan on duplicated vectors") {
+    // duplicate every 3rd test vector under two fresh ids — the collapse's
+    // cross-group and within-group expansion paths (unreachable on the
+    // driver testdata, which has no duplicate vectors) must reproduce the
+    // plain broadcast scan over the full duplicated table exactly
+    val base = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dups = base.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val dups2 = base.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val emb = base.unionByName(dups).unionByName(dups2)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.expr.VectorExpressions.dotF(col("embedding"), col("embedding"))).as("nrm"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val plain = Similarity.nearDupBroadcast(e).collect()
+    val collapsed = Similarity.nearDupCollapsed(emb).collect()
+    assert(plain.nonEmpty)
+    assert(collapsed.map(key).sorted.toSeq === plain.map(key).sorted.toSeq)
+    val plainSims = plain.map(r => key(r) -> r.getDouble(2)).toMap
+    collapsed.foreach { r =>
+      assert(plainSims(key(r)) === r.getDouble(2), s"pair ${key(r)}")
+    }
+  }
+
   test("cosine_neardup size gate picks the broadcast path at test scale") {
     // the registered query must still produce the oracle's rows whichever
     // path the gate picks; at sf the table is far under the bound
