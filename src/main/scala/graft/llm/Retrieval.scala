@@ -373,7 +373,10 @@ FROM per, tot"""
     * five plan branches (freq, ranking, sizes, both verify sides), so it
     * is localCheckpoint'ed once — the diamond-reuse rule every multi-branch
     * query here follows. */
-  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
+  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame =
+    jaccardPrefixJoin(Tables.documents(s, d))
+
+  def jaccardPrefixJoin(docs: DataFrame): DataFrame = {
     // Checkpoint the per-doc trigram ARRAY (|docs| rows), not the exploded
     // token stream (|tokens| rows ~ 50x larger): tokenization runs once,
     // and each consumer branch re-derives its token stream with a cheap
@@ -382,10 +385,24 @@ FROM per, tot"""
     // expression argument gets inlined into the transform lambda and
     // re-evaluated per gram element (the round-7 ngram trap: O(grams)
     // regex splits per doc, 3.7s; as an attribute it is 0.3s).
-    val tokArr = Tables.documents(s, d)
+    val tokArr0 = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(col("doc_id"), Text.ngrams(col("w"), 3).as("toks"))
       .localCheckpoint()
+    // Exact-collapse tier (the TextDedup pattern): docs with identical
+    // trigram SETS join once through one representative and expand back
+    // at the end — cross-group pairs inherit the reps' intersection,
+    // within-group pairs are J = 1.0. The PPJoin machinery below is
+    // untouched: the prefix theorem only needs SOME fixed global token
+    // order shared by both sides, which the rep-level frequency order is.
+    val keyed = tokArr0.withColumn("fp",
+      sha2(array_join(sort_array(col("toks")), "|"), 256))
+    val members = keyed.select(col("fp"), col("doc_id"))
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("toks")).as("toks"), count(lit(1)).as("gsz"))
+      .localCheckpoint()
+    val tokArr = reps.select("doc_id", "toks")
     val sets = tokArr.select(col("doc_id"), explode(col("toks")).as("tok"))
     // The global PPJoin order (frequency asc, token asc) is made DENSE:
     // each vocabulary token gets its row_number rank, a bijection that
@@ -430,7 +447,7 @@ FROM per, tot"""
     // the corpus, so Catalyst/AQE picks broadcast at small SF and shuffle
     // join at scale (the cosine_neardup lesson — never force a
     // linearly-growing build side).
-    cand
+    val repPairs = cand
       .join(perDoc.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a"), col("n").as("na")), Seq("doc_a"))
       .join(perDoc.select(col("doc_id").as("doc_b"),
@@ -441,6 +458,28 @@ FROM per, tot"""
       .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"),
         (col("inter_n").cast("double") / col("union_n").cast("double"))
           .as("jaccard"))
+    // expansion back through the duplicate groups (see collapse above)
+    val repFp = reps.select(col("doc_id").as("rep"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("rep").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(repFp.select(col("rep").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(members.select(col("fp").as("fp_a"), col("doc_id").as("a")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("doc_id").as("b")), "fp_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("inter_n"), col("union_n"), col("jaccard"))
+    // identical non-empty sets: |∩| = |∪| = n, J = n/n = 1.0 ≥ 7/10
+    val dup = members
+      .join(reps.select(col("fp"), size(col("toks")).cast("long").as("n"),
+        col("gsz")), "fp")
+      .filter(col("gsz") >= 2 && col("n") >= 1)
+    val within = dup.select(col("fp"), col("doc_id").as("a"), col("n"))
+      .join(dup.select(col("fp"), col("doc_id").as("b")), "fp")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n").as("inter_n"), col("n").as("union_n"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   val jaccardPrefixSql: String = s"""

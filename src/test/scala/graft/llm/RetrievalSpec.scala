@@ -80,6 +80,32 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("jaccard_prefix_join collapse tier matches brute force with exact duplicates") {
+    import org.apache.spark.sql.functions._
+    // re-id every 4th doc as an exact copy — exercises the cross-group and
+    // within-group expansion paths the driver testdata cannot reach
+    val base = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val docs = base.unionByName(base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    // driver-side brute force over distinct trigram sets
+    val sets = docs
+      .select(col("doc_id"), Text.ngrams(Text.tokens(col("text")), 3).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val truth = (for {
+      (a, ta) <- sets; (b, tb) <- sets if a < b
+      inter = (ta & tb).size.toLong
+      union = ta.size + tb.size - inter
+      if inter * 10 >= union * 7
+    } yield (a, b) -> ((inter, union))).toMap
+    val got = Retrieval.jaccardPrefixJoin(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("inter_n"), r.getAs[Long]("union_n")))).toMap
+    assert(truth.exists { case ((a, b), _) => b >= 500000L },
+      "planted copies must appear in the ground truth")
+    assert(got === truth)
+  }
+
   test("rrf_fusion: scores bounded by 2/61, non-increasing, ranks positive") {
     val rows = Retrieval.rrfFusion(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
