@@ -171,12 +171,15 @@ class PlanShapeSpec extends SparkSpec {
   test("cosine_neardup is a distributed broadcast triangle join — no driver collect") {
     val p = plan("cosine_neardup")
     assert(!p.contains("LocalTableScan"),
-      s"vectors must come from the parquet scan, never a driver-collected local relation:\n$p")
+      s"vectors must come from a distributed scan, never a driver-collected local relation:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"under the size gate the triangle condition id_a < id_b rides a broadcast nested loop:\n$p")
     assert(p.contains("graft_dot"), "scoring must use the native codegen dot kernel")
-    assert("Scan parquet".r.findAllIn(p).size == 2,
-      s"both join sides must stream from the embeddings file scan:\n$p")
+    // the quadratic scan runs over the exact-collapsed representative
+    // table (a checkpointed distributed frame), both sides of it
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"both triangle sides must stream from the collapsed representative table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
 
   test("cosine_neardup blocked fallback never broadcasts a vector table") {
