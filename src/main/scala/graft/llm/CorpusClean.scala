@@ -203,9 +203,43 @@ FROM scored"""
              4, 'classifier',  n4) AS (stage, stage_name, n_docs)""")
   }
 
+  /** Cohen's κ between the rule-based quality filter
+    * ([[CorpusQuality]]'s `quality_keep`) and the learned classifier's
+    * keep decision — the inter-filter agreement audit a curation team
+    * runs before stacking filters (κ ≈ 1 means the classifier is
+    * redundant with the rules; κ ≈ 0 means it catches orthogonal junk).
+    * The 2×2 contingency table is one aggregate of integer counts;
+    * po, pe and κ are single double divisions of integer-exact
+    * numerators/denominators (κ = (n·(a+d) − (a+b)(a+c) − (c+d)(b+d)) /
+    * (n² − (a+b)(a+c) − (c+d)(b+d))), so the oracle matches exactly.
+    * Docs with no classifier terms have no keep decision and are
+    * excluded (inner join), matching the pipeline's own join. */
+  def filterAgreementKappa(s: SparkSession, d: String): DataFrame = {
+    val rules = CorpusQuality.queries("doc_quality_rules")(s, d)
+      .select(col("doc_id"), col("quality_keep"))
+    val clf = classifierScores(s, d)
+      .select(col("doc_id"), col("keep").as("clf_keep"))
+    val c = rules.join(clf, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("quality_keep") && col("clf_keep"), 1L).otherwise(0L)).as("both_keep"),
+      sum(when(col("quality_keep") && !col("clf_keep"), 1L).otherwise(0L)).as("rules_only"),
+      sum(when(!col("quality_keep") && col("clf_keep"), 1L).otherwise(0L)).as("clf_only"),
+      sum(when(!col("quality_keep") && !col("clf_keep"), 1L).otherwise(0L)).as("both_drop"))
+    val agree = col("both_keep") + col("both_drop")
+    val peNum = (col("both_keep") + col("rules_only")) * (col("both_keep") + col("clf_only")) +
+      (col("clf_only") + col("both_drop")) * (col("rules_only") + col("both_drop"))
+    c.select(
+      col("n"), col("both_keep"), col("rules_only"), col("clf_only"), col("both_drop"),
+      (agree.cast("double") / col("n").cast("double")).as("po"),
+      (peNum.cast("double") / (col("n") * col("n")).cast("double")).as("pe"),
+      ((col("n") * agree - peNum).cast("double")
+        / (col("n") * col("n") - peNum).cast("double")).as("kappa"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> ((s, d) => clean(s, d)),
     "corpus_yield_funnel" -> ((s, d) => yieldFunnel(s, d)),
+    "filter_agreement_kappa" -> ((s, d) => filterAgreementKappa(s, d)),
     // Learned-filter ranking surface: the 50 highest-scoring documents
     // under the hashed linear classifier (TakeOrdered top-k, never a
     // global sort).
@@ -300,6 +334,38 @@ UNION ALL SELECT 4, 'classifier',
 
     "quality_score_topk" -> s"""
 SELECT * FROM ($classifierSql)
-ORDER BY score DESC, doc_id LIMIT 50""")
+ORDER BY score DESC, doc_id LIMIT 50""",
+
+    // Mirrors [[filterAgreementKappa]]: both filters' verified oracle
+    // formulations as subqueries, integer contingency counts, the same
+    // three exact divisions.
+    "filter_agreement_kappa" -> s"""
+WITH rules AS (
+  SELECT doc_id, quality_keep FROM (${CorpusQuality.oracles("doc_quality_rules")})
+),
+clf AS (
+  SELECT doc_id, keep AS clf_keep FROM ($classifierSql)
+),
+c AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN quality_keep AND clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+    CAST(sum(CASE WHEN quality_keep AND NOT clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS rules_only,
+    CAST(sum(CASE WHEN NOT quality_keep AND clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS clf_only,
+    CAST(sum(CASE WHEN NOT quality_keep AND NOT clf_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_drop
+  FROM rules JOIN clf USING (doc_id)
+)
+SELECT n, both_keep, rules_only, clf_only, both_drop,
+  CAST(both_keep + both_drop AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+  CAST((both_keep + rules_only) * (both_keep + clf_only)
+     + (clf_only + both_drop) * (rules_only + both_drop) AS DOUBLE)
+    / CAST(n * n AS DOUBLE) AS pe,
+  CAST(n * (both_keep + both_drop)
+     - ((both_keep + rules_only) * (both_keep + clf_only)
+      + (clf_only + both_drop) * (rules_only + both_drop)) AS DOUBLE)
+    / CAST(n * n
+     - ((both_keep + rules_only) * (both_keep + clf_only)
+      + (clf_only + both_drop) * (rules_only + both_drop)) AS DOUBLE) AS kappa
+FROM c""")
   }
 }

@@ -74,6 +74,17 @@ class CorpusQualitySpec extends SparkSpec {
     assert(rows(5).getLong(2) === direct, "rows_below_5 cross-check")
   }
 
+  test("filter-agreement kappa: contingency sums to n, divisions exact, kappa in [-1,1]") {
+    val r = CorpusClean.filterAgreementKappa(spark, sf).head()
+    val Seq(n, a, b, c2, d) = (0 to 4).map(r.getLong)
+    assert(a + b + c2 + d === n && n > 0)
+    assert(r.getDouble(5) === (a + d).toDouble / n)
+    val pe = ((a + b) * (a + c2) + (c2 + d) * (b + d)).toDouble / (n.toDouble * n)
+    assert(r.getDouble(6) === pe)
+    val kappa = r.getDouble(7)
+    assert(kappa >= -1.0 && kappa <= 1.0, s"kappa $kappa")
+  }
+
   test("quality_score_topk is the true top-50 by normalized score") {
     val all = CorpusClean.classifierScores(spark, sf).collect()
       .map(r => (r.getDouble(3), r.getLong(0)))
