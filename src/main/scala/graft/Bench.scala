@@ -10,7 +10,39 @@ object Bench {
       .trim.split(" ").take(3).mkString(",")
     catch { case _: Throwable => "" }
 
+  /** Whole-run quiesce gate (VERDICT r9 #2): a bench started on a busy box
+    * (BENCH_r09 began at load 2.75 and published a 301 s artifact — the
+    * quiesced re-run of the same queries was ~12x faster) poisons even the
+    * per-query min-of-2. Wait (bounded) for the 1-minute load to drain
+    * below the gate before the first timed query; the wait itself is
+    * published as "quiesce_wait" so a still-busy start is visible. */
+  private def quiesce(maxWaitSec: Int, gate: Double): Double = {
+    val t0 = System.nanoTime()
+    def load1(): Double =
+      try loadavg().split(",").head.toDouble catch { case _: Throwable => 0.0 }
+    while (load1() > gate && (System.nanoTime() - t0) / 1e9 < maxWaitSec)
+      Thread.sleep(5000)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Minimal parse of {"queries":{"name":sec,...}} — no JSON lib on the
+    * classpath beyond Spark's shaded ones. \s* after the colon is
+    * load-bearing: round 9's snapshot was refreshed with ": " separators
+    * (Python json.dump default) and the old whitespace-intolerant regex
+    * matched ZERO entries, silently disabling the whole regression gate
+    * (VERDICT r9 #1). Package-visible so BenchSpec pins both formats. */
+  private[graft] def parsePrevTimes(txt: String): Map[String, Double] = {
+    val qsec = """"([A-Za-z0-9_]+)":\s*([0-9]+\.?[0-9]*)""".r
+    val start = txt.indexOf("\"queries\"")
+    if (start < 0) Map.empty
+    else qsec.findAllMatchIn(txt.substring(start))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
+    val quiesceWait = quiesce(
+      maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_MAX", "300").toInt,
+      gate = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_GATE", "2.0").toDouble)
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -65,16 +97,18 @@ object Bench {
     val prevPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json"))
     val prevTimes: Map[String, Double] =
-      if (java.nio.file.Files.exists(prevPath)) {
-        val txt = java.nio.file.Files.readString(prevPath)
-        // minimal parse of {"queries":{"name":sec,...}} — no JSON lib on
-        // the classpath beyond Spark's shaded ones
-        val qsec = """"([A-Za-z0-9_]+)":([0-9]+\.?[0-9]*)""".r
-        val start = txt.indexOf("\"queries\"")
-        if (start < 0) Map.empty
-        else qsec.findAllMatchIn(txt.substring(start))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } else Map.empty
+      if (java.nio.file.Files.exists(prevPath))
+        parsePrevTimes(java.nio.file.Files.readString(prevPath))
+      else Map.empty
+    // Fail loudly, not silently: a prev file that exists but parses to zero
+    // queries means the gate is OFF — that must be visible in the published
+    // line, not inferred from an innocent-looking empty regression list.
+    val prevParse: String =
+      if (!java.nio.file.Files.exists(prevPath)) "\"ABSENT\""
+      else if (prevTimes.isEmpty) "\"EMPTY\""
+      else prevTimes.size.toString
+    if (prevParse == "\"EMPTY\"")
+      System.err.println(s"WARNING: $prevPath exists but parsed to 0 queries — regression gate disabled")
     def isRegression(cur: Double, prev: Double): Boolean =
       cur > 2.0 * prev && cur - prev > 1.0
     // Contention auto-recheck (VERDICT r8: BENCH_r08 published 8
@@ -86,13 +120,18 @@ object Bench {
     val flagged = firstPass.collect {
       case (n, t) if prevTimes.get(n).exists(isRegression(t, _)) => n
     }.toSet
+    // A recheck time only counts if the run COMPLETED: a flagged query that
+    // fails fast on the recheck (poisoned session state, OOM) must not get
+    // its regression flag laundered away by a tiny failed-run elapsed time
+    // (ADVICE r9). On failure we keep the first-pass time and the flag.
     val recheck: Map[String, Double] = selected
       .filter { case (n, _) => flagged.contains(n) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }.toMap
     val results: Seq[(String, Double)] = selected.map { case (name, _) =>
       name -> math.min(firstPass(name), recheck.getOrElse(name, Double.MaxValue))
@@ -121,7 +160,7 @@ object Bench {
       .map { case (k, (p, c)) => s"\"" + k + s"\":[${r3(p)},${r3(c)}]" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"first_run_total":${r3(firstRunTotal)},"load":"$loadStart;${loadavg()}","n_rechecked":${recheck.size},"regressions":$regJson,"queries":$slow,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"first_run_total":${r3(firstRunTotal)},"load":"$loadStart;${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"n_rechecked":${recheck.size},"regressions":$regJson,"queries":$slow,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     // Belt-and-braces against stdout-tail truncation (round 4 lost its
@@ -138,7 +177,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_full.json"),
-        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
+        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
       // every individual run, for variance archaeology
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"" + k + "\":[" + ts.map(t => "%.3f".format(t)).mkString(",") + "]"
