@@ -107,9 +107,15 @@ SELECT doc_id, n_terms, margin,
 FROM scored"""
   }
 
-  def clean(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc stats + exact-dedup keeper flag — THE stage definitions,
+    * shared by [[clean]] and [[yieldFunnel]] so the pipeline and its
+    * observability funnel cannot drift apart on an edit to either
+    * (VERDICT r9 #3). Columns: doc_id, n_tokens, quality_score,
+    * fingerprint, keeper (true ⟺ lowest doc_id of its fingerprint
+    * group — the exact-dedup survivor). */
+  private def statsWithKeeper(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
-    val stats = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
@@ -121,20 +127,22 @@ FROM scored"""
           + least(lit(1.0), (col("stops").cast("double") / col("n_tokens").cast("double")) * lit(5.0)) * lit(0.3))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         sha2(array_join(col("toks"), " "), 256).as("fingerprint"))
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy("fingerprint")) === col("doc_id"))
+  }
 
-    // exact dedup: keep the lowest doc_id per fingerprint
-    val keepers = stats
-      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("fingerprint")))
-      .filter(col("doc_id") === col("keeper"))
+  /** Near-dup stage, shared by [[clean]] and [[yieldFunnel]]: the doc_ids
+    * the keep-first policy drops (higher id of every verified pair). Pairs
+    * come from the MinHash-banded candidates + exact verification
+    * ([[TextDedup.nearDupPairs]]) — the same pair set as the exact
+    * inverted-index join (the oracle's formulation) at banded cost, so the
+    * near-dup stage scales like `dedup_minhash` instead of the exact
+    * join's all-pairs cost (BASELINE.md). */
+  private def nearDupLosers(s: SparkSession, d: String): DataFrame =
+    TextDedup.nearDupPairs(s, d).select(col("d2").as("doc_id")).distinct()
 
-    // near-dup removal: drop the higher id of each pair (keep-first
-    // policy). Pairs come from the MinHash-banded candidates + exact
-    // verification ([[TextDedup.nearDupPairs]]) — the same pair set as the
-    // exact inverted-index join (the oracle's formulation) at banded cost,
-    // so the pipeline's near-dup stage scales like `dedup_minhash` (7.7×
-    // at 10× data) instead of the exact join's 27× (BASELINE.md).
-    val losers = TextDedup.nearDupPairs(s, d)
-      .select(col("d2").as("doc_id")).distinct()
+  def clean(s: SparkSession, d: String): DataFrame = {
+    val keepers = statsWithKeeper(s, d).filter(col("keeper"))
 
     // stage 6 — learned filter: the linear classifier's keep/drop on top
     // of the rule-based quality score (the standard curation stack runs
@@ -145,7 +153,7 @@ FROM scored"""
 
     keepers
       .filter(col("quality_score") >= QualityThreshold)
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(nearDupLosers(s, d), Seq("doc_id"), "left_anti")
       .join(clf, Seq("doc_id"))
       .filter(col("keep"))
       .select("doc_id", "n_tokens", "quality_score", "clf_margin")
@@ -160,26 +168,10 @@ FROM scored"""
     * the five cumulative stages, `stack` unpivots to funnel rows — no
     * per-stage rescans. */
   def yieldFunnel(s: SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val flags = Tables.documents(s, d)
-      .withColumn("toks", toks)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))))
-      .withColumn("stops",
-        size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "is", "to", "in"))))
-      .withColumn("quality_score",
-        least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) * lit(0.4)
-          + (col("n_distinct").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
-          + least(lit(1.0), (col("stops").cast("double") / col("n_tokens").cast("double")) * lit(5.0)) * lit(0.3))
-      .withColumn("fingerprint", sha2(array_join(col("toks"), " "), 256))
-      .withColumn("keeper",
-        min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fingerprint"))
-          === col("doc_id"))
+    val flags = statsWithKeeper(s, d)
       .withColumn("q_ok", col("quality_score") >= QualityThreshold)
       .select("doc_id", "keeper", "q_ok")
-      .join(TextDedup.nearDupPairs(s, d).select(col("d2").as("doc_id")).distinct()
-        .withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
+      .join(nearDupLosers(s, d).withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
       .join(classifierScores(s, d).select(col("doc_id"), (col("margin") >= 0L).as("clf_ok")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("keeper"), col("q_ok"),
@@ -228,12 +220,19 @@ FROM scored"""
     val agree = col("both_keep") + col("both_drop")
     val peNum = (col("both_keep") + col("rules_only")) * (col("both_keep") + col("clf_only")) +
       (col("clf_only") + col("both_drop")) * (col("rules_only") + col("both_drop"))
+    // κ's denominator n² − peNum is zero exactly when both filters are
+    // unanimous (pe = 1): agreement is trivially perfect and κ is
+    // undefined — pin it to 0.0 with the SAME CASE in the oracle so Spark
+    // (which would emit NaN) and DuckDB agree on the degenerate corpus
+    // (ADVICE r9).
+    val kappaDenom = col("n") * col("n") - peNum
     c.select(
       col("n"), col("both_keep"), col("rules_only"), col("clf_only"), col("both_drop"),
       (agree.cast("double") / col("n").cast("double")).as("po"),
       (peNum.cast("double") / (col("n") * col("n")).cast("double")).as("pe"),
-      ((col("n") * agree - peNum).cast("double")
-        / (col("n") * col("n") - peNum).cast("double")).as("kappa"))
+      when(kappaDenom === 0L, lit(0.0))
+        .otherwise((col("n") * agree - peNum).cast("double") / kappaDenom.cast("double"))
+        .as("kappa"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -360,12 +359,17 @@ SELECT n, both_keep, rules_only, clf_only, both_drop,
   CAST((both_keep + rules_only) * (both_keep + clf_only)
      + (clf_only + both_drop) * (rules_only + both_drop) AS DOUBLE)
     / CAST(n * n AS DOUBLE) AS pe,
-  CAST(n * (both_keep + both_drop)
+  CASE WHEN n * n
+     - ((both_keep + rules_only) * (both_keep + clf_only)
+      + (clf_only + both_drop) * (rules_only + both_drop)) = 0
+    THEN CAST(0.0 AS DOUBLE)
+    ELSE CAST(n * (both_keep + both_drop)
      - ((both_keep + rules_only) * (both_keep + clf_only)
       + (clf_only + both_drop) * (rules_only + both_drop)) AS DOUBLE)
     / CAST(n * n
      - ((both_keep + rules_only) * (both_keep + clf_only)
-      + (clf_only + both_drop) * (rules_only + both_drop)) AS DOUBLE) AS kappa
+      + (clf_only + both_drop) * (rules_only + both_drop)) AS DOUBLE)
+  END AS kappa
 FROM c""")
   }
 }
