@@ -192,21 +192,35 @@ object CorpusQuality {
     // paragraph shuffle is the C4 line shuffle at coarser granularity.
     "paragraph_dedup" -> ((s, d) => {
       val Pw = 10
-      val exploded = Tables.documents(s, d)
+      // Exact-collapse tier (VERDICT r9 #6): docs with identical token
+      // streams have identical paragraphs at identical positions, so the
+      // paragraph explode + text-keyed shuffle — the query's dominant
+      // cost — runs once per DISTINCT content. The expansion is exact:
+      // the set of docs containing a paragraph is a union of content
+      // groups, and each group's minimum doc_id IS its representative, so
+      // the global first occurrence (min (doc_id, para_no)) is always a
+      // representative's occurrence — a non-representative member can
+      // never win the race and keeps nothing (n_kept 0, empty rejoin).
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), T.as("toks"))
+        .withColumn("fp", sha2(array_join(col("toks"), " "), 256))
+      val members = docs.select(col("fp"), col("doc_id"))
+      val reps = docs.groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      val exploded = reps
         .withColumn("nparas", expr(s"(size(toks) + ${Pw - 1}) div $Pw"))
-        .select(col("doc_id"),
+        .select(col("fp"), col("doc_id"),
           posexplode(when(col("nparas") >= 1,
             transform(sequence(lit(0), col("nparas") - 1),
               k => array_join(slice(col("toks"), k * Pw + 1, lit(Pw)), " ")))
             .otherwise(array().cast("array<string>")))
             .as(Seq("para_no", "para")))
-        .select(col("doc_id"), col("para_no").cast("long").as("para_no"),
+        .select(col("fp"), col("doc_id"), col("para_no").cast("long").as("para_no"),
           col("para"))
       val w = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_no"))
-      exploded
+      val repOut = exploded
         .withColumn("keep", row_number().over(w) === 1)
-        .groupBy("doc_id")
+        .groupBy("fp")
         .agg(
           count(lit(1)).as("n_paras"),
           count(when(col("keep"), lit(1))).as("n_kept"),
@@ -216,6 +230,14 @@ object CorpusQuality {
                 struct(col("para_no"), col("para"))))),
               x => x.getField("para")),
             " ").as("clean_text"))
+      members
+        .join(reps.select(col("fp"), col("doc_id").as("rep_id")), "fp")
+        .join(repOut, "fp")
+        .select(col("doc_id"), col("n_paras"),
+          when(col("doc_id") === col("rep_id"), col("n_kept"))
+            .otherwise(lit(0L)).as("n_kept"),
+          when(col("doc_id") === col("rep_id"), col("clean_text"))
+            .otherwise(lit("")).as("clean_text"))
     })
   )
 

@@ -66,23 +66,32 @@ class DedupSpec extends SparkSpec {
       j = inter.toDouble / (ga.size + gb.size - inter)
       if j >= TextDedup.JaccardThreshold
     } yield (a, b) -> ((inter, j))).toMap
-    val got = TextDedup.nearDupPairsFromGrams(grams).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    val gotRows = TextDedup.nearDupPairsFromGrams(grams).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+    val got = gotRows.toMap
+    // toMap silently dedups — a pair expanded twice through overlapping
+    // joins must fail the test, not vanish into the map (ADVICE r9)
+    assert(gotRows.length === got.size, "expansion emitted duplicate pairs")
     assert(got.keySet === truth.keySet)
     got.foreach { case (k, (ns, j)) =>
       assert((ns, j) === truth(k), s"pair $k")
     }
     // the exact inverted-index path collapses and expands identically
-    val exact = TextDedup.jaccardPairsFromGrams(grams).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
-    assert(exact === got)
+    val exactRows = TextDedup.jaccardPairsFromGrams(grams).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+    assert(exactRows.length === exactRows.toMap.size,
+      "exact path emitted duplicate pairs")
+    assert(exactRows.toMap === got)
     assert(got.contains((0L, 1L)) && got.contains((3L, 4L)),
       "exact-dup pairs must surface through the within-group expansion")
     assert(got.contains((0L, 2L)) && got.contains((1L, 2L)),
       "near-dup pairs must expand to every group member")
     // clusters: {0,1,2} keep 0; {3,4} keep 3 (the isolated-clique path)
-    val clusters = TextDedup.clusterAssignments(grams).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val clusterRows = TextDedup.clusterAssignments(grams).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+    val clusters = clusterRows.toMap
+    assert(clusterRows.length === clusters.size,
+      "cluster expansion emitted duplicate doc rows")
     assert(clusters === Map(
       0L -> ((0L, true)), 1L -> ((0L, false)), 2L -> ((0L, false)),
       3L -> ((3L, true)), 4L -> ((3L, false))))
@@ -108,6 +117,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "testdata should contain containment pairs")
     assert(pruned === brute)
+  }
+
+  test("collapse stats are internally consistent and exact on planted duplicates") {
+    // on the driver corpus: totals must reconcile with the documents table
+    val r = TextDedup.queries("dedup_collapse_stats")(spark, sf).head()
+    val (nDocs, nGroups, nDup, maxG) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs === Tables.documents(spark, sf).count())
+    assert(nGroups + nDup === nDocs && nGroups >= 1 && maxG >= 1)
+    assert(r.getDouble(4) === nDup.toDouble / nGroups)
+    assert(r.getDouble(5) === (nDocs.toDouble * nDocs) / (nGroups.toDouble * nGroups))
+    // on a corpus with planted exact duplicates the rate must move: re-id
+    // half the docs as copies -> n_docs = 2g fixed points the formulas
+    val s0 = spark; import s0.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally unrelated words appear here now")
+    ).toDF("doc_id", "text")
+    val grams = TextDedup.gramsOf(docs)
+    val planted = grams
+      .withColumn("fp", sha2(array_join(sort_array(col("grams")), "|"), 256))
+      .groupBy("fp").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(planted === Seq(1L, 1L, 2L), "0=1 collapse, 2 and 3 alone")
   }
 
   test("exact dedup groups every document and keeps the min doc_id") {
