@@ -504,20 +504,22 @@ WHERE inter_n * 10 >= (sa.n + sb.n - inter_n) * 7"""
     * score = Σ 1/(60 + rank) — the standard hybrid-search merge (the k=60
     * constant is the published default). Ranks come from total orders
     * (tie-break doc_id) so both engines agree exactly; the two reciprocals
-    * are single exact divisions summed in fixed order. The global ranking
-    * windows run over the DOC DIM — in production fusion runs over two
-    * per-query top-k lists, which are bounded by construction. */
+    * are single exact divisions summed in fixed order. Both rankings run
+    * over the full doc dim, so they use the DISTRIBUTED exact global rank
+    * ([[graft.operators.Ranks.globalRowNumber]] — range-partitioned sort +
+    * partition offsets) instead of an unpartitioned row_number window,
+    * which would serialize every document through one task (the global-
+    * window pin in PlanShapeSpec). */
   def rrfFusion(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ra = bm25Scored(s, d)
-      .withColumn("rank_bm25", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
+    val ra = graft.operators.Ranks.globalRowNumber(
+        bm25Scored(s, d).select(col("doc_id"), col("score")),
+        Seq(col("score").desc, col("doc_id")), "rank_bm25")
       .select(col("doc_id"), col("rank_bm25"))
-    val rb = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
-      .withColumn("rank_rich", row_number().over(
-        Window.orderBy(col("n_distinct").desc, col("doc_id"))))
+    val rb = graft.operators.Ranks.globalRowNumber(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct")),
+        Seq(col("n_distinct").desc, col("doc_id")), "rank_rich")
       .select(col("doc_id"), col("rank_rich"))
     ra.join(rb, Seq("doc_id"))
       .withColumn("rrf",
@@ -532,10 +534,10 @@ WHERE inter_n * 10 >= (sa.n + sb.n - inter_n) * 7"""
 WITH $bm25CtesSql, rich AS (
   SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM toked
 ), ra AS (
-  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_bm25
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
   FROM scored
 ), rb AS (
-  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS INT) AS rank_rich
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS BIGINT) AS rank_rich
   FROM rich
 )
 SELECT ra.doc_id, rank_bm25, rank_rich,

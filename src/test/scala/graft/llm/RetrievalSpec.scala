@@ -98,9 +98,13 @@ class RetrievalSpec extends SparkSpec {
       union = ta.size + tb.size - inter
       if inter * 10 >= union * 7
     } yield (a, b) -> ((inter, union))).toMap
-    val got = Retrieval.jaccardPrefixJoin(docs).collect()
+    val gotRows = Retrieval.jaccardPrefixJoin(docs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
-        ((r.getAs[Long]("inter_n"), r.getAs[Long]("union_n")))).toMap
+        ((r.getAs[Long]("inter_n"), r.getAs[Long]("union_n"))))
+    val got = gotRows.toMap
+    // toMap silently dedups — a pair emitted twice through overlapping
+    // expansion joins must fail, not vanish (ADVICE r9)
+    assert(gotRows.length === got.size, "expansion emitted duplicate pairs")
     assert(truth.exists { case ((a, b), _) => b >= 500000L },
       "planted copies must appear in the ground truth")
     assert(got === truth)
@@ -113,7 +117,7 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     rows.foreach { r =>
       assert(r.getAs[Double]("rrf") > 0 && r.getAs[Double]("rrf") <= 2.0 / 61.0 + 1e-12)
-      assert(r.getAs[Int]("rank_bm25") >= 1 && r.getAs[Int]("rank_rich") >= 1)
+      assert(r.getAs[Long]("rank_bm25") >= 1L && r.getAs[Long]("rank_rich") >= 1L)
     }
   }
 

@@ -349,6 +349,70 @@ class PlanShapeSpec extends SparkSpec {
       s"the 1-row totals frame must broadcast:\n$p")
   }
 
+  test("every global (unpartitioned) window sits over an aggregate-bounded input") {
+    // A WindowExec with no partitionSpec serializes its whole input through
+    // ONE task — fine over a bounded aggregate (720-row hourly series, a
+    // per-group summary), fatal over raw rows at 100 TB. This pin
+    // enumerates every registered query that plans a global window,
+    // asserts the set never grows silently, and mechanically checks each
+    // global window's input subtree is bounded: it must pass through an
+    // Aggregate (grouped reduction), a row-bounded generator/spine
+    // (Range / LocalRelation), or a LIMIT before touching a scan.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Audited-bounded queries allowed a global window (VERDICT r8/r9: the
+    // "No Partition Defined" warnings all sit over bounded inputs):
+    //  - copurchase_pairs / link_prediction / q3_shipping_priority: the
+    //    ungrouped rank<=K filter is lowered by RewriteWindowTopK to a
+    //    bounded TakeOrderedAndProject feeding a K-row window;
+    //  - yoy_revenue (per-year agg), resume_page (per-shard offsets),
+    //    skyline_parts (distinct prices), collocation_lift (vocab dim):
+    //    window input is a grouped reduction over a bounded key domain;
+    //  - rfm_segments: ntile over the per-user aggregate — the widest
+    //    audited input (user dim); a true fix needs a distributed ntile
+    //    (the Ranks.globalRowNumber shape) if the user dim ever grows
+    //    past single-task range.
+    //  - stats battery (benford_digits 9-digit dim, chi_square_independence
+    //    contingency cells, drift_tvd value buckets, ks_statistic pooled
+    //    value dim, mannwhitney_u / spearman_rho rank-over-distinct-values,
+    //    vocab_coverage vocab dim, rbo_rankings depth-10 census,
+    //    group_kfold fold dim, pps_systematic_sample cumulative-weight dim):
+    //    cumulative/rank windows over grouped reductions.
+    val audited = Set(
+      "collocation_lift", "copurchase_pairs", "link_prediction",
+      "q3_shipping_priority", "resume_page", "rfm_segments",
+      "skyline_parts", "yoy_revenue",
+      "benford_digits", "chi_square_independence", "drift_tvd",
+      "group_kfold", "ks_statistic", "mannwhitney_u",
+      "pps_systematic_sample", "rbo_rankings", "spearman_rho",
+      "vocab_coverage")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: LocalRelation | _: Range => true
+      case l: GlobalLimit => true
+      case w: Window => bounded(w.child)
+      case other => other.children.exists(bounded)
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val globals = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val gw = lp.collect { case w: Window if w.partitionSpec.isEmpty => w }
+      if (gw.nonEmpty) {
+        globals += name
+        if (!audited.contains(name)) offenders += s"$name (not in audited set)"
+        gw.foreach { w =>
+          if (!bounded(w.child))
+            offenders += s"$name (global window over unbounded input)"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global-window audit failures:\n  ${offenders.mkString("\n  ")}")
+    // the whitelist must not rot: every audited name still plans a global
+    // window (delete stale entries when a query is restructured)
+    val stale = audited -- globals
+    assert(stale.isEmpty, s"audited entries with no global window: $stale")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
