@@ -35,4 +35,29 @@ object Ranks {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Append an exact SQL `ntile(k)` bucket (1-based INT) of the TOTAL
+    * order `order`, computed without a single-task window: distributed
+    * rank ([[globalRowNumber]]) + a broadcast 1-row count + the standard
+    * ntile arithmetic (with n rows, the first n % k buckets hold
+    * n div k + 1 rows, the rest n div k) — bit-identical to the window
+    * function on both engines. The ELSE branch's division by n div k is
+    * only reachable when n >= k (non-ANSI mode, so the dead branch can
+    * never throw). */
+  def globalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    import org.apache.spark.sql.functions.{broadcast, count, expr, lit}
+    val total = df.agg(count(lit(1)).as("_gnt_n"))
+    globalRowNumber(df, order, "_gnt_rank")
+      .crossJoin(broadcast(total))
+      .withColumn(out, expr(
+        s"""CAST(CASE
+              WHEN _gnt_rank <= (_gnt_n % $k) * ((_gnt_n div $k) + 1)
+              THEN (_gnt_rank - 1) div ((_gnt_n div $k) + 1) + 1
+              ELSE (_gnt_n % $k)
+                   + ((_gnt_rank - 1 - (_gnt_n % $k) * ((_gnt_n div $k) + 1))
+                      div (_gnt_n div $k)) + 1
+            END AS INT)"""))
+      .drop("_gnt_rank", "_gnt_n")
+  }
 }

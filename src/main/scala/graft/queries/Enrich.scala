@@ -113,9 +113,13 @@ FROM log WHERE rn = 1 AND op = 'U'"""
     * (user_id tie-break) so ntile is deterministic on both engines.
     * The concatenated `segment` code is the classic RFM cell label.
     *
-    * Scale: the quintile cut runs on the USER dim (one row per user), not
-    * the event fact — a global ntile there is fine; at billions of users
-    * swap the ntile for approx-percentile boundaries. */
+    * Scale: the quintile cuts run on the USER dim (one row per user), but
+    * at billions of users even that dim must not serialize through one
+    * task, so each cut is the DISTRIBUTED exact ntile
+    * ([[graft.operators.Ranks.globalNtile]] — range-sort rank + broadcast
+    * count + the standard bucket arithmetic), joined back on user_id.
+    * The per-user base is checkpointed so the events aggregate runs once,
+    * not once per cut. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
     val perUser = purchases.groupBy("user_id").agg(
@@ -123,13 +127,24 @@ FROM log WHERE rn = 1 AND op = 'U'"""
       count(lit(1)).as("frequency"),
       Exact.dsum(col("value")).as("monetary"))
     val corpusMax = purchases.agg(max(col("ts")).as("corpus_max_ts"))
-    val withR = perUser.crossJoin(broadcast(corpusMax))
+    val base = perUser.crossJoin(broadcast(corpusMax))
       .withColumn("recency_days",
         expr("(unix_micros(corpus_max_ts) - unix_micros(last_purchase_ts)) div 86400000000"))
-    withR
-      .withColumn("r_score", ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("f_score", ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))))
-      .withColumn("m_score", ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+      .select("user_id", "recency_days", "frequency", "monetary")
+      .localCheckpoint()
+    val rs = graft.operators.Ranks.globalNtile(
+        base.select("user_id", "recency_days"),
+        Seq(col("recency_days"), col("user_id")), 5, "r_score")
+      .select("user_id", "r_score")
+    val fs = graft.operators.Ranks.globalNtile(
+        base.select("user_id", "frequency"),
+        Seq(col("frequency").desc, col("user_id")), 5, "f_score")
+      .select("user_id", "f_score")
+    val ms = graft.operators.Ranks.globalNtile(
+        base.select("user_id", "monetary"),
+        Seq(col("monetary").desc, col("user_id")), 5, "m_score")
+      .select("user_id", "m_score")
+    base.join(rs, "user_id").join(fs, "user_id").join(ms, "user_id")
       .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))

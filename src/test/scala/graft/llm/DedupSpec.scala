@@ -147,8 +147,10 @@ class DedupSpec extends SparkSpec {
   test("exact dedup groups every document and keeps the min doc_id") {
     val docs = Tables.documents(spark, sf).count()
     val dd = TextDedup.queries("dedup_exact")(spark, sf).cache()
-    assert(dd.agg(sum(col("copies"))).head().getLong(0) === docs)
-    assert(dd.filter(col("keeper_doc_id").isNull).count() === 0)
+    try {
+      assert(dd.agg(sum(col("copies"))).head().getLong(0) === docs)
+      assert(dd.filter(col("keeper_doc_id").isNull).count() === 0)
+    } finally dd.unpersist() // leaked caches hijack later suites' plan pins
   }
 
   test("near-dup similarity gap: planted pairs >= 0.5, noise well below") {

@@ -53,13 +53,15 @@ class RetrievalSpec extends SparkSpec {
 
   test("feature_hashing: indices inside the hash dimension; counts conserve tokens") {
     val out = Retrieval.featureHashing(spark, sf).cache()
-    assert(out.filter(col("feat_idx") < 0 || col("feat_idx") >= 1024).count() === 0)
-    val perDoc = out.groupBy("doc_id").agg(sum(col("n")).as("hashed")).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hashed")).toMap
-    val direct = graft.Tables.documents(spark, sf)
-      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
-    assert(perDoc === direct)
+    try {
+      assert(out.filter(col("feat_idx") < 0 || col("feat_idx") >= 1024).count() === 0)
+      val perDoc = out.groupBy("doc_id").agg(sum(col("n")).as("hashed")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hashed")).toMap
+      val direct = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+      assert(perDoc === direct)
+    } finally out.unpersist() // leaked caches hijack later suites' plan pins
   }
 
   test("domain_reweight: shares sum to 1 and weight restores the target mixture") {

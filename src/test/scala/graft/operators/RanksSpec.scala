@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The distributed rank/ntile operators must be bit-identical to the
+  * single-task window functions they replace — that equivalence is what
+  * lets rrf_fusion / rfm_segments keep their unchanged window-function
+  * oracles while never serializing a dim through one task. */
+class RanksSpec extends SparkSpec {
+
+  private def users = {
+    val s0 = spark
+    import s0.implicits._
+    // deliberately skewed + tied values across several partitions: ties
+    // must land in one range partition and the tiebreaker must decide
+    (1 to 1013).map(i => (i.toLong, (i % 37).toLong, math.sin(i) * 100))
+      .toDF("id", "grp_val", "score").repartition(7)
+  }
+
+  test("globalRowNumber equals row_number over the same total order") {
+    val order = Seq(col("grp_val").desc, col("id"))
+    val expected = users.withColumn("rn",
+      row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranks.globalRowNumber(users, order, "rn")
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === got.toMap.size, "rank must be assigned once per row")
+    assert(got.toMap === expected)
+  }
+
+  test("globalNtile equals ntile() for k not dividing n, k dividing n, and k > n") {
+    for (k <- Seq(5, 1013, 2048)) {
+      val order = Seq(col("score"), col("id"))
+      val expected = users.withColumn("t", ntile(k).over(Window.orderBy(order: _*)))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranks.globalNtile(users, order, k, "t")
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === expected, s"k=$k")
+    }
+  }
+}

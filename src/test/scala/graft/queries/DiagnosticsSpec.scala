@@ -147,9 +147,11 @@ class DiagnosticsSpec extends SparkSpec {
 
   test("ooo_audit: ooo count bounded by events, skew non-negative only when late events exist") {
     val out = Diagnostics.queries("ooo_audit")(spark, sf).cache()
-    assert(out.filter(col("n_ooo") > col("n_events")).count() === 0)
-    assert(out.filter(col("n_ooo") === 0 && col("max_skew_secs").isNotNull).count() === 0)
-    assert(out.filter(col("max_skew_secs") <= 0).count() === 0)
+    try {
+      assert(out.filter(col("n_ooo") > col("n_events")).count() === 0)
+      assert(out.filter(col("n_ooo") === 0 && col("max_skew_secs").isNotNull).count() === 0)
+      assert(out.filter(col("max_skew_secs") <= 0).count() === 0)
+    } finally out.unpersist() // leaked caches hijack later suites' plan pins
   }
 
   test("backfill_gaps: every reported date is truly absent from the sparse feed") {
@@ -186,14 +188,16 @@ class DiagnosticsSpec extends SparkSpec {
 
   test("incremental_retract: merge-consistency flag holds everywhere") {
     val out = Diagnostics.queries("incremental_retract")(spark, sf).cache()
-    assert(out.count() > 0)
-    assert(out.filter(!col("merge_consistent")).count() === 0)
-    // net_count really is purchases - errors per user
-    val check = Tables.events(spark, sf)
-      .filter(col("event_type").isin("purchase", "error"))
-      .groupBy("user_id")
-      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(-1L)).as("expect"))
-    assert(out.join(check, "user_id")
-      .filter(col("net_count") =!= col("expect")).count() === 0)
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(!col("merge_consistent")).count() === 0)
+      // net_count really is purchases - errors per user
+      val check = Tables.events(spark, sf)
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(-1L)).as("expect"))
+      assert(out.join(check, "user_id")
+        .filter(col("net_count") =!= col("expect")).count() === 0)
+    } finally out.unpersist() // leaked caches hijack later suites' plan pins
   }
 }

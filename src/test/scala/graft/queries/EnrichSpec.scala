@@ -16,8 +16,10 @@ class EnrichSpec extends SparkSpec {
 
   test("cdc_apply: one row per surviving user, none whose last op is a delete") {
     val out = Enrich.cdcApply(spark, sf).cache()
-    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
-    assert(out.filter(col("last_event_type") === "error").count() === 0)
+    try {
+      assert(out.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+      assert(out.filter(col("last_event_type") === "error").count() === 0)
+    } finally out.unpersist() // leaked caches hijack later suites' plan pins
   }
 
   test("rfm: scores are quintiles 1..5 and segment concatenates them") {
@@ -100,10 +102,12 @@ class EnrichSpec extends SparkSpec {
         coalesce(lag(col("value"), 3).over(w), col("value")),
         coalesce(lag(col("value"), 4).over(w), col("value"))))
       .cache()
-    assert(out.filter(col("rn") === 1 && col("ewma") =!= col("value")).count() === 0)
-    // convex combination of the window values stays inside their hull
-    assert(out.filter(col("ewma") < col("lo") - lit(1e-9) ||
-      col("ewma") > col("hi") + lit(1e-9)).count() === 0)
+    try {
+      assert(out.filter(col("rn") === 1 && col("ewma") =!= col("value")).count() === 0)
+      // convex combination of the window values stays inside their hull
+      assert(out.filter(col("ewma") < col("lo") - lit(1e-9) ||
+        col("ewma") > col("hi") + lit(1e-9)).count() === 0)
+    } finally out.unpersist()
   }
 
   test("streaming left join equals the batch left join") {
@@ -134,18 +138,22 @@ class EnrichSpec extends SparkSpec {
 
   test("winsorize: clipped to [p05, p95], untouched inside the band") {
     val out = Enrich.winsorizeValues(spark, sf).cache()
-    assert(out.filter(col("winsorized") < col("p05") ||
-      col("winsorized") > col("p95")).count() === 0)
-    assert(out.filter(col("o_totalprice").between(col("p05"), col("p95")) &&
-      col("winsorized") =!= col("o_totalprice")).count() === 0)
+    try {
+      assert(out.filter(col("winsorized") < col("p05") ||
+        col("winsorized") > col("p95")).count() === 0)
+      assert(out.filter(col("o_totalprice").between(col("p05"), col("p95")) &&
+        col("winsorized") =!= col("o_totalprice")).count() === 0)
+    } finally out.unpersist()
   }
 
   test("rank_normalize: qnorm in (0,1) with per-group mean exactly 1/2") {
     val out = Enrich.rankNormalize(spark, sf).cache()
-    assert(out.filter(col("qnorm") <= 0.0 || col("qnorm") >= 1.0).count() === 0)
-    // mean of (i-0.5)/n over i=1..n is exactly 0.5
-    val means = out.groupBy("event_type").agg(avg(col("qnorm")).as("m")).collect()
-    means.foreach(r => assert(math.abs(r.getAs[Double]("m") - 0.5) < 1e-9, r.toString))
+    try {
+      assert(out.filter(col("qnorm") <= 0.0 || col("qnorm") >= 1.0).count() === 0)
+      // mean of (i-0.5)/n over i=1..n is exactly 0.5
+      val means = out.groupBy("event_type").agg(avg(col("qnorm")).as("m")).collect()
+      means.foreach(r => assert(math.abs(r.getAs[Double]("m") - 0.5) < 1e-9, r.toString))
+    } finally out.unpersist()
   }
 
   test("group_kfold: 5 folds, shares sum to 1, and no user straddles folds") {

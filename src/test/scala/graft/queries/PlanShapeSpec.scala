@@ -11,8 +11,12 @@ import graft.{SparkEntry, SparkSpec}
   * before it costs a cluster-day. */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // another suite's leaked .cache() would swap the real operator tree
+    // for an InMemoryRelation and blind every assertion below
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("star_revenue broadcasts the small dims (no shuffle for nation/region)") {
     assert(plan("star_revenue").contains("BroadcastHashJoin"))
@@ -367,10 +371,8 @@ class PlanShapeSpec extends SparkSpec {
     //  - yoy_revenue (per-year agg), resume_page (per-shard offsets),
     //    skyline_parts (distinct prices), collocation_lift (vocab dim):
     //    window input is a grouped reduction over a bounded key domain;
-    //  - rfm_segments: ntile over the per-user aggregate — the widest
-    //    audited input (user dim); a true fix needs a distributed ntile
-    //    (the Ranks.globalRowNumber shape) if the user dim ever grows
-    //    past single-task range.
+    // (rfm_segments left this list in round 10: its three ntile cuts over
+    // the user dim now use the distributed Ranks.globalNtile.)
     //  - stats battery (benford_digits 9-digit dim, chi_square_independence
     //    contingency cells, drift_tvd value buckets, ks_statistic pooled
     //    value dim, mannwhitney_u / spearman_rho rank-over-distinct-values,
@@ -379,7 +381,7 @@ class PlanShapeSpec extends SparkSpec {
     //    cumulative/rank windows over grouped reductions.
     val audited = Set(
       "collocation_lift", "copurchase_pairs", "link_prediction",
-      "q3_shipping_priority", "resume_page", "rfm_segments",
+      "q3_shipping_priority", "resume_page",
       "skyline_parts", "yoy_revenue",
       "benford_digits", "chi_square_independence", "drift_tvd",
       "group_kfold", "ks_statistic", "mannwhitney_u",
@@ -393,6 +395,9 @@ class PlanShapeSpec extends SparkSpec {
     }
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val globals = scala.collection.mutable.Set.empty[String]
+    // a cached fragment would replace its Window nodes with an
+    // InMemoryRelation leaf and let an offender slip past the audit
+    spark.catalog.clearCache()
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       val gw = lp.collect { case w: Window if w.partitionSpec.isEmpty => w }
