@@ -166,9 +166,14 @@ object Bench {
     // Belt-and-braces against stdout-tail truncation (round 4 lost its
     // summary line to it): the same JSON goes to a small file so
     // round-over-round comparison never degrades to log archaeology.
+    // A SPARK_GRAFT_BENCH_ONLY dev run must not clobber the full-run
+    // snapshot files — bench_prev.json is refreshed by copying
+    // target/bench_full.json, and a partial overwrite would silently
+    // shrink the next round's regression gate to the dev subset.
+    val suffix = if (only.isDefined) "_partial" else ""
     try {
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_summary.json"), line + "\n")
+        java.nio.file.Paths.get(s"target/bench_summary$suffix.json"), line + "\n")
       val fullRegs = regressions
         .map { case (k, (p, c)) => s"\"" + k + s"\":[${r3(p)},${r3(c)}]" }
         .mkString("{", ",", "}")
@@ -176,14 +181,14 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_full.json"),
+        java.nio.file.Paths.get(s"target/bench_full$suffix.json"),
         s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
       // every individual run, for variance archaeology
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"" + k + "\":[" + ts.map(t => "%.3f".format(t)).mkString(",") + "]"
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_runs.json"),
+        java.nio.file.Paths.get(s"target/bench_runs$suffix.json"),
         s"""{"runs_per_query":$runsPerQuery,"queries":$runsJson}""" + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
