@@ -253,20 +253,26 @@ FROM w"""
     * rho = 1 − 6·Σd² / (n·(n²−1)) applies directly with Σd² an exact
     * BIGINT; the single closing division is correctly rounded on both
     * engines; widen to decimal(38,0) before n³ nears 2^63, ~10⁶
-    * customers). The ranking windows run over the CUSTOMER DIM (same
-    * posture note as `rrf_fusion`); for a rank over a fact-scale axis
-    * use the two-phase bucket prefix of `vocab_coverage`. */
+    * customers). Both rankings run over the CUSTOMER DIM, which grows
+    * with the data, so they use the DISTRIBUTED exact global rank
+    * ([[graft.operators.Ranks.globalRowNumber]]) instead of single-task
+    * row_number windows — bit-identical ranks, unchanged oracle. */
   def spearmanRho(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .select(col("o_custkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
-    val ranked = per
-      .withColumn("rank_rev", row_number().over(
-        Window.orderBy(col("rev_cents").desc, col("o_custkey"))).cast("long"))
-      .withColumn("rank_cnt", row_number().over(
-        Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
+    val base = per.localCheckpoint() // feeds both rank branches + the join
+    val rv = graft.operators.Ranks.globalRowNumber(
+        base.select("o_custkey", "rev_cents"),
+        Seq(col("rev_cents").desc, col("o_custkey")), "rank_rev")
+      .select("o_custkey", "rank_rev")
+    val rc = graft.operators.Ranks.globalRowNumber(
+        base.select("o_custkey", "n_orders"),
+        Seq(col("n_orders").desc, col("o_custkey")), "rank_cnt")
+      .select("o_custkey", "rank_cnt")
+    val ranked = base.join(rv, "o_custkey").join(rc, "o_custkey")
     val dd = (col("rank_rev") - col("rank_cnt")) * (col("rank_rev") - col("rank_cnt"))
     ranked
       .agg(count(lit(1)).as("n"), sum(dd).as("sum_d2"))

@@ -371,21 +371,23 @@ class PlanShapeSpec extends SparkSpec {
     //  - yoy_revenue (per-year agg), resume_page (per-shard offsets),
     //    skyline_parts (distinct prices), collocation_lift (vocab dim):
     //    window input is a grouped reduction over a bounded key domain;
-    // (rfm_segments left this list in round 10: its three ntile cuts over
-    // the user dim now use the distributed Ranks.globalNtile.)
     //  - stats battery (benford_digits 9-digit dim, chi_square_independence
-    //    contingency cells, drift_tvd value buckets, ks_statistic pooled
-    //    value dim, mannwhitney_u / spearman_rho rank-over-distinct-values,
+    //    contingency cells, drift_tvd value buckets, ks_statistic and
+    //    mannwhitney_u bucket-prefix dims (the raw value axis rides the
+    //    two-phase bucket prefix, only bucket TOTALS see a global window),
     //    vocab_coverage vocab dim, rbo_rankings depth-10 census,
     //    group_kfold fold dim, pps_systematic_sample cumulative-weight dim):
     //    cumulative/rank windows over grouped reductions.
+    // (rfm_segments and spearman_rho left this list in round 10: their
+    // rankings over the user/customer dims now use the distributed
+    // Ranks.globalNtile / Ranks.globalRowNumber.)
     val audited = Set(
       "collocation_lift", "copurchase_pairs", "link_prediction",
       "q3_shipping_priority", "resume_page",
       "skyline_parts", "yoy_revenue",
       "benford_digits", "chi_square_independence", "drift_tvd",
       "group_kfold", "ks_statistic", "mannwhitney_u",
-      "pps_systematic_sample", "rbo_rankings", "spearman_rho",
+      "pps_systematic_sample", "rbo_rankings",
       "vocab_coverage")
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: LocalRelation | _: Range => true
