@@ -365,12 +365,13 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical._
     // Audited-bounded queries allowed a global window (VERDICT r8/r9: the
     // "No Partition Defined" warnings all sit over bounded inputs):
-    //  - copurchase_pairs / link_prediction / q3_shipping_priority: the
-    //    ungrouped rank<=K filter is lowered by RewriteWindowTopK to a
-    //    bounded TakeOrderedAndProject feeding a K-row window;
+    //  - copurchase_pairs / link_prediction / q3_shipping_priority /
+    //    collocation_lift: the ungrouped rank<=K filter is lowered by
+    //    RewriteWindowTopK to a bounded TakeOrderedAndProject feeding a
+    //    K-row window;
     //  - yoy_revenue (per-year agg), resume_page (per-shard offsets),
-    //    skyline_parts (distinct prices), collocation_lift (vocab dim):
-    //    window input is a grouped reduction over a bounded key domain;
+    //    skyline_parts (distinct prices): window input is a grouped
+    //    reduction over a bounded key domain;
     //  - stats battery (benford_digits 9-digit dim, chi_square_independence
     //    contingency cells, drift_tvd value buckets, ks_statistic and
     //    mannwhitney_u bucket-prefix dims (the raw value axis rides the
