@@ -191,55 +191,78 @@ object CorpusQuality {
     // (para_no, para) structs → array_join). Nothing is all-pairs; the
     // paragraph shuffle is the C4 line shuffle at coarser granularity.
     "paragraph_dedup" -> ((s, d) => {
-      val Pw = 10
-      // Exact-collapse tier (VERDICT r9 #6): docs with identical token
-      // streams have identical paragraphs at identical positions, so the
-      // paragraph explode + text-keyed shuffle — the query's dominant
-      // cost — runs once per DISTINCT content. The expansion is exact:
-      // the set of docs containing a paragraph is a union of content
-      // groups, and each group's minimum doc_id IS its representative, so
-      // the global first occurrence (min (doc_id, para_no)) is always a
-      // representative's occurrence — a non-representative member can
-      // never win the race and keeps nothing (n_kept 0, empty rejoin).
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), T.as("toks"))
-        .withColumn("fp", sha2(array_join(col("toks"), " "), 256))
-      val members = docs.select(col("fp"), col("doc_id"))
-      val reps = docs.groupBy("fp")
-        .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
-      val exploded = reps
-        .withColumn("nparas", expr(s"(size(toks) + ${Pw - 1}) div $Pw"))
-        .select(col("fp"), col("doc_id"),
-          posexplode(when(col("nparas") >= 1,
-            transform(sequence(lit(0), col("nparas") - 1),
-              k => array_join(slice(col("toks"), k * Pw + 1, lit(Pw)), " ")))
-            .otherwise(array().cast("array<string>")))
-            .as(Seq("para_no", "para")))
-        .select(col("fp"), col("doc_id"), col("para_no").cast("long").as("para_no"),
-          col("para"))
-      val w = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_no"))
-      val repOut = exploded
-        .withColumn("keep", row_number().over(w) === 1)
-        .groupBy("fp")
-        .agg(
-          count(lit(1)).as("n_paras"),
-          count(when(col("keep"), lit(1))).as("n_kept"),
-          array_join(
-            transform(
-              sort_array(collect_list(when(col("keep"),
-                struct(col("para_no"), col("para"))))),
-              x => x.getField("para")),
-            " ").as("clean_text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), T.as("toks"))
+      paragraphDedupOver(docs,
+        collapseTier = TextDedup.estDupRate(docs, array_join(col("toks"), " "))
+          >= TextDedup.CollapseMinDupRate)
+    })
+  )
+
+  /** Paragraph-dedup body behind the adaptive-collapse gate (round 10 —
+    * same rationale as [[TextDedup.substringSpansOver]]: on a dup-free
+    * corpus the fp groupBy + expansion joins are pure overhead, so the
+    * direct path keys the identical pipeline by doc_id).
+    *
+    * Exact-collapse tier (VERDICT r9 #6): docs with identical token
+    * streams have identical paragraphs at identical positions, so the
+    * paragraph explode + text-keyed shuffle — the query's dominant
+    * cost — runs once per DISTINCT content. The expansion is exact:
+    * the set of docs containing a paragraph is a union of content
+    * groups, and each group's minimum doc_id IS its representative, so
+    * the global first occurrence (min (doc_id, para_no)) is always a
+    * representative's occurrence — a non-representative member can
+    * never win the race and keeps nothing (n_kept 0, empty rejoin).
+    * The direct path computes the true first occurrence over every doc,
+    * which lands on the same minimum — both paths are exact for ANY
+    * input, so the gate only ever affects cost. */
+  private[llm] def paragraphDedupOver(docs: DataFrame, collapseTier: Boolean): DataFrame = {
+    val Pw = 10
+    // collapse key (sha2 of the token stream) is only computed on the
+    // collapsed branch — the direct path keys by doc_id, hash-free
+    lazy val keyed = docs.withColumn("fp", sha2(array_join(col("toks"), " "), 256))
+    val reps =
+      if (collapseTier)
+        keyed.groupBy("fp")
+          .agg(min(col("doc_id")).as("doc_id"), first(col("toks")).as("toks"))
+      else
+        docs.select(col("doc_id").cast("string").as("fp"), col("doc_id"), col("toks"))
+    val exploded = reps
+      .withColumn("nparas", expr(s"(size(toks) + ${Pw - 1}) div $Pw"))
+      .select(col("fp"), col("doc_id"),
+        posexplode(when(col("nparas") >= 1,
+          transform(sequence(lit(0), col("nparas") - 1),
+            k => array_join(slice(col("toks"), k * Pw + 1, lit(Pw)), " ")))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("para_no", "para")))
+      .select(col("fp"), col("doc_id"), col("para_no").cast("long").as("para_no"),
+        col("para"))
+    val w = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_no"))
+    val repOut = exploded
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("fp")
+      .agg(
+        min(col("doc_id")).as("out_doc_id"),
+        count(lit(1)).as("n_paras"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("para_no"), col("para"))))),
+            x => x.getField("para")),
+          " ").as("clean_text"))
+    if (collapseTier) {
+      val members = keyed.select(col("fp"), col("doc_id"))
       members
-        .join(reps.select(col("fp"), col("doc_id").as("rep_id")), "fp")
-        .join(repOut, "fp")
+        .join(repOut.withColumnRenamed("out_doc_id", "rep_id"), "fp")
         .select(col("doc_id"), col("n_paras"),
           when(col("doc_id") === col("rep_id"), col("n_kept"))
             .otherwise(lit(0L)).as("n_kept"),
           when(col("doc_id") === col("rep_id"), col("clean_text"))
             .otherwise(lit("")).as("clean_text"))
-    })
-  )
+    } else
+      repOut.select(col("out_doc_id").as("doc_id"),
+        col("n_paras"), col("n_kept"), col("clean_text"))
+  }
 
   def oracles: Map[String, String] = Map(
     "doc_quality_rules" -> s"""

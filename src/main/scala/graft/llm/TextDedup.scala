@@ -202,6 +202,30 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     (members, reps)
   }
 
+  /** Adaptive-collapse gate (round 10): the exact-collapse tier buys its
+    * (1+r)-to-(1+r)² shuffle reduction only when the duplication rate r is
+    * material — on a dup-free corpus the fp groupBy + expansion join are
+    * pure overhead (the one real regression the repaired bench gate
+    * flagged: `dedup_substring` 0.9 → 2.2 s at sf0.1). This estimates r
+    * with one cheap pre-pass — count + HLL-distinct of the content
+    * fingerprint, both map-side partial-aggregable, so the shuffle is a
+    * handful of sketch buffers at any corpus size — and the caller picks
+    * the plan, AQE-style. Both plans are exact for ANY input (the direct
+    * path is the same algorithm with every doc its own representative), so
+    * HLL error can only ever cost time, never correctness. */
+  private[llm] val CollapseMinDupRate = 0.02
+  private[llm] def estDupRate(df: DataFrame, key: Column): Double = {
+    // approx_count_distinct hashes `key` internally (xxhash64-based
+    // HLL++), so the pre-pass never pays the crypto-hash cost of the
+    // collapse key itself — measured 2.4 s (sha2 first) vs 0.6 s (HLL on
+    // the raw column) at sf0.1.
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(key, 0.02).as("nd")).head()
+    val n = r.getLong(0)
+    if (n == 0L) 0.0 else 1.0 - r.getLong(1).toDouble / n
+  }
+
   /** Expand representative-level verified pairs back to doc-level pairs:
     * cross-group pairs inherit the representatives' intersection (the
     * sets are identical), within-group ordered pairs of every duplicate
@@ -581,6 +605,13 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * designed one (Lee et al. pay the identical sort); stride or
     * rare-first pruning bolts on by filtering the exploded frame. */
   def substringSpans(s: SparkSession, d: String, g: Int = SubstringG): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    substringSpansOver(s, docs, g,
+      collapseTier = estDupRate(docs, col("text")) >= CollapseMinDupRate)
+  }
+
+  private[llm] def substringSpansOver(
+      s: SparkSession, docs: DataFrame, g: Int, collapseTier: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val gm1 = g - 1
@@ -593,13 +624,29 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // weights (an exact duplicate group of ≥2 flags its whole text — the
     // correct Lee-et-al. answer for verbatim copies). One extra
     // text-sized shuffle (the fp groupBy) buys a duplication-rate
-    // reduction of the G×-sized one.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .withColumn("fp", sha2(col("text"), 256))
-    val members = docs.select(col("fp"), col("doc_id"))
-    val reps = docs.groupBy("fp")
-      .agg(first(col("text")).as("text"), count(lit(1)).as("copies"))
+    // reduction of the G×-sized one — worth it exactly when the corpus
+    // HAS duplication, so [[estDupRate]] gates it; the direct path keys
+    // the identical pipeline by doc_id (w = 1 per doc reproduces the
+    // corpus-wide occurrence counts verbatim).
+    val (reps, finish) =
+      if (collapseTier) {
+        // the crypto-strength collapse key is only computed on this branch
+        // — the direct path keys by doc_id and never hashes a byte
+        val keyed = docs.withColumn("fp", sha2(col("text"), 256))
+        val members = keyed.select(col("fp"), col("doc_id"))
+        val r = keyed.groupBy("fp")
+          .agg(first(col("text")).as("text"), count(lit(1)).as("copies"))
+        (r, (spans: DataFrame) =>
+          // expansion: every member of a text group reports its rep's spans
+          spans.join(members, "fp")
+            .select("doc_id", "span_start", "span_end", "span_len", "n_dup_grams"))
+      } else {
+        val r = docs.select(col("doc_id").cast("string").as("fp"),
+          col("text"), lit(1L).as("copies"))
+        (r, (spans: DataFrame) =>
+          spans.select(col("fp").cast("long").as("doc_id"),
+            col("span_start"), col("span_end"), col("span_len"), col("n_dup_grams")))
+      }
     // Per-position G-grams, extracted imperatively in a typed flatMap:
     // Catalyst's higher-order transform() is interpreted per element
     // (~µs/position × |total_chars| positions — measured 5.9s at sf0.1 vs
@@ -628,9 +675,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         (max(col("pos")) + gm1).as("span_end"),
         (max(col("pos")) + gm1 - min(col("pos")) + 1).as("span_len"),
         count(lit(1)).as("n_dup_grams"))
-    // expansion: every member of a text group reports its rep's spans
-    spans.join(members, "fp")
-      .select("doc_id", "span_start", "span_end", "span_len", "n_dup_grams")
+    finish(spans)
   }
 
   def oracles: Map[String, String] = Map(

@@ -168,6 +168,22 @@ class CorpusQualitySpec extends SparkSpec {
     assert(keptParas.distinct.size === keptParas.size)
   }
 
+  test("paragraph dedup: collapsed and direct paths are row-identical (adaptive gate)") {
+    // estDupRate only picks a plan — both must be exact on any input
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.llm.Text.tokens(col("text")).as("toks"))
+    def rows(collapse: Boolean) =
+      CorpusQuality.paragraphDedupOver(docs, collapseTier = collapse)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+    val a = rows(collapse = true)
+    val b = rows(collapse = false)
+    assert(a.nonEmpty)
+    assert(a === b)
+    assert(a.distinct.size === a.size)
+  }
+
   test("line dedup keeps exactly one copy of every distinct line") {
     val df = CorpusQuality.queries("line_dedup")(spark, sf).cache()
     try {

@@ -198,6 +198,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: collapsed and direct paths are row-identical (adaptive gate)") {
+    // The estDupRate gate is a cost choice only — both plans must be exact
+    // on ANY input, including one where they disagree with the gate's pick.
+    val g = TextDedup.SubstringG
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def rows(collapse: Boolean) =
+      TextDedup.substringSpansOver(spark, docs, g, collapseTier = collapse)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+    val a = rows(collapse = true)
+    val b = rows(collapse = false)
+    assert(a.nonEmpty)
+    assert(a === b)
+    // duplicate-emission guard: sorted SEQUENCES compared above, so a pair
+    // expanding twice through overlapping joins cannot hide in a Set/Map
+    assert(a.distinct.size === a.size)
+  }
+
+  test("adaptive-collapse gate: high-dup corpus collapses, unique corpus does not") {
+    val s0 = spark; import s0.implicits._
+    val unique = (1L to 400L).map(i => (i, s"doc body nr $i with its own words")).toDF("doc_id", "text")
+    assert(TextDedup.estDupRate(unique, col("text")) < TextDedup.CollapseMinDupRate)
+    val duped = (1L to 400L).map(i => (i, s"copy nr ${i % 40} shared body")).toDF("doc_id", "text")
+    assert(TextDedup.estDupRate(duped, col("text")) >= TextDedup.CollapseMinDupRate)
+    assert(TextDedup.estDupRate(unique.limit(0), col("text")) === 0.0)
+  }
+
   test("incremental dedup = full pair set restricted to new-bucket partners") {
     def isNew(id: Long): Boolean = ((id * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
     val inc = TextDedup.queries("dedup_incremental")(spark, sf)
