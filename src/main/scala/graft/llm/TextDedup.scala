@@ -266,8 +266,19 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * DedupSpec proves the collapse/expansion on a corpus with planted
     * exact duplicates). Consumed by `dedup_minhash`, `dedup_clusters` and
     * [[CorpusClean.clean]]'s near-dup stage. */
+  /** Three registered queries consume the verified pair set per pass
+    * (`dedup_minhash`, and `corpus_clean` + `corpus_yield_funnel` through
+    * [[CorpusClean]]'s loser list) — persist it once per (session, dir)
+    * like [[gramSets]], exactly as a production pipeline materializes its
+    * dedup pairs once and fans consumers out from the table. The frame is
+    * pair-count-sized (bounded by true near-dup volume), far smaller than
+    * its build inputs. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    nearDupPairsFromGrams(gramSets(s, d))
+    pairCache.getOrElseUpdate((s, d),
+      nearDupPairsFromGrams(gramSets(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private[llm] def nearDupPairsFromGrams(grams: DataFrame): DataFrame = {
     val (members, reps) = collapse(grams)
