@@ -276,9 +276,28 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d),
-      nearDupPairsFromGrams(gramSets(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairCache.getOrElseUpdate((s, d), {
+      val (members, reps, repPairs) = collapsedRepPairs(s, d)
+      expandPairs(repPairs, members, reps)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The REP-level tier under [[nearDupPairs]] and `dedup_clusters`:
+    * collapse + banded candidates + exact verification, cached per
+    * (session, dir) so the clustering query and the pair consumers share
+    * one build of the verified rep-pair graph (they differ only in what
+    * they do AFTER verification — expansion vs label propagation). */
+  private val repTierCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private def collapsedRepPairs(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    repTierCache.getOrElseUpdate((s, d), {
+      val (members, reps) = collapse(gramSets(s, d))
+      val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
+      val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (members, reps, repPairs)
+    })
 
   private[llm] def nearDupPairsFromGrams(grams: DataFrame): DataFrame = {
     val (members, reps) = collapse(grams)
@@ -510,7 +529,10 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // exact-collapsed representatives ([[clusterAssignments]]) — identical
     // component structure (see clusterAssignments doc) at banded,
     // collapsed cost, with the unchanged transitive-closure oracle.
-    "dedup_clusters" -> ((s, d) => clusterAssignments(gramSets(s, d))),
+    "dedup_clusters" -> ((s, d) => {
+      val (members, reps, repPairs) = collapsedRepPairs(s, d)
+      clusterAssignmentsFrom(members, reps, repPairs)
+    }),
 
     // Exact duplicate SUBSTRING spans (Lee et al., "Deduplicating
     // Training Data"): find every maximal character span whose G-wide
@@ -536,11 +558,16 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * sf1 replication artifact's 979× pair growth never enters the loop);
     * the expansion is pure output work. */
   private[llm] def clusterAssignments(grams: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (members, reps) = collapse(grams)
     val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
-    val pairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
-      .select("d1", "d2")
+    val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
+    clusterAssignmentsFrom(members, reps, repPairs)
+  }
+
+  private def clusterAssignmentsFrom(
+      members: DataFrame, reps: DataFrame, repPairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = repPairs.select("d1", "d2")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
