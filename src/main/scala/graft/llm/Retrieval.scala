@@ -373,8 +373,16 @@ FROM per, tot"""
     * five plan branches (freq, ranking, sizes, both verify sides), so it
     * is localCheckpoint'ed once — the diamond-reuse rule every multi-branch
     * query here follows. */
-  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame =
-    jaccardPrefixJoin(Tables.documents(s, d))
+  /** Registered path: the trigram layer and its exact collapse are the
+    * SAME (set-keyed) tier the dedup family runs on, so reuse
+    * [[TextDedup.collapsedOf]]'s cached materialization instead of
+    * re-tokenizing and re-collapsing here. */
+  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val (members, reps0) = TextDedup.collapsedOf(s, d)
+    jaccardPrefixFrom(members,
+      reps0.select(col("fp"), col("rep_id").as("doc_id"),
+        col("grams").as("toks"), col("gsz")))
+  }
 
   def jaccardPrefixJoin(docs: DataFrame): DataFrame = {
     // Checkpoint the per-doc trigram ARRAY (|docs| rows), not the exploded
@@ -402,6 +410,10 @@ FROM per, tot"""
       .agg(min(col("doc_id")).as("doc_id"),
         first(col("toks")).as("toks"), count(lit(1)).as("gsz"))
       .localCheckpoint()
+    jaccardPrefixFrom(members, reps)
+  }
+
+  private def jaccardPrefixFrom(members: DataFrame, reps: DataFrame): DataFrame = {
     val tokArr = reps.select("doc_id", "toks")
     val sets = tokArr.select(col("doc_id"), explode(col("toks")).as("tok"))
     // The global PPJoin order (frequency asc, token asc) is made DENSE:

@@ -202,6 +202,17 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     (members, reps)
   }
 
+  /** [[collapse]] over the per-(session, dir) gram layer, cached: reps is
+    * localCheckpoint-materialized inside collapse, so the registered
+    * consumers (the rep-pair tier, containment, the PPJoin prefix join,
+    * the exact inverted-index baseline, collapse stats) reuse ONE
+    * materialization instead of re-collapsing per query — the same
+    * compute-the-layer-once posture as [[gramSets]]. */
+  private val collapseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private[llm] def collapsedOf(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    collapseCache.getOrElseUpdate((s, d), collapse(gramSets(s, d)))
+
   /** Adaptive-collapse gate (round 10): the exact-collapse tier buys its
     * (1+r)-to-(1+r)² shuffle reduction only when the duplication rate r is
     * material — on a dup-free corpus the fp groupBy + expansion join are
@@ -292,7 +303,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
   private def collapsedRepPairs(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     repTierCache.getOrElseUpdate((s, d), {
-      val (members, reps) = collapse(gramSets(s, d))
+      val (members, reps) = collapsedOf(s, d)
       val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
       val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -312,6 +323,10 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * every shared gram vs the banded buckets). */
   private[llm] def jaccardPairsFromGrams(grams: DataFrame): DataFrame = {
     val (members, reps) = collapse(grams)
+    jaccardPairsFrom(members, reps)
+  }
+
+  private def jaccardPairsFrom(members: DataFrame, reps: DataFrame): DataFrame = {
     val flat = reps.select(col("rep_id").as("doc_id"), explode(col("grams")).as("g"))
     val shared = graft.operators.Pairs.pairJoin(
         flat, Seq("g"), "doc_id", "d1", "d2", "n_shared")
@@ -336,9 +351,9 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // collapsed pair joins shrink. One hash aggregation over the same
     // fingerprint [[collapse]] keys on.
     "dedup_collapse_stats" -> ((s, d) => {
-      val groups = gramSets(s, d)
-        .withColumn("fp", sha2(array_join(sort_array(col("grams")), "|"), 256))
-        .groupBy("fp").agg(count(lit(1)).as("gsz"))
+      // reads the tier the other dedup queries actually run on — the
+      // cached reps carry (fp, gsz) already materialized
+      val groups = collapsedOf(s, d)._2.select("fp", "gsz")
       groups
         .agg(
           sum(col("gsz")).as("n_docs"),
@@ -370,7 +385,10 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // scale-up: shuffle on gram, aggregate on pair, and the df² candidate
     // growth of duplicated text never enters the join (BASELINE.md: the
     // uncollapsed join was 56× at 10× replicated data).
-    "dedup_jaccard" -> ((s, d) => jaccardPairsFromGrams(gramSets(s, d))),
+    "dedup_jaccard" -> ((s, d) => {
+      val (members, reps) = collapsedOf(s, d)
+      jaccardPairsFrom(members, reps)
+    }),
 
     // CONTAINMENT near-dup (asymmetric Jaccard): |grams(A) ∩ grams(B)| /
     // |grams(A)| — catches a short doc embedded inside a longer one, which
@@ -399,7 +417,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // full gram arrays of the (collapsed) representatives.
     "dedup_containment" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val (members, reps) = collapse(gramSets(s, d))
+      val (members, reps) = collapsedOf(s, d)
       val flat = reps.select(col("fp"), explode(col("grams")).as("g"))
       // rep-level document frequency; ties broken by gram text so the
       // prefix choice is deterministic (any fixed choice is correct)
