@@ -23,18 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object AnnRecall {
 
+  // each method resolves through its REGISTERED entry, which rides the
+  // shared LayerCache — the audit reuses the same materialized top-k
+  // frames its standalone queries produce (and vice versa)
   private val Methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "ivf"         -> ((s, d) => IvfAnn.annIvfTopK(s, d)),
-    "lsh"         -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "ivf"         -> IvfAnn.queries("ann_ivf_topk"),
+    "lsh"         -> Similarity.lshQueries("ann_lsh_topk"),
     "partitioned" -> Similarity.queries("ann_partitioned_topk"),
-    "pq"          -> ((s, d) => PqAnn.pqTopK(s, d)))
+    "pq"          -> PqAnn.queries("ann_pq_topk"))
 
   def annRecallAudit(s: SparkSession, d: String): DataFrame = {
     val exact = Similarity.queries("ann_topk_cosine")(s, d)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      // ground truth feeds the broadcast probe of all four methods — one
-      // brute-force pass, not four
-      .localCheckpoint()
     val approx = Methods.map { case (m, fn) =>
       fn(s, d).select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))

@@ -85,7 +85,9 @@ object Similarity {
     // is what keeps the scored-pair count at N²/50 instead of N². The scale
     // paths are the other three queries; widening this sample is a contract
     // change, not a tuning knob.
-    "ann_topk_cosine" -> ((s, d) => {
+    // the exact/partitioned frames also feed ann_recall_audit — cache the
+    // bounded (Q·k-row) results per (session, dir) via LayerCache
+    "ann_topk_cosine" -> ((s, d) => LayerCache.of("ann_topk_cosine", s, d) {
       val e = withNorm(s, d)
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -102,7 +104,7 @@ object Similarity {
     // scored pairs by the partition count. This is how production vector
     // search scales before ANN even enters: tenant/namespace partitioning
     // of the index, exact within the partition.
-    "ann_partitioned_topk" -> ((s, d) => {
+    "ann_partitioned_topk" -> ((s, d) => LayerCache.of("ann_partitioned_topk", s, d) {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding"), norm(col("embedding")).as("nrm"))
       val q = e.filter(col("vec_id") % 50 === 0)
@@ -387,7 +389,7 @@ WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupThres
   }
 
   def lshQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_lsh_topk" -> ((s, d) => annLshTopK(s, d))
+    "ann_lsh_topk" -> ((s, d) => LayerCache.of("ann_lsh_topk", s, d)(annLshTopK(s, d)))
   )
 
   def lshOracles: Map[String, String] = Map(
