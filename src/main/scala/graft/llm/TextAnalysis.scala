@@ -180,6 +180,39 @@ object TextAnalysis {
       tf.join(df, "token").select("doc_id", "token", "tf", "df")
     }),
 
+    // Per-document RARITY profile — the uncommon-vocabulary quality signal
+    // (the rational core of a CCNet-style LM-perplexity filter: documents
+    // whose tokens are corpus-rare are disproportionately OCR noise,
+    // boilerplate mangling, or gibberish; documents of only ultra-common
+    // tokens are template spam). Each token OCCURRENCE contributes its
+    // corpus document frequency: hapax tokens (df = 1, this doc only),
+    // rare tokens (df ≤ 3), the doc's rarest token, and the mean inverse
+    // df (Σ 1/df exact on the int128 fixed-point sum — order-independent,
+    // so the shuffle's row order can't flake the hash compare; `ln`-free
+    // by the same argument as BM25's rational idf, Retrieval.scala).
+    // Shuffle shape at 100 TB: one groupBy(token) for the vocab-bounded df
+    // table, one token-keyed join back (broadcastable vocab or shuffle
+    // join — never doc×doc), one groupBy(doc).
+    "doc_rarity_score" -> ((s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T).as("token"))
+      val df = tokens.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tokens.join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("df") <= 3, 1L).otherwise(0L)).as("n_rare"),
+          min(col("df")).as("min_df"),
+          davg(lit(1.0) / col("df").cast("double")).as("avg_inv_df"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+            .as("rare_ratio"),
+          col("min_df"), col("avg_inv_df"))
+    }),
+
     // Sparse lexical cosine similarity join — the inverted-index (term ->
     // posting list) complement of the dense embedding ANN ops: tf vectors
     // over word BIGRAMS (the unigram vocabulary of this corpus is ~31
@@ -413,6 +446,26 @@ df AS (
 )
 SELECT tf.doc_id, tf.token, tf.tf, df.df
 FROM tf JOIN df ON tf.token = df.token""",
+
+      // Mirrors doc_rarity_score: same df CTE, same occurrence-keyed join,
+      // identical 1.0/df operand order into the exact int128 mean.
+      "doc_rarity_score" -> s"""
+WITH tokens AS (
+  SELECT doc_id, unnest($TS) AS token FROM documents
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(SUM(CASE WHEN df.df <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  CAST(SUM(CASE WHEN df.df <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio,
+  MIN(df.df) AS min_df,
+  ${davgSql("(CAST(1.0 AS DOUBLE) / CAST(df.df AS DOUBLE))")} AS avg_inv_df
+FROM tokens t JOIN df ON t.token = df.token
+GROUP BY t.doc_id""",
 
       "map_hof_ops" -> s"""
 WITH tf AS (

@@ -126,6 +126,32 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Candidate band splits of the 128 permutations for
+    * `minhash_band_audit`: (bands, rows-per-band) with b·r = [[NumPerms]],
+    * both powers of two so the S-curve powers reduce to squaring chains. */
+  private[llm] val BandConfigs: Seq[(Int, Int)] =
+    Seq((64, 2), (32, 4), (16, 8), (8, 16))
+
+  /** x^e as a repeated-squaring multiply TREE (e a power of two). Both this
+    * and [[powTreeSql]] build the identical association
+    * ((x·x)·(x·x))·… so Spark and DuckDB round identically at every
+    * intermediate — the reason the audit can hash-match without libm pow. */
+  private def powTree(c: org.apache.spark.sql.Column, e: Int): org.apache.spark.sql.Column =
+    if (e == 1) c
+    else {
+      require(e % 2 == 0, s"powTree exponent must be a power of two, got $e")
+      val h = powTree(c, e / 2); h * h
+    }
+  private def powTreeSql(e: String, n: Int): String =
+    if (n == 1) e
+    else { val h = powTreeSql(e, n / 2); s"($h * $h)" }
+  /** The per-pair capture probability 1 − (1 − s^r)^b in DuckDB dialect,
+    * same multiply tree as the Spark side. */
+  private def catchProbSql(b: Int, r: Int): String = {
+    val q = s"(CAST(1.0 AS DOUBLE) - ${powTreeSql("jaccard", r)})"
+    s"(CAST(1.0 AS DOUBLE) - ${powTreeSql(q, b)})"
+  }
+
   /** Per-document band buckets, signature and banding fused into ONE
     * shuffle-free mapPartitions pass: for each doc, hash every gram once,
     * run the 128 affine permutations over the gram hashes keeping mins
@@ -527,6 +553,38 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
     "dedup_minhash" -> ((s, d) => nearDupPairs(s, d)),
 
+    // Band-configuration recall audit — the dedup analog of
+    // `ann_recall_audit`: for each (bands b × rows-per-band r) split of the
+    // 128 permutations, the expected recall of LSH banding over the
+    // corpus's MEASURED verified near-dup pair distribution. Per pair at
+    // exact Jaccard s the capture probability is the S-curve
+    // 1 − (1 − s^r)^b; summed exactly (int128 fixed-point — order
+    // independent) it gives the expected number of true pairs each config
+    // would surface, and min(p) the worst pair's odds. This is the audit
+    // that justifies a band choice BEFORE a 100 TB dedup pass: the input
+    // is the (tiny, pair-count-sized) verified pair set, the powers are
+    // repeated-squaring multiply trees (b, r are powers of two) — no libm
+    // pow, so both engines produce bit-identical doubles — and the whole
+    // query is four one-row aggregates over a cached frame.
+    "minhash_band_audit" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d)
+      val frames = BandConfigs.map { case (b, r) =>
+        val p = lit(1.0) - powTree(lit(1.0) - powTree(col("jaccard"), r), b)
+        pairs
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            graft.expr.Exact.dsum(p).as("expected_caught"),
+            min(p).as("min_catch_prob"))
+          .select(
+            lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_pairs"), col("expected_caught"),
+            (col("n_pairs").cast("double") - col("expected_caught"))
+              .as("expected_missed"),
+            col("min_catch_prob"))
+      }
+      frames.reduce(_ unionByName _)
+    }),
+
     // SimHash near-dup pairs at Hamming <= 3 (full-recall pigeonhole
     // blocking; see simhashPairs).
     "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
@@ -811,6 +869,37 @@ SELECT d1 AS contained_doc, d2 AS container_doc, n_shared,
 FROM inter JOIN sizes s1 ON s1.doc_id = d1
 WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n AS DOUBLE) >= $ContainmentThreshold""",
     "dedup_minhash" -> jaccardPairsSql,
+
+    // Same verified-pair CTE as dedup_jaccard, then one aggregate per band
+    // config; the S-curve powers are the identical repeated-squaring
+    // multiply trees the engine side builds (catchProbSql/powTree).
+    "minhash_band_audit" -> {
+      val pairCte = s"""
+WITH ng AS (
+  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $JaccardThreshold
+)"""
+      val arms = BandConfigs.map { case (b, r) =>
+        val p = catchProbSql(b, r)
+        s"""SELECT $b AS bands, $r AS rows_per_band, COUNT(*) AS n_pairs,
+  ${graft.expr.Exact.dsumSql(p)} AS expected_caught,
+  CAST(COUNT(*) AS DOUBLE) - ${graft.expr.Exact.dsumSql(p)} AS expected_missed,
+  MIN($p) AS min_catch_prob
+FROM pairs"""
+      }
+      pairCte + "\n" + arms.mkString("\nUNION ALL\n")
+    },
 
     // Same pair CTEs, then the component via recursive transitive
     // closure + min — an independently-derived formulation of the

@@ -226,6 +226,41 @@ class DedupSpec extends SparkSpec {
     assert(TextDedup.estDupRate(unique.limit(0), col("text")) === 0.0)
   }
 
+  test("band audit: S-curve matches libm pow; steeper configs only lose recall") {
+    val rows = TextDedup.queries("minhash_band_audit")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) -> r)
+      .toMap
+    val order = Seq((64, 2), (32, 4), (16, 8), (8, 16))
+    assert(rows.keySet === order.toSet)
+    // independent ground truth: per-pair 1-(1-s^r)^b via libm pow over the
+    // verified pair similarities (the query itself uses multiply trees)
+    val js = TextDedup.queries("dedup_minhash")(spark, sf)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.nonEmpty)
+    for ((b, r) <- order) {
+      val row = rows((b, r))
+      assert(row.getAs[Long]("n_pairs") === js.length.toLong)
+      val exp = js.map(s => 1.0 - math.pow(1.0 - math.pow(s, r), b)).sum
+      // 1e-6 fixed-point quantization per pair + multiply-tree vs libm slack
+      assert(math.abs(row.getAs[Double]("expected_caught") - exp) <=
+        1e-6 * js.length + 1e-9)
+      assert(math.abs(row.getAs[Double]("expected_missed") -
+        (js.length - row.getAs[Double]("expected_caught"))) <= 1e-9)
+    }
+    // doubling rows-per-band (halving bands) lowers capture POINTWISE:
+    // (1-s^r)^2 <= (1-s^r)(1+s^r) = 1-s^2r, so expected recall and the
+    // worst pair's odds are both monotone down the config list
+    def chainDesc(v: Seq[Double]): Unit =
+      v.sliding(2).foreach { case Seq(a, b) => assert(a >= b - 1e-12) case _ => }
+    chainDesc(order.map(k => rows(k).getAs[Double]("expected_caught")))
+    chainDesc(order.map(k => rows(k).getAs[Double]("min_catch_prob")))
+    // the production 32x4 banding keeps every verified pair's capture
+    // probability >= the S-curve value at the J=0.5 threshold (~0.873)
+    assert(rows((32, 4)).getAs[Double]("min_catch_prob") >=
+      1.0 - math.pow(1.0 - math.pow(TextDedup.JaccardThreshold, 4), 32) - 1e-9)
+  }
+
   test("incremental dedup = full pair set restricted to new-bucket partners") {
     def isNew(id: Long): Boolean = ((id * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
     val inc = TextDedup.queries("dedup_incremental")(spark, sf)
