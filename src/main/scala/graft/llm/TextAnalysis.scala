@@ -187,30 +187,35 @@ object TextAnalysis {
     // tokens are template spam). Each token OCCURRENCE contributes its
     // corpus document frequency: hapax tokens (df = 1, this doc only),
     // rare tokens (df ≤ 3), the doc's rarest token, and the mean inverse
-    // df (Σ 1/df exact on the int128 fixed-point sum — order-independent,
+    // df (Σ tf/df exact on the int128 fixed-point sum — order-independent,
     // so the shuffle's row order can't flake the hash compare; `ln`-free
     // by the same argument as BM25's rational idf, Retrieval.scala).
-    // Shuffle shape at 100 TB: one groupBy(token) for the vocab-bounded df
-    // table, one token-keyed join back (broadcastable vocab or shuffle
-    // join — never doc×doc), one groupBy(doc).
+    // Shuffle shape at 100 TB: occurrences COMPRESS to per-(doc, token)
+    // tf before anything is shuffled twice; df rides a count window over
+    // the tf frame (tf rows are distinct (doc, token), so the per-token
+    // row count IS the df — the tf_cosine_pairs trick, one evaluation of
+    // the explode subtree, no occurrence-stream self-join); then one
+    // groupBy(doc) with tf-weighted sums. Never doc×doc, and the
+    // occurrence stream is scanned exactly once.
     "doc_rarity_score" -> ((s, d) => {
-      val tokens = Tables.documents(s, d)
+      val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(T).as("token"))
-      val df = tokens.groupBy("token")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      tokens.join(df, "token")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy("token")
+      tf.withColumn("df", count(lit(1)).over(wTok))
         .groupBy("doc_id")
         .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
-          sum(when(col("df") <= 3, 1L).otherwise(0L)).as("n_rare"),
+          sum(col("tf")).as("n_tokens"),
+          sum(when(col("df") === 1, col("tf")).otherwise(0L)).as("n_hapax"),
+          sum(when(col("df") <= 3, col("tf")).otherwise(0L)).as("n_rare"),
           min(col("df")).as("min_df"),
-          davg(lit(1.0) / col("df").cast("double")).as("avg_inv_df"))
+          dsum(col("tf").cast("double") / col("df").cast("double")).as("s_inv"))
         .select(
           col("doc_id"), col("n_tokens"), col("n_hapax"), col("n_rare"),
           (col("n_rare").cast("double") / col("n_tokens").cast("double"))
             .as("rare_ratio"),
-          col("min_df"), col("avg_inv_df"))
+          col("min_df"),
+          (col("s_inv") / col("n_tokens").cast("double")).as("avg_inv_df"))
     }),
 
     // Sparse lexical cosine similarity join — the inverted-index (term ->
@@ -447,25 +452,29 @@ df AS (
 SELECT tf.doc_id, tf.token, tf.tf, df.df
 FROM tf JOIN df ON tf.token = df.token""",
 
-      // Mirrors doc_rarity_score: same df CTE, same occurrence-keyed join,
-      // identical 1.0/df operand order into the exact int128 mean.
+      // Mirrors doc_rarity_score: tf CTE, df as a count window over tf,
+      // identical tf/df operand order into the exact int128 sum, same
+      // final divides.
       "doc_rarity_score" -> s"""
-WITH tokens AS (
-  SELECT doc_id, unnest($TS) AS token FROM documents
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest($TS) AS token FROM documents)
+  GROUP BY doc_id, token
 ),
-df AS (
-  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+tfdf AS (
+  SELECT doc_id, tf, COUNT(*) OVER (PARTITION BY token) AS df FROM tf
 )
-SELECT t.doc_id,
-  COUNT(*) AS n_tokens,
-  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-  CAST(SUM(CASE WHEN df.df <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-  CAST(SUM(CASE WHEN df.df <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
-    / CAST(COUNT(*) AS DOUBLE) AS rare_ratio,
-  MIN(df.df) AS min_df,
-  ${davgSql("(CAST(1.0 AS DOUBLE) / CAST(df.df AS DOUBLE))")} AS avg_inv_df
-FROM tokens t JOIN df ON t.token = df.token
-GROUP BY t.doc_id""",
+SELECT doc_id,
+  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN df = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(SUM(CASE WHEN df <= 3 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+  CAST(SUM(CASE WHEN df <= 3 THEN tf ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(tf) AS DOUBLE) AS rare_ratio,
+  MIN(df) AS min_df,
+  ${dsumSql("(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))")}
+    / CAST(SUM(tf) AS DOUBLE) AS avg_inv_df
+FROM tfdf
+GROUP BY doc_id""",
 
       "map_hof_ops" -> s"""
 WITH tf AS (

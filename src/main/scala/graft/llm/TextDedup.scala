@@ -568,21 +568,29 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // query is four one-row aggregates over a cached frame.
     "minhash_band_audit" -> ((s, d) => {
       val pairs = nearDupPairs(s, d)
-      val frames = BandConfigs.map { case (b, r) =>
+      // ONE aggregation pass computes all four configs' sums/mins (the
+      // per-row cost is just the multiply trees), then a stack() unpivot
+      // emits the 4-row result — vs a union of four aggregate jobs each
+      // re-reading the cached pair frame (measured 1.36 s → one job).
+      val aggCols = BandConfigs.flatMap { case (b, r) =>
         val p = lit(1.0) - powTree(lit(1.0) - powTree(col("jaccard"), r), b)
-        pairs
-          .agg(
-            count(lit(1)).as("n_pairs"),
-            graft.expr.Exact.dsum(p).as("expected_caught"),
-            min(p).as("min_catch_prob"))
-          .select(
-            lit(b).as("bands"), lit(r).as("rows_per_band"),
-            col("n_pairs"), col("expected_caught"),
-            (col("n_pairs").cast("double") - col("expected_caught"))
-              .as("expected_missed"),
-            col("min_catch_prob"))
+        Seq(
+          graft.expr.Exact.dsum(p).as(s"ec_${b}_$r"),
+          min(p).as(s"mp_${b}_$r"))
       }
-      frames.reduce(_ unionByName _)
+      val stackArgs = BandConfigs
+        .map { case (b, r) => s"$b, $r, ec_${b}_$r, mp_${b}_$r" }
+        .mkString(s"stack(${BandConfigs.size}, ", ", ",
+          ") as (bands, rows_per_band, expected_caught, min_catch_prob)")
+      pairs
+        .agg(count(lit(1)).as("n_pairs"), aggCols: _*)
+        .select(expr(stackArgs), col("n_pairs"))
+        .select(
+          col("bands"), col("rows_per_band"), col("n_pairs"),
+          col("expected_caught"),
+          (col("n_pairs").cast("double") - col("expected_caught"))
+            .as("expected_missed"),
+          col("min_catch_prob"))
     }),
 
     // SimHash near-dup pairs at Hamming <= 3 (full-recall pigeonhole
