@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +26,50 @@ object TextAnalysis {
     * Java and RE2 regex engines treat identically). */
   val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
+  /** The stopword markers behind the quality score's "natural prose"
+    * term — ONE definition for doc_stats and every quality consumer. */
+  private[llm] val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private[llm] val StopwordsSqlIn = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The weighted quality score (length saturation 0.4 + lexical
+    * diversity 0.3 + stopword presence 0.3) shared by `doc_stats`,
+    * `dedup_keep_best` and `corpus_budget_select` — one definition per
+    * scoring rule (the funnel-drift lesson), with [[qualityExprSql]] the
+    * operand-order-identical DuckDB twin. */
+  private[llm] def qualityExpr(nTokens: Column, nDistinct: Column, stop: Column): Column =
+    least(lit(1.0), nTokens.cast("double") / lit(50.0)) * lit(0.4) +
+      (nDistinct.cast("double") / nTokens.cast("double")) * lit(0.3) +
+      least(lit(1.0), (stop.cast("double") / nTokens.cast("double")) * lit(5.0)) * lit(0.3)
+  private[llm] def qualityExprSql(n: String, nd: String, stop: String): String =
+    s"""least(CAST(1.0 AS DOUBLE), CAST($n AS DOUBLE) / CAST(50.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+    + (CAST($nd AS DOUBLE) / CAST($n AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+    + least(CAST(1.0 AS DOUBLE), (CAST($stop AS DOUBLE) / CAST($n AS DOUBLE)) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)"""
+
+  /** (doc_id, n_tokens, quality_score) for every document — the narrow
+    * per-row scoring frame the curation consumers join on. Embarrassingly
+    * parallel with the scan at any scale. */
+  private[llm] def qualityOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", T)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))))
+      .withColumn("stopword_count",
+        size(filter(col("toks"), t => t.isin(Stopwords: _*))))
+      .select(col("doc_id"), col("n_tokens"),
+        qualityExpr(col("n_tokens"), col("n_distinct_tokens"), col("stopword_count"))
+          .as("quality_score"))
+
+  /** DuckDB twin of [[qualityOf]] — a complete derived-table SQL string
+    * consumers interpolate as `(SELECT ...) q`. */
+  private[llm] def qualityOfSql: String = s"""
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+  ${qualityExprSql(
+      "CAST(len(toks) AS INT)",
+      "CAST(len(list_distinct(toks)) AS INT)",
+      s"CAST(len(list_filter(toks, t -> t IN ($StopwordsSqlIn))) AS INT)")}
+  AS quality_score
+FROM (SELECT doc_id, $TS AS toks FROM documents)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats + weighted quality score (the LLM-pipeline analog
     // of the reference's staging quality score,
@@ -40,7 +84,7 @@ object TextAnalysis {
         .withColumn("max_token_len",
           coalesce(array_max(transform(col("toks"), t => length(t))), lit(0)))
         .withColumn("stopword_count",
-          size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "is", "to", "in"))))
+          size(filter(col("toks"), t => t.isin(Stopwords: _*))))
         .select(
           col("doc_id"),
           length(col("text")).as("n_chars"),
@@ -51,12 +95,9 @@ object TextAnalysis {
           col("max_token_len"),
           col("stopword_count"),
           (col("stopword_count").cast("double") / col("n_tokens").cast("double")).as("stopword_ratio"),
-          // weighted quality: length saturation 0.4 + lexical diversity 0.3
-          // + stopword presence 0.3 (all-double arithmetic, fixed order)
-          (least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) * lit(0.4)
-            + (col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
-            + least(lit(1.0), (col("stopword_count").cast("double") / col("n_tokens").cast("double")) * lit(5.0)) * lit(0.3)
-            ).as("quality_score")
+          // weighted quality (shared rule — qualityExpr)
+          qualityExpr(col("n_tokens"), col("n_distinct_tokens"), col("stopword_count"))
+            .as("quality_score")
         )
     }),
 
@@ -342,7 +383,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = {
-    val stopSql = "list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))"
+    val stopSql = s"list_filter(toks, t -> t IN ($StopwordsSqlIn))"
     Map(
       "doc_stats" -> s"""
 WITH base AS (
@@ -363,9 +404,7 @@ SELECT doc_id,
   CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
   max_token_len, stopword_count,
   CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-    + (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-    + least(CAST(1.0 AS DOUBLE), (CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+  ${qualityExprSql("n_tokens", "n_distinct_tokens", "stopword_count")}
     AS quality_score
 FROM m""",
 

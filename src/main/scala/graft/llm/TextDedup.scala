@@ -319,6 +319,20 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Cluster assignments (doc_id, cluster_rep, is_kept), cached per
+    * (session, dir) like [[nearDupPairs]]: `dedup_clusters` and
+    * `dedup_keep_best` differ only in what they aggregate AFTER the
+    * label-propagation fixpoint, so the superstep loop runs once. The
+    * frame is one row per clustered doc — cheap to keep. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[llm] def clustersOf(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, d), {
+      val (members, reps, repPairs) = collapsedRepPairs(s, d)
+      clusterAssignmentsFrom(members, reps, repPairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** The REP-level tier under [[nearDupPairs]] and `dedup_clusters`:
     * collapse + banded candidates + exact verification, cached per
     * (session, dir) so the clustering query and the pair consumers share
@@ -613,9 +627,31 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // exact-collapsed representatives ([[clusterAssignments]]) — identical
     // component structure (see clusterAssignments doc) at banded,
     // collapsed cost, with the unchanged transitive-closure oracle.
-    "dedup_clusters" -> ((s, d) => {
-      val (members, reps, repPairs) = collapsedRepPairs(s, d)
-      clusterAssignmentsFrom(members, reps, repPairs)
+    "dedup_clusters" -> ((s, d) => clustersOf(s, d)),
+
+    // Quality-aware canonical selection: within each near-dup cluster keep
+    // the HIGHEST-QUALITY member (tie → lowest doc_id), not the arbitrary
+    // min-id — the curation rule real pipelines apply once clusters exist
+    // (the best-written copy of a duplicated page survives, not the first
+    // one crawled). Shape: the cached cluster frame joins the narrow
+    // per-doc quality frame on doc_id, then one groupBy(cluster) with a
+    // struct-max argmax — no window, no second pass. The oracle re-derives
+    // the same clusters via its transitive closure and picks the keeper
+    // with a per-cluster rank.
+    "dedup_keep_best" -> ((s, d) => {
+      val q = TextAnalysis.qualityOf(Tables.documents(s, d))
+      clustersOf(s, d)
+        .join(q, "doc_id")
+        .groupBy(col("cluster_rep"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid")))
+            .as("best"))
+        .select(
+          col("cluster_rep"),
+          (-col("best.nid")).as("keeper_doc_id"),
+          col("best.q").as("keeper_quality"),
+          col("n_members"))
     }),
 
     // Exact duplicate SUBSTRING spans (Lee et al., "Deduplicating
@@ -800,6 +836,36 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     finish(spans)
   }
 
+  /** Shared oracle for `dedup_clusters` and (nested) `dedup_keep_best`:
+    * the same pair CTEs as the near-dup queries, then the component via
+    * recursive transitive closure + min — an independently-derived
+    * formulation of the label-propagation fixpoint. */
+  private val clustersSql: String = s"""
+WITH RECURSIVE ng AS (
+  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+),
+flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $JaccardThreshold
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS cluster_rep,
+  a = least(a, MIN(b)) AS is_kept
+FROM reach GROUP BY a"""
+
   def oracles: Map[String, String] = Map(
     // Mirrors `dedup_collapse_stats`: DuckDB groups by the sorted gram
     // array directly (same equivalence classes as the engine's
@@ -912,31 +978,27 @@ FROM pairs"""
     // Same pair CTEs, then the component via recursive transitive
     // closure + min — an independently-derived formulation of the
     // label-propagation fixpoint.
-    "dedup_clusters" -> s"""
-WITH RECURSIVE ng AS (
-  SELECT doc_id, ${Text.ngramsSql(Text.tokensSql("text"), N)} AS grams FROM documents
+    "dedup_clusters" -> clustersSql,
+
+    // Clusters re-derived by the same transitive closure, the keeper by a
+    // per-cluster rank over the shared quality frame (argmax = rank 1 on
+    // quality DESC, doc_id — the identical total order the engine's
+    // struct-max encodes).
+    "dedup_keep_best" -> s"""
+WITH clusters AS (
+$clustersSql
 ),
-flat AS (SELECT doc_id, unnest(grams) AS g FROM ng),
-sizes AS (SELECT doc_id, CAST(len(grams) AS INT) AS n FROM ng),
-inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS INT) AS n_shared
-  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-pairs AS (
-  SELECT d1, d2
-  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-  WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $JaccardThreshold
-),
-edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+q AS (${TextAnalysis.qualityOfSql}),
+j AS (
+  SELECT c.cluster_rep, c.doc_id, q.quality_score,
+    ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+      ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
 )
-SELECT a AS doc_id, least(a, MIN(b)) AS cluster_rep,
-  a = least(a, MIN(b)) AS is_kept
-FROM reach GROUP BY a""",
+SELECT cluster_rep, doc_id AS keeper_doc_id, quality_score AS keeper_quality,
+  CAST(n_members AS BIGINT) AS n_members
+FROM j WHERE rn = 1""",
 
     // Mirrors [[simhashes]]/[[simhashPairs]] fold for fold: same two
     // polynomial hashes, same 62-bit vote/signature rule, same 16/16/15/15

@@ -100,6 +100,28 @@ object TrainPrep {
             - ((col("cum") - col("n_tokens")) / ctx).cast("long") * ctx).as("pack_offset"))
     }),
 
+    // Token-budget-constrained corpus selection: keep the highest-quality
+    // documents until half the corpus's total token mass is spent — the
+    // "select the best N tokens" step every budgeted training run makes.
+    // Greedy-by-quality is the exact optimum of the knapsack relaxation
+    // here because the budget cuts a PREFIX of the quality order. The
+    // running token total over that global order is the classic 100 TB
+    // trap (a single-task window) — computed instead by the distributed
+    // two-pass prefix sum ([[graft.operators.Ranks.globalRunningSum]]:
+    // range-sort + per-partition offsets), with the budget a broadcast
+    // 1-row aggregate. Integer token arithmetic end-to-end.
+    "corpus_budget_select" -> ((s, d) => {
+      val q = TextAnalysis.qualityOf(Tables.documents(s, d))
+      val ranked = graft.operators.Ranks.globalRunningSum(
+        q, Seq(col("quality_score").desc, col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      val budget = q.agg(expr("sum(n_tokens) div 2").as("budget"))
+      ranked.crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("cum_tokens"))
+    }),
+
     "stratified_sample" -> ((s, d) => {
       val sampled = (hashOf(col("doc_id")) % 5L === 0L).cast("int")
       Tables.documents(s, d)
@@ -204,6 +226,21 @@ SELECT doc_id, source, n_tokens,
   CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_bin,
   CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT) AS pack_offset
 FROM c""",
+
+      // Mirrors corpus_budget_select: the single-task window the engine
+      // side avoids is exactly right at oracle scale; RANGE default equals
+      // ROWS here because the order is total.
+      "corpus_budget_select" -> s"""
+WITH q AS (${TextAnalysis.qualityOfSql}),
+r AS (
+  SELECT doc_id, n_tokens, quality_score,
+    SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM q
+),
+b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM q)
+SELECT doc_id, n_tokens, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r, b WHERE cum_tokens <= budget""",
 
       "stratified_sample" -> s"""
 SELECT lang,

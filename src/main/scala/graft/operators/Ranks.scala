@@ -36,6 +36,34 @@ object Ranks {
     spark.createDataFrame(ranked, schema)
   }
 
+  /** Append an exact global INCLUSIVE running sum (BIGINT `out`) of the
+    * integer column `value` over the TOTAL order `order` — the classic
+    * two-pass distributed prefix sum: range-partition + sort, a narrow
+    * pass collects per-partition totals (one long per partition on the
+    * driver), their exclusive scan seeds each partition's offset, and a
+    * second narrow pass emits offset + within-partition running sum.
+    * Equals `SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`
+    * without serializing the input through one window task. Integer-only
+    * by design: long addition is associative, so the result is exact and
+    * engine-order-independent (a double variant would not be). */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("_grs_v", value.cast("long"))
+      .repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val idx = sorted.schema.fieldIndex("_grs_v")
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(idx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = offsets(i)
+      it.map { r => s += r.getLong(idx); Row.fromSeq(r.toSeq :+ s) }
+    }
+    spark.createDataFrame(rows, schema).drop("_grs_v")
+  }
+
   /** Append an exact SQL `ntile(k)` bucket (1-based INT) of the TOTAL
     * order `order`, computed without a single-task window: distributed
     * rank ([[globalRowNumber]]) + a broadcast 1-row count + the standard

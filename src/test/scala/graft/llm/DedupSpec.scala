@@ -261,6 +261,28 @@ class DedupSpec extends SparkSpec {
       1.0 - math.pow(1.0 - math.pow(TextDedup.JaccardThreshold, 4), 32) - 1e-9)
   }
 
+  test("keep-best picks each cluster's max-quality member (tie: min doc_id)") {
+    val clusters = TextDedup.queries("dedup_clusters")(spark, sf)
+      .select("doc_id", "cluster_rep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty)
+    val quality = TextAnalysis.qualityOf(graft.Tables.documents(spark, sf))
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (rep, ms) =>
+      val members = ms.map(_._1)
+      // argmax quality, ties to the smallest doc_id
+      val keeper = members.minBy(id => (-quality(id), id))
+      rep -> ((keeper, quality(keeper), members.length.toLong))
+    }
+    val got = TextDedup.queries("dedup_keep_best")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_rep") ->
+        ((r.getAs[Long]("keeper_doc_id"), r.getAs[Double]("keeper_quality"),
+          r.getAs[Long]("n_members"))))
+    assert(got.length === got.toMap.size, "one keeper per cluster")
+    assert(got.toMap === expected)
+  }
+
   test("incremental dedup = full pair set restricted to new-bucket partners") {
     def isNew(id: Long): Boolean = ((id * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
     val inc = TextDedup.queries("dedup_incremental")(spark, sf)

@@ -83,4 +83,26 @@ class TrainPrepSpec extends SparkSpec {
         col("energy_ratio") <= 0.0 || col("energy_ratio") > 1.0)
     assert(bad.count() === 0L)
   }
+
+  test("corpus_budget_select = the maximal greedy quality prefix under half the token mass") {
+    val all = TextAnalysis.qualityOf(graft.Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens").toLong,
+        r.getAs[Double]("quality_score")))
+    val budget = all.map(_._2).sum / 2
+    // greedy brute force: quality desc, doc_id asc, take while within budget
+    val ordered = all.sortBy { case (id, _, q) => (-q, id) }
+    val expected = ordered
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, n, _)) => (id, cum + n) }
+      .drop(1).takeWhile(_._2 <= budget).toMap
+    val got = TrainPrep.queries("corpus_budget_select")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens"))
+    assert(got.length === got.toMap.size, "each doc selected at most once")
+    assert(got.toMap === expected)
+    assert(expected.nonEmpty)
+    // maximality: the next doc in quality order would overflow the budget
+    val nextIdx = expected.size
+    if (nextIdx < ordered.length)
+      assert(expected.values.max + ordered(nextIdx)._2 > budget)
+  }
 }

@@ -31,6 +31,18 @@ class RanksSpec extends SparkSpec {
     assert(got.toMap === expected)
   }
 
+  test("globalRunningSum equals SUM OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)") {
+    val order = Seq(col("grp_val").desc, col("id"))
+    val expected = users.withColumn("cum",
+      sum(col("id")).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranks.globalRunningSum(users, order, col("id"), "cum")
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === got.toMap.size, "one running-sum row per input row")
+    assert(got.toMap === expected)
+  }
+
   test("globalNtile equals ntile() for k not dividing n, k dividing n, and k > n") {
     for (k <- Seq(5, 1013, 2048)) {
       val order = Seq(col("score"), col("id"))
