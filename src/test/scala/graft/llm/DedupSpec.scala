@@ -226,6 +226,34 @@ class DedupSpec extends SparkSpec {
     assert(TextDedup.estDupRate(unique.limit(0), col("text")) === 0.0)
   }
 
+  test("simhash signature-collapse tier is exact on planted exact duplicates") {
+    val s0 = spark; import s0.implicits._
+    // 0=1=2 exact dups (identical signature clique, no rep edge needed);
+    // 3 a near variant; 4 unrelated; 5 empty-token doc (no signature)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different text about apples bananas and cherries today"),
+      (5L, "...")
+    ).toDF("doc_id", "text")
+    val sigs = TextDedup.simhashes(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (d1, h1) <- sigs; (d2, h2) <- sigs if d1 < d2
+      if java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2) -> java.lang.Long.bitCount(h1 ^ h2)).toMap
+    val got = TextDedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+    val gm = got.toMap
+    assert(got.length === gm.size, "each pair emitted exactly once")
+    assert(gm === truth)
+    // the planted clique must actually be in there as Hamming-0 pairs
+    val clique = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    assert(clique.toSet.subsetOf(gm.keySet))
+    assert(clique.forall(p => gm(p) === 0))
+  }
+
   test("band audit: S-curve matches libm pow; steeper configs only lose recall") {
     val rows = TextDedup.queries("minhash_band_audit")(spark, sf)
       .collect()
