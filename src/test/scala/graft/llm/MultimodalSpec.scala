@@ -48,4 +48,45 @@ class MultimodalSpec extends SparkSpec {
     val fb = shifted.grouped(64).toSet
     assert(fa.intersect(fb).size <= 1)
   }
+
+  test("PPM parser decodes a handcrafted P6 file (any header whitespace)") {
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    for (header <- Seq("P6\n2 2\n255\n", "P6 2 2 255 ")) {
+      val bytes = header.getBytes("US-ASCII") ++ pixels
+      val (w, h, r, g, b) = Multimodal.decodePpm(bytes)
+      assert((w, h) === ((2, 2)))
+      assert((r, g, b) === ((220L, 260L, 300L)))
+    }
+  }
+
+  test("WAV parser walks unknown chunks, honors word alignment, sums |PCM|") {
+    // RIFF with an odd-length JUNK chunk before fmt (word-aligned skip),
+    // then 16-bit mono PCM with both extremes and a negative sample
+    val samples = Array[Short](Short.MinValue, 1000, -1, 0)
+    val data = java.nio.ByteBuffer.allocate(12 + (8 + 3 + 1) + (8 + 16) + 8 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    data.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    data.put("JUNK".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+    data.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(88200).putShort(2).putShort(16)
+    data.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(data.putShort)
+    val (rate, ch, bits, n, sum) = Multimodal.decodeWav(data.array())
+    assert((rate, ch, bits) === ((44100, 1, 16)))
+    assert(n === samples.length)
+    assert(sum === samples.map(s => math.abs(s.toInt).toLong).sum)
+  }
+
+  test("encode/decode round trip matches the closed-form feature arithmetic") {
+    val text = "a quick sample document with some bytes in it 0123456789"
+    val tb = text.getBytes("UTF-8")
+    val (w, h, r, g, b) = Multimodal.decodePpm(Multimodal.encodePpm(tb))
+    assert(w === Multimodal.PpmWidth)
+    assert(h === math.max(1, (tb.length + 23) / 24))
+    def chanSum(off: Int) = tb.indices.collect { case i if i % 3 == off => (tb(i) & 0xff).toLong }.sum
+    assert((r, g, b) === ((chanSum(0), chanSum(1), chanSum(2))))
+    val (rate, ch, bits, n, sum) = Multimodal.decodeWav(Multimodal.encodeWav(tb))
+    assert((rate, ch, bits, n) === ((Multimodal.WavRate, 1, 16, tb.length)))
+    assert(sum === tb.map(x => 256L * math.abs((x & 0xff) - 128)).sum)
+  }
 }
