@@ -124,8 +124,8 @@ object Multimodal {
 
   /** REAL binary-PPM (P6) parser: whitespace-tokenized ASCII header
     * (magic, width, height, maxval), one separator byte, then raw RGB
-    * triples. Returns (width, height, Σr, Σg, Σb). */
-  private[llm] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    * triples. Returns (width, height, raster). */
+  private[llm] def decodePpmRaster(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     var i = 0
     def token(): String = {
       while (i < bytes.length && Character.isWhitespace(bytes(i).toChar)) i += 1
@@ -138,39 +138,99 @@ object Multimodal {
     val h = token().toInt
     require(token().toInt == 255, "unsupported PPM maxval")
     i += 1 // exactly one whitespace byte separates header and raster
+    (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+  }
+
+  /** Per-channel sums over a raster: (Σr, Σg, Σb). */
+  private def channelSums(w: Int, h: Int, raster: Array[Byte]): (Long, Long, Long) = {
     var (sr, sg, sb) = (0L, 0L, 0L)
     var p = 0
     while (p < w * h) {
-      sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
-      i += 3; p += 1
+      sr += raster(3 * p) & 0xff; sg += raster(3 * p + 1) & 0xff
+      sb += raster(3 * p + 2) & 0xff
+      p += 1
     }
+    (sr, sg, sb)
+  }
+
+  /** Decode + feature in one call: (width, height, Σr, Σg, Σb). */
+  private[llm] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val (w, h, raster) = decodePpmRaster(bytes)
+    val (sr, sg, sb) = channelSums(w, h, raster)
     (w, h, sr, sg, sb)
   }
 
   /** REAL RIFF/WAVE parser: verifies the container magic, walks the
-    * word-aligned chunk list, reads fmt (channels, rate, bits) and sums
-    * |sample| over the little-endian 16-bit PCM data chunk. Returns
-    * (sampleRate, channels, bitsPerSample, nSamples, Σ|amplitude|). */
-  private[llm] def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    * word-aligned chunk list, reads fmt (channels, rate, bits) and decodes
+    * the little-endian 16-bit PCM data chunk. Returns
+    * (sampleRate, channels, bitsPerSample, samples). */
+  private[llm] def decodeWavSamples(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def tag(o: Int): String = new String(bytes, o, 4, StandardCharsets.US_ASCII)
     require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE payload")
     var o = 12
-    var rate = 0; var ch = 0; var bits = 0; var n = 0; var sum = 0L
+    var rate = 0; var ch = 0; var bits = 0
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (o + 8 <= bytes.length) {
       val id = tag(o); val len = le32(o + 4)
       if (id == "fmt ") { ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22) }
       else if (id == "data") {
         var p = o + 8
         val end = math.min(o + 8 + len, bytes.length)
-        while (p + 1 < end) { sum += math.abs(le16(p).toShort.toInt); n += 1; p += 2 }
+        while (p + 1 < end) { samples += le16(p).toShort.toInt; p += 2 }
       }
       o += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
-    (rate, ch, bits, n, sum)
+    (rate, ch, bits, samples.toArray)
   }
+
+  /** Decode + feature in one call:
+    * (sampleRate, channels, bitsPerSample, nSamples, Σ|amplitude|). */
+  private[llm] def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    val (rate, ch, bits, samples) = decodeWavSamples(bytes)
+    (rate, ch, bits, samples.length, samples.foldLeft(0L)((a, s) => a + math.abs(s)))
+  }
+
+  /** 2×2 box-filter downsample of an RGB raster (floor-averaged, zero
+    * padding beyond the source — consistent with the raster's own
+    * zero-padded tail). A REAL image resize kernel: works on any
+    * interleaved-RGB buffer. Returns the resized (w, h, raster). */
+  private[llm] def boxDownsample(w: Int, h: Int, raster: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val ow = (w + 1) / 2
+    val oh = (h + 1) / 2
+    val out = new Array[Byte](ow * oh * 3)
+    def at(x: Int, y: Int, k: Int): Int =
+      if (x >= w || y >= h) 0
+      else {
+        val j = (y * w + x) * 3 + k
+        if (j < raster.length) raster(j) & 0xff else 0
+      }
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var k = 0
+        while (k < 3) {
+          val s = at(2 * x, 2 * y, k) + at(2 * x + 1, 2 * y, k) +
+            at(2 * x, 2 * y + 1, k) + at(2 * x + 1, 2 * y + 1, k)
+          out((y * ow + x) * 3 + k) = (s / 4).toByte
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  case class ResizedImage(
+      doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      rsum_r: Long, rsum_g: Long, rsum_b: Long)
+
+  case class DecimatedAudio(
+      doc_id: Long, n_in: Int, n_out: Int, sum_abs_out: Long)
 
   /** Typed row for the real-decode output (None → NULL for the columns of
     * the other modality). */
@@ -294,6 +354,44 @@ object Multimodal {
         }.toDF()
     }),
 
+    // REAL image resize: decode the PPM raster, 2×2 box-filter downsample
+    // (floor-averaged — an actual resize kernel over the interleaved-RGB
+    // buffer), features from the RESIZED image. The oracle replays the
+    // same integer block arithmetic per output pixel.
+    "multimodal_resize" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val (w, h, raster) = decodePpmRaster(encodePpm(text.getBytes(StandardCharsets.UTF_8)))
+            val (ow, oh, out) = boxDownsample(w, h, raster)
+            val (r, g, b) = channelSums(ow, oh, out)
+            ResizedImage(id, w, h, ow, oh, r, g, b)
+          }
+        }.toDF()
+    }),
+
+    // REAL audio decimation: decode the PCM samples, keep every other one
+    // (the simplest sample-rate halving), features from the decimated
+    // signal.
+    "multimodal_downsample" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val (_, _, _, samples) =
+              decodeWavSamples(encodeWav(text.getBytes(StandardCharsets.UTF_8)))
+            val dec = samples.indices.collect { case i if i % 2 == 0 => samples(i) }
+            DecimatedAudio(id, samples.length, dec.length,
+              dec.foldLeft(0L)((a, v) => a + math.abs(v)))
+          }
+        }.toDF()
+    }),
+
     // Batched per-partition "decode" + feature extraction over binary
     // payloads via typed mapPartitions (one digest instance per partition).
     "multimodal_features" -> ((s, d) => {
@@ -390,6 +488,56 @@ SELECT doc_id,
   CASE WHEN doc_id % 2 = 1 THEN CAST(len(c) AS INT) END AS n_samples,
   CASE WHEN doc_id % 2 = 1 THEN CAST(COALESCE(list_sum(list_transform(
     c, x -> 256 * abs(x - 128))), 0) AS BIGINT) END AS sum_abs_amp
+FROM cs""",
+
+    // Replays the 2×2 box filter per output pixel: out(m, k) =
+    // (P(2x,2y)+P(2x+1,2y)+P(2x,2y+1)+P(2x+1,2y+1)) // 4 with P = 0
+    // beyond the document bytes (the raster's zero padding and the
+    // out-of-raster rows both land there). The P-terms are generated from
+    // the same (dx, dy, k) offsets the JVM kernel loops over.
+    "multimodal_resize" -> {
+      def pTerm(dx: Int, dy: Int, k: Int): String = {
+        val j = s"(((m // 4) * 2 + $dy) * ${PpmWidth} + (m % 4) * 2 + $dx) * 3 + $k + 1"
+        s"(CASE WHEN $j <= n THEN c[$j] ELSE 0 END)"
+      }
+      def chanSql(k: Int): String =
+        s"""CAST(COALESCE(list_sum(list_transform(
+    generate_series(0, 4 * ((h + 1) // 2) - 1),
+    m -> (${pTerm(0, 0, k)} + ${pTerm(1, 0, k)} + ${pTerm(0, 1, k)} + ${pTerm(1, 1, k)}) // 4)), 0) AS BIGINT)"""
+      s"""
+WITH cs AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS c
+  FROM documents WHERE doc_id % 2 = 0
+),
+base AS (
+  SELECT doc_id, c, len(c) AS n,
+    greatest(1, CAST(ceil(len(c) / ${PpmWidth * 3}.0) AS INT)) AS h
+  FROM cs
+)
+SELECT doc_id,
+  $PpmWidth AS in_w, CAST(h AS INT) AS in_h,
+  ${PpmWidth / 2} AS out_w, CAST((h + 1) // 2 AS INT) AS out_h,
+  ${chanSql(0)} AS rsum_r,
+  ${chanSql(1)} AS rsum_g,
+  ${chanSql(2)} AS rsum_b
+FROM base"""
+    },
+
+    // Decimation keeps the 0-based even samples = 1-based odd character
+    // positions; each contributes 256·|code − 128|.
+    "multimodal_downsample" -> s"""
+WITH cs AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS c
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id,
+  CAST(len(c) AS INT) AS n_in,
+  CAST((len(c) + 1) // 2 AS INT) AS n_out,
+  CAST(COALESCE(list_sum(list_transform(
+    list_filter(generate_series(1, len(c)), i -> i % 2 = 1),
+    i -> 256 * abs(c[i] - 128))), 0) AS BIGINT) AS sum_abs_out
 FROM cs""",
 
     "multimodal_features" -> """

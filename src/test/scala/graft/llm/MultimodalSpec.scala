@@ -77,6 +77,22 @@ class MultimodalSpec extends SparkSpec {
     assert(sum === samples.map(s => math.abs(s.toInt).toLong).sum)
   }
 
+  test("box downsample averages 2x2 blocks and zero-pads odd edges") {
+    // 2x2 image -> 1x1: each channel is the floor-average of 4 pixels
+    val raster2x2 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 101, 110, 120)
+    val (w1, h1, out1) = Multimodal.boxDownsample(2, 2, raster2x2)
+    assert((w1, h1) === ((1, 1)))
+    assert(out1.map(_ & 0xff).toSeq === Seq((10 + 40 + 70 + 101) / 4, (20 + 50 + 80 + 110) / 4,
+      (30 + 60 + 90 + 120) / 4))
+    // 2x3 (odd height): the last output row averages one real row + zeros
+    val raster2x3 = raster2x2 ++ Array[Byte](100, 100, 100, 100, 100, 100)
+    val (w2, h2, out2) = Multimodal.boxDownsample(2, 3, raster2x3)
+    assert((w2, h2) === ((1, 2)))
+    assert(out2.slice(3, 6).map(_ & 0xff).toSeq === Seq(200 / 4, 200 / 4, 200 / 4))
+    // values above 127 survive the signed-byte round trip
+    assert(out1.forall(b => (b & 0xff) >= 0))
+  }
+
   test("encode/decode round trip matches the closed-form feature arithmetic") {
     val text = "a quick sample document with some bytes in it 0123456789"
     val tb = text.getBytes("UTF-8")
