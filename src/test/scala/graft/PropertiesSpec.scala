@@ -100,4 +100,23 @@ class PropertiesSpec extends SparkSpec {
       assert(gaps.forall(_ == "Unknown"))
     }
   }
+
+  test("property: globalRunningSum matches a sequential scan for any data") {
+    val s0 = spark; import s0.implicits._
+    val gen = Gen.listOfN(257, Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(0L, 50L)))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (i.toLong, key, v) }
+        .toDF("id", "key", "v").repartition(5)
+      val got = graft.operators.Ranks
+        .globalRunningSum(df, Seq(col("key"), col("id")), col("v"), "cum")
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, i.toLong, v) }
+        .sortBy { case (key, id, _) => (key, id) }
+        .scanLeft((0L, 0L)) { case ((_, cum), (_, id, v)) => (id, cum + v) }
+        .drop(1).toMap
+      assert(got === expected)
+    }
+  }
 }

@@ -93,6 +93,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.forall(b => (b & 0xff) >= 0))
   }
 
+  test("property: PPM/WAV codecs round-trip arbitrary byte payloads") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+    val payloads = (0 until 90).iterator
+      .flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+      .take(30).toSeq
+    payloads.foreach { bs =>
+      val data = bs.toArray
+      val (w, h, raster) = Multimodal.decodePpmRaster(Multimodal.encodePpm(data))
+      assert(w === Multimodal.PpmWidth)
+      assert(raster.length === w * h * 3)
+      assert(raster.length >= data.length)
+      // payload bytes come back verbatim, padding is zero
+      assert(raster.take(data.length).toSeq === data.toSeq)
+      assert(raster.drop(data.length).forall(_ === 0))
+      val (rate, ch, bits, samples) =
+        Multimodal.decodeWavSamples(Multimodal.encodeWav(data))
+      assert((rate, ch, bits) === ((Multimodal.WavRate, 1, 16)))
+      assert(samples.toSeq === data.toSeq.map(b => ((b & 0xff) - 128) * 256))
+    }
+  }
+
+  test("property: box downsample preserves total mass up to floor loss") {
+    for (w <- 1 to 6; h <- 1 to 9) {
+      val raster = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val (ow, oh, out) = Multimodal.boxDownsample(w, h, raster)
+      assert(ow === (w + 1) / 2 && oh === (h + 1) / 2)
+      // every input pixel lands in exactly one 2x2 block and each output
+      // value is the floor-average, so 4*sum(out) <= sum(in) with at most
+      // 3 lost per output pixel-channel
+      val inSum = raster.map(b => (b & 0xff).toLong).sum
+      val outSum4 = out.map(b => (b & 0xff).toLong).sum * 4
+      assert(outSum4 <= inSum)
+      assert(inSum - outSum4 <= 3L * ow * oh * 3)
+      // constant image stays constant where no padding is involved
+      if (w % 2 == 0 && h % 2 == 0) {
+        val const = Array.fill(w * h * 3)(77.toByte)
+        val (_, _, c) = Multimodal.boxDownsample(w, h, const)
+        assert(c.forall(_ === 77.toByte))
+      }
+    }
+  }
+
   test("encode/decode round trip matches the closed-form feature arithmetic") {
     val text = "a quick sample document with some bytes in it 0123456789"
     val tb = text.getBytes("UTF-8")
