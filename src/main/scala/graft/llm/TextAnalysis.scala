@@ -232,18 +232,22 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
     // so the shuffle's row order can't flake the hash compare; `ln`-free
     // by the same argument as BM25's rational idf, Retrieval.scala).
     // Shuffle shape at 100 TB: occurrences COMPRESS to per-(doc, token)
-    // tf before anything is shuffled twice; df rides a count window over
-    // the tf frame (tf rows are distinct (doc, token), so the per-token
-    // row count IS the df — the tf_cosine_pairs trick, one evaluation of
-    // the explode subtree, no occurrence-stream self-join); then one
-    // groupBy(doc) with tf-weighted sums. Never doc×doc, and the
-    // occurrence stream is scanned exactly once.
+    // tf before anything wide happens (tf rows are distinct (doc, token),
+    // so the per-token row count IS the df). df is then an AGGREGATION
+    // over tf — map-side partial combine absorbs hot tokens, where the
+    // count-window alternative would sort every occurrence of "the" into
+    // ONE window partition — and joins back broadcast (vocab-bounded).
+    // The tf frame is localCheckpoint'ed because it feeds both the df
+    // build and the join probe; it is the compact layer (distinct
+    // (doc, token)), far smaller than the occurrence stream. Then one
+    // groupBy(doc) with tf-weighted sums. Never doc×doc.
     "doc_rarity_score" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(T).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val wTok = org.apache.spark.sql.expressions.Window.partitionBy("token")
-      tf.withColumn("df", count(lit(1)).over(wTok))
+        .localCheckpoint()
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(df, "token")
         .groupBy("doc_id")
         .agg(
           sum(col("tf")).as("n_tokens"),
