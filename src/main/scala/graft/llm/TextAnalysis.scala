@@ -282,19 +282,24 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), T.as("w"))
         .select(col("doc_id"), explode(Text.ngramsAll(col("w"), 2)).as("term"))
+      // df as an AGGREGATION over the checkpointed tf layer + a
+      // broadcastable join back (round 10; previously a count window over
+      // tf). Map-side partial combine absorbs hot terms, where the window
+      // sorted every posting of a hot bigram into ONE window partition —
+      // the doc_rarity_score skew note, same fix. Measured at parity with
+      // the window under identical load (1.80 vs 1.82 s at sf0.1); the tf
+      // checkpoint pays for feeding both the df build and the join probe
+      // with one evaluation of the explode→aggregate subtree. The pruned
+      // posting list is then materialized once more (localCheckpoint)
+      // because it still feeds three plan branches (norms + both
+      // pair-join sides); it is small by construction — the df ≤ 40 cap
+      // has already dropped the high-frequency terms that dominate the
+      // raw posting list.
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df via a window over tf (tf rows are distinct (doc, term), so the
-      // per-term row count IS the df): ONE evaluation of the
-      // explode→aggregate subtree, where a tf⋈df self-aggregate would run
-      // it twice. The pruned posting list is then materialized once
-      // (localCheckpoint) because it still feeds three plan branches
-      // (norms + both pair-join sides); it is small by construction — the
-      // df cap has already dropped the high-frequency terms that dominate
-      // the raw posting list. Measured 5.7s → ~1s at sf0.1.
-      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        .localCheckpoint()
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val kept = tf
-        .withColumn("df", count(lit(1)).over(wTerm))
-        .filter(col("df") <= 40)
+        .join(dft.filter(col("df") <= 40), "term")
         .select("doc_id", "term", "tf")
         .localCheckpoint()
       val norms = kept.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
