@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -115,20 +114,29 @@ FROM scored"""
     * group — the exact-dedup survivor). */
   private def statsWithKeeper(s: SparkSession, d: String): DataFrame = {
     val toks = Text.tokens(col("text"))
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .withColumn("stops",
-        size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "is", "to", "in"))))
+        size(filter(col("toks"), t => t.isin(TextAnalysis.Stopwords: _*))))
+      // one scoring rule repo-wide (TextAnalysis.qualityExpr — shared with
+      // doc_stats, dedup_keep_best, corpus_budget_select)
       .withColumn("quality_score",
-        least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) * lit(0.4)
-          + (col("n_distinct").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
-          + least(lit(1.0), (col("stops").cast("double") / col("n_tokens").cast("double")) * lit(5.0)) * lit(0.3))
+        TextAnalysis.qualityExpr(col("n_tokens"), col("n_distinct"), col("stops")))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         sha2(array_join(col("toks"), " "), 256).as("fingerprint"))
-      .withColumn("keeper",
-        min(col("doc_id")).over(Window.partitionBy("fingerprint")) === col("doc_id"))
+    // keeper via per-fingerprint min AGGREGATION + join-back, not a window
+    // keyed on content: a hot fingerprint (a boilerplate page duplicated
+    // millions of times at corpus scale) would serialize one WindowExec
+    // partition, while the aggregation combines map-side and the join's
+    // skewed probe partitions are AQE-splittable (round-10 keyed-window
+    // skew audit).
+    val keepers = base.groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("_keep_id"))
+    base.join(keepers, "fingerprint")
+      .withColumn("keeper", col("doc_id") === col("_keep_id"))
+      .drop("_keep_id")
   }
 
   /** Near-dup stage, shared by [[clean]] and [[yieldFunnel]]: the doc_ids

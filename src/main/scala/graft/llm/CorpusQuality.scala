@@ -173,10 +173,18 @@ object CorpusQuality {
           .otherwise(array_join(slice(toks, 11, 5), " ")))
       val exploded = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(lines).as(Seq("line_no", "line")))
-      val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("line_no"))
-      exploded.select(
+      // first-occurrence via per-line min-struct AGGREGATION + join-back
+      // (round-10 keyed-window skew audit): the window partitioned by line
+      // content serialized every copy of a hot boilerplate line into one
+      // task; the aggregation combines map-side and the join's skewed
+      // probe partitions are AQE-splittable. (doc_id, line_no) is unique
+      // per occurrence, so min(struct) equals the old row_number = 1.
+      val firstOcc = exploded.groupBy("line")
+        .agg(min(struct(col("doc_id"), col("line_no"))).as("_fo"))
+      exploded.join(firstOcc, "line").select(
         col("doc_id"), col("line_no"), col("line"),
-        (row_number().over(w) === 1).as("keep"))
+        (col("doc_id") === col("_fo.doc_id") &&
+          col("line_no") === col("_fo.line_no")).as("keep"))
     }),
 
     // Paragraph-granularity dedup + document reassembly, the full C4-style
@@ -236,9 +244,15 @@ object CorpusQuality {
           .as(Seq("para_no", "para")))
       .select(col("fp"), col("doc_id"), col("para_no").cast("long").as("para_no"),
         col("para"))
-    val w = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_no"))
+    // first-occurrence via per-paragraph min-struct aggregation + join
+    // (round-10 keyed-window skew audit — same rationale and equivalence
+    // as line_dedup: (doc_id, para_no) is unique per occurrence)
+    val firstOcc = exploded.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("para_no"))).as("_fo"))
     val repOut = exploded
-      .withColumn("keep", row_number().over(w) === 1)
+      .join(firstOcc, "para")
+      .withColumn("keep", col("doc_id") === col("_fo.doc_id") &&
+        col("para_no") === col("_fo.para_no"))
       .groupBy("fp")
       .agg(
         min(col("doc_id")).as("out_doc_id"),

@@ -78,6 +78,12 @@ object SemDeDup {
       .select(col("vec_id"), col("cell"),
         (dot(col("cemb"), col("embedding")) / (col("cnrm") * col("nrm")))
           .as("cos_to_centroid"))
+    // keyed-window note (round-10 skew audit): these windows genuinely
+    // need a per-cell ORDER (the rank IS the output), so they stay
+    // windows; the scale contract is SemDeDup's own — K grows with the
+    // corpus (clusters sized to fit an executor, the paper's operating
+    // point), so a cell partition is bounded by construction, unlike a
+    // content-keyed partition whose hot key is unbounded.
     val wCell = Window.partitionBy("cell")
       .orderBy(col("cos_to_centroid").asc, col("vec_id").asc)
     val wAll = Window.partitionBy("cell")

@@ -822,9 +822,14 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
           .map(p => (fp, p.toLong, t.substring(p - 1, p - 1 + g), w))
       }
       .toDF("fp", "pos", "gv", "w")
-    val flagged = grams
-      .withColumn("cnt", sum(col("w")).over(Window.partitionBy("gv")))
+    // corpus-wide gram counts via AGGREGATION + join-back, not a window
+    // keyed on gram content (round-10 keyed-window skew audit: a hot
+    // 30-char gram — repeated boilerplate — would serialize one window
+    // partition; the aggregation combines map-side, and only grams with
+    // total weight >= 2 join back, shrinking the probe)
+    val hotGrams = grams.groupBy("gv").agg(sum(col("w")).as("cnt"))
       .filter(col("cnt") >= 2)
+    val flagged = grams.join(hotGrams, "gv")
     val wd = Window.partitionBy("fp").orderBy("pos")
     val spans = flagged
       .withColumn("brk",
