@@ -822,6 +822,12 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
           .map(p => (fp, p.toLong, t.substring(p - 1, p - 1 + g), w))
       }
       .toDF("fp", "pos", "gv", "w")
+    // The gram stream feeds both the count build and the join probe and
+    // is evaluated twice — measured CHEAPER than materializing it
+    // (persist 3.9s vs re-eval 3.3s at sf0.1: the per-position stream is
+    // G× the corpus, so storing it costs more than re-running the
+    // flatMap; at 100 TB the same holds harder — recompute from the
+    // scan, never materialize a G-times-corpus intermediate).
     // corpus-wide gram counts via AGGREGATION + join-back, not a window
     // keyed on gram content (round-10 keyed-window skew audit: a hot
     // 30-char gram — repeated boilerplate — would serialize one window
