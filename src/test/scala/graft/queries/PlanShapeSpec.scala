@@ -421,6 +421,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(stale.isEmpty, s"audited entries with no global window: $stale")
   }
 
+  test("keyed windows never ride a content key over an un-aggregated occurrence stream") {
+    // Round-10 skew audit, pinned: a WindowExec partitioned by CONTENT
+    // (a line, gram, fingerprint...) over an exploded occurrence stream
+    // serializes every copy of a hot key into one task — and unlike a
+    // skewed join, a window partition cannot be split by AQE. The
+    // convertible cases (first-occurrence, per-key counts) became
+    // min-struct/sum aggregations with AQE-splittable join-backs
+    // (line_dedup, paragraph dedup, substring grams, the exact-dedup
+    // keeper, doc_rarity/tf_cosine df). This pin detects the shape
+    // mechanically — a keyed Window whose input reaches a Generate with
+    // no Aggregate in between — and bounds the audited survivors:
+    //  - dedup_containment (fp): per-DOCUMENT window over that doc's own
+    //    grams — partition size is one document's gram count, an entity
+    //    key, not a content key;
+    //  - epoch_shuffle / resume_page (epoch, shard): shard is a hash
+    //    bucket, balanced by construction;
+    //  - gapfill_interpolate (user_id): per-entity series.
+    // Anything new triggering this shape must either convert to the
+    // aggregation form or justify its bound here.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val audited = Set(
+      "dedup_containment", "epoch_shuffle", "resume_page",
+      "gapfill_interpolate")
+    def reachesGenerate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate => true
+      case other => other.children.exists(reachesGenerate)
+    }
+    spark.catalog.clearCache()
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val triggered = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val kw = lp.collect {
+        case w: Window if w.partitionSpec.nonEmpty && reachesGenerate(w.child) => w
+      }
+      if (kw.nonEmpty) {
+        triggered += name
+        if (!audited.contains(name))
+          offenders += s"$name (keys=${kw.map(_.partitionSpec.map(_.sql).mkString(",")).mkString("; ")})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"keyed-window-over-generator audit failures (convert to aggregation+join or audit the bound):\n  ${offenders.mkString("\n  ")}")
+    val stale = audited -- triggered
+    assert(stale.isEmpty, s"audited entries no longer planning the shape: $stale")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
