@@ -126,6 +126,11 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Candidate thresholds for `dedup_threshold_curve` — from the operating
+    * [[JaccardThreshold]] upward (the verified pair set only contains
+    * pairs at J ≥ the operating point, so the sweep is exact there). */
+  private[llm] val ThresholdSweep: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
   /** Candidate band splits of the 128 permutations for
     * `minhash_band_audit`: (bands, rows-per-band) with b·r = [[NumPerms]],
     * both powers of two so the S-curve powers reduce to squaring chains. */
@@ -611,6 +616,28 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
           col("min_catch_prob"))
     }),
 
+    // Threshold-sweep audit — the τ-selection companion to
+    // `minhash_band_audit`: for each candidate Jaccard threshold at or
+    // above the operating τ, how many pairs qualify and how many
+    // documents the keep-first policy would drop. Sweeping τ on the real
+    // pair distribution is how the dedup aggressiveness is chosen before
+    // a full run; since the verified pair set is materialized (and
+    // pair-count-sized), the whole curve is one conditional aggregation
+    // pass + a stack() unpivot.
+    "dedup_threshold_curve" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d)
+      val aggCols = ThresholdSweep.zipWithIndex.flatMap { case (t, i) =>
+        Seq(
+          count(when(col("jaccard") >= t, lit(1))).as(s"np_$i"),
+          countDistinct(when(col("jaccard") >= t, col("d2"))).as(s"nd_$i"))
+      }
+      val stackArgs = ThresholdSweep.zipWithIndex
+        .map { case (t, i) => s"${t}D, np_$i, nd_$i" }
+        .mkString(s"stack(${ThresholdSweep.size}, ", ", ",
+          ") as (threshold, n_pairs, n_dropped_docs)")
+      pairs.agg(aggCols.head, aggCols.tail: _*).select(expr(stackArgs))
+    }),
+
     // SimHash near-dup pairs at Hamming <= 3 (full-recall pigeonhole
     // blocking; see simhashPairs).
     "dedup_simhash" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
@@ -958,6 +985,22 @@ SELECT d1 AS contained_doc, d2 AS container_doc, n_shared,
 FROM inter JOIN sizes s1 ON s1.doc_id = d1
 WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n AS DOUBLE) >= $ContainmentThreshold""",
     "dedup_minhash" -> jaccardPairsSql,
+
+    // One aggregate arm per sweep threshold over the same verified-pair
+    // CTE; conditional COUNT / COUNT(DISTINCT CASE) mirror the engine's
+    // conditional aggregation columns.
+    "dedup_threshold_curve" -> {
+      val arms = ThresholdSweep.map { t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+  COUNT(CASE WHEN jaccard >= $t THEN 1 END) AS n_pairs,
+  COUNT(DISTINCT CASE WHEN jaccard >= $t THEN d2 END) AS n_dropped_docs
+FROM pairs"""
+      }
+      s"""WITH pairs AS (
+$jaccardPairsSql
+)
+${arms.mkString("\nUNION ALL\n")}"""
+    },
 
     // Same verified-pair CTE as dedup_jaccard, then one aggregate per band
     // config; the S-curve powers are the identical repeated-squaring

@@ -311,6 +311,28 @@ class DedupSpec extends SparkSpec {
     assert(got.toMap === expected)
   }
 
+  test("threshold curve is monotone and anchors at the operating point") {
+    val rows = TextDedup.queries("dedup_threshold_curve")(spark, sf).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    val pairs = TextDedup.queries("dedup_minhash")(spark, sf)
+      .select("d2", "jaccard").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // τ = operating threshold covers the whole verified pair set
+    assert(rows(0.5)._1 === pairs.length.toLong)
+    assert(rows(0.5)._2 === pairs.map(_._1).distinct.length.toLong)
+    // raising τ can only shrink both counts
+    val ordered = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(rows)
+    ordered.sliding(2).foreach { case Seq((p1, d1), (p2, d2)) =>
+      assert(p2 <= p1); assert(d2 <= d1)
+      case _ => }
+    // exact per-τ ground truth from the collected pairs
+    for (t <- Seq(0.6, 0.7, 0.8, 0.9)) {
+      val qualifying = pairs.filter(_._2 >= t)
+      assert(rows(t)._1 === qualifying.length.toLong, s"tau=$t n_pairs")
+      assert(rows(t)._2 === qualifying.map(_._1).distinct.length.toLong, s"tau=$t dropped")
+    }
+  }
+
   test("incremental dedup = full pair set restricted to new-bucket partners") {
     def isNew(id: Long): Boolean = ((id * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
     val inc = TextDedup.queries("dedup_incremental")(spark, sf)
