@@ -56,4 +56,29 @@ class ContractSpec extends SparkSpec {
     val bad = SparkEntry.queries.keys.filterNot(_.matches("[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-snake-case query names: $bad")
   }
+
+  test("driver-side collect() stays confined to the audited bounded sites") {
+    // Every .collect() in main is bounded by construction (one long per
+    // partition in Ranks' prefix sums, the ≤4096-vector IVF codebook
+    // sample, a 1-row argmax in the BPE trainer, the non-query Profile
+    // tool). A new collect site means a new driver-bound audit — this
+    // test forces that conversation instead of letting an unbounded
+    // driver materialization slip in as "just a collect".
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val audited = Map(
+      "operators/Ranks.scala" -> 1, // per-partition totals (longs)
+      "llm/IvfAnn.scala" -> 1,      // bounded codebook sample
+      "llm/LangModel.scala" -> 1,   // limit(1) argmax
+      "Profile.scala" -> 1)         // dev profiling main, not a query
+    val found = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val n = java.util.regex.Pattern.quote(".collect()").r
+          .findAllIn(java.nio.file.Files.readString(p)).size
+        if (n > 0) Some(p.toString.replaceFirst(".*graft/", "") -> n) else None
+      }.toMap
+    assert(found === audited,
+      s"collect() inventory drifted — audit any new site for driver-side boundedness: $found")
+  }
 }
