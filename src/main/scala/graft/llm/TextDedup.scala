@@ -510,32 +510,69 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // INCREMENTAL dedup: today's ingest batch (deterministic 20% of docs,
     // the hash_split "new" bucket) checked against the EXISTING corpus and
     // itself — old×old pairs are never generated, so daily dedup cost is
-    // proportional to the batch, not the corpus: the inverted gram index
-    // keeps the full corpus on the build side while the probe side carries
-    // only new docs. Output: for each new doc, its duplicate partners.
-    // Incremental near-dup: for every NEW document (a deterministic 20%
-    // hash bucket standing in for "this batch's arrivals"), its near-dup
-    // partners anywhere in the corpus. Since round 10 this CONSUMES the
-    // materialized verified-pair layer ([[nearDupPairs]] — collapse tier +
-    // banded candidates + exact verify) instead of re-running a raw
-    // inverted-index join restricted to the probe side: the nightly pair
-    // layer already contains every qualifying pair, so the incremental
-    // view is a direction-expanding filter over it. The replaced probe
-    // join re-paid duplicated text's df² growth on every batch (86x at
-    // 10x replicated data); this shape is pair-count-sized. DedupSpec pins
-    // the equality "incremental = full pair set restricted to new-bucket
-    // partners" against the brute-force definition.
+    // proportional to the batch, not the corpus. Restored probe-side shape
+    // (round 11, VERDICT r10 #1): the inverted gram index keeps the full
+    // corpus on the build side while the probe side carries ONLY the
+    // new-batch groups, restricted by a semi-join BEFORE the gram shuffle
+    // (PlanShapeSpec pins the LeftSemi upstream of the gram join). The
+    // round-10 86× blowup came from duplicated corpus text's df² growth in
+    // the gram join, not from the probe shape itself — so the fix is the
+    // same exact-collapse tier the rest of the family runs on, applied to
+    // BOTH sides of the index: identical gram sets join as one
+    // representative each, and directed rep-level pairs expand back
+    // through the duplicate groups (new members of the probe group × all
+    // members of the partner group; within-group ordered pairs are J = 1.0
+    // by definition). Unlike the round-10 filter over the LSH-verified
+    // pair layer, this is EXACT by construction at any Jaccard — no
+    // banding S-curve in the recall path (ADVICE r10: a J = 0.5 pair had
+    // ~12.7% miss odds under 32×4 banding). Output: for each new doc, its
+    // near-dup partners anywhere in the corpus, both directions when both
+    // endpoints are new — matching the brute-force oracle's directed form.
     "dedup_incremental" -> ((s, d) => {
       def isNew(c: Column) =
         ((c * 1103515245L + 12345L) % 2147483647L) % 100L >= 80L
-      val pairs = nearDupPairs(s, d)
-      val asNew2 = pairs
-        .select(col("d2").as("new_doc"), col("d1").as("partner_doc"),
-          col("n_shared"), col("jaccard"))
-      val asNew1 = pairs
-        .select(col("d1").as("new_doc"), col("d2").as("partner_doc"),
-          col("n_shared"), col("jaccard"))
-      asNew2.unionByName(asNew1).filter(isNew(col("new_doc")))
+      val (members, reps) = collapsedOf(s, d)
+      // probe restriction FIRST: groups containing >= 1 new-batch doc
+      val newMembers = members.filter(isNew(col("doc_id")))
+      val probeFps = newMembers.select("fp").distinct()
+      val probeFlat = reps.join(probeFps, Seq("fp"), "left_semi")
+        .select(col("fp").as("fpp"), explode(col("grams")).as("g"))
+      val indexFlat = reps.select(col("fp").as("fpi"), explode(col("grams")).as("g"))
+      // grams are distinct per doc, so the per-(probe, index) match count
+      // IS the set intersection — one aggregation, no per-pair recompute
+      val shared = probeFlat.join(indexFlat, "g")
+        .filter(col("fpp") =!= col("fpi"))
+        .groupBy("fpp", "fpi")
+        .agg(count(lit(1)).cast("int").as("n_shared"))
+      val sizes = reps.select(col("fp"), size(col("grams")).as("n"))
+      val repPairs = shared
+        .join(sizes.select(col("fp").as("fpp"), col("n").as("np")), "fpp")
+        .join(sizes.select(col("fp").as("fpi"), col("n").as("ni")), "fpi")
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("np") + col("ni") - col("n_shared")).cast("double"))
+        .filter(col("jaccard") >= JaccardThreshold)
+      // cross-group expansion: the sets are identical within a group, so
+      // every (new member of probe group, member of partner group) pair
+      // inherits the representatives' intersection; a partner group that
+      // also holds new docs was probe-active too, so the reverse direction
+      // is generated by its own probe row — no union gymnastics needed
+      val cross = repPairs
+        .join(newMembers.select(col("fp").as("fpp"), col("doc_id").as("new_doc")), "fpp")
+        .join(members.select(col("fp").as("fpi"), col("doc_id").as("partner_doc")), "fpi")
+        .select("new_doc", "partner_doc", "n_shared", "jaccard")
+      // within-group directed pairs: new member × every other member of a
+      // duplicate group with a non-empty gram set (empty sets share no
+      // gram and never reach the oracle's intersection join)
+      val m = members
+        .join(reps.select(col("fp"), size(col("grams")).as("n"), col("gsz")), "fp")
+        .filter(col("gsz") >= 2 && col("n") >= 1)
+      val within = m.filter(isNew(col("doc_id")))
+        .select(col("fp"), col("doc_id").as("new_doc"), col("n"))
+        .join(m.select(col("fp"), col("doc_id").as("partner_doc")), "fp")
+        .filter(col("new_doc") =!= col("partner_doc"))
+        .select(col("new_doc"), col("partner_doc"),
+          col("n").cast("int").as("n_shared"), lit(1.0).as("jaccard"))
+      cross.unionByName(within)
     }),
 
     // Duplication-rate report per source: exact-hash distinct texts vs

@@ -469,6 +469,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(stale.isEmpty, s"audited entries no longer planning the shape: $stale")
   }
 
+  test("dedup_incremental: the gram join's probe side is batch-restricted before the shuffle") {
+    // Round-11 restoration pin (VERDICT r10 #1): incremental dedup's cost
+    // contract is "proportional to the batch, not the corpus" — which is a
+    // plan fact: the inverted-gram join must see the new-batch restriction
+    // (the LeftSemi on the probe groups) BELOW the gram-key shuffle, and
+    // only on ONE side (the other side is the full collapsed index).
+    // Without this, the join degenerates to the full corpus×corpus pair
+    // stream and old×old pairs are paid for on every nightly batch.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    spark.catalog.clearCache()
+    val lp = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .queryExecution.optimizedPlan
+    val gramJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(gramJoins.nonEmpty, "expected the inverted-gram probe join on g")
+    def hasSemi(p: LogicalPlan): Boolean =
+      p.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined
+    gramJoins.foreach { j =>
+      val sides = Seq(j.left, j.right).map(hasSemi)
+      assert(sides.count(identity) == 1,
+        s"expected exactly one batch-restricted (LeftSemi) side under the gram join, got $sides:\n$j")
+    }
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
