@@ -177,6 +177,12 @@ mart AS (
   FROM anomalies
 )"""
 
+  /** Raw-readings CTE prefix for row-level audits that sit BEFORE the
+    * staging cleanup (the reference's `iot_metadata.data_quality_issues`
+    * is keyed to `iot_raw.temperature_readings`,
+    * sql/002_create_tables.sql:56-66). */
+  val rawReadingsCte: String = s"WITH $rawReadings"
+
   private def chainTo(level: String): String = level match {
     case "staging"   => s"WITH $rawReadings, $staging"
     case "valid"     => s"WITH $rawReadings, $staging, $valid"

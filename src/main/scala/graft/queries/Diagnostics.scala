@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -209,6 +209,52 @@ SELECT 'customer', CAST(count(*) AS BIGINT),
   CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN c_custkey % 77 = 0 THEN 1 ELSE 0 END) AS BIGINT)
 FROM customer"""
 
+  /** One row per (raw record, failed validation rule) — the population of
+    * the reference's row-level DQ issue table. Shape: ONE narrow scan of
+    * the raw frame builds a 4-slot issue array inline (each slot a `when`
+    * guard mirroring a staging validation branch), then a null-pruning
+    * explode emits 0..4 issue rows per record — zero shuffles, zero extra
+    * scans however many rules are declared, and the whole thing stays in
+    * whole-stage codegen. The alternative (one filtered scan per rule,
+    * UNION ALL — the literal dbt-test shape, and the oracle's) reads the
+    * fact table once per rule; at 100 TB that multiplier is the audit's
+    * whole cost. Severities follow the reference DDL's vocabulary
+    * (CRITICAL > HIGH > LOW): an unusable identity is CRITICAL, dropped
+    * measurements HIGH, an auto-repaired default LOW. The out-of-range
+    * temperature is rendered through DECIMAL(6,2) (HALF_UP from DOUBLE in
+    * both engines, scale-preserving toString in both) so the text column
+    * hash-matches DuckDB. */
+  def rowIssues(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def issue(cond: Column, typ: String, desc: String, field: String,
+        value: Column, sev: String): Column =
+      when(cond, struct(lit(typ).as("issue_type"),
+        lit(desc).as("issue_description"), lit(field).as("field_name"),
+        value.as("invalid_value"), lit(sev).as("severity")))
+    val issues = array(
+      issue(col("device_id").isNull || trim(col("device_id")) === "",
+        "missing_device_id", "device identifier null or blank; record unusable",
+        "device_id", col("device_id"), "CRITICAL"),
+      issue(col("reading_timestamp").isNull,
+        "missing_timestamp", "reading timestamp absent; record excluded from time series",
+        "reading_timestamp", lit(null).cast("string"), "HIGH"),
+      issue(col("temperature_raw").isNotNull &&
+          !col("temperature_raw").between(-50.0, 100.0),
+        "temperature_out_of_range", "temperature outside accepted bounds [-50, 100] C",
+        "temperature_celsius",
+        col("temperature_raw").cast(DecimalType(6, 2)).cast("string"), "HIGH"),
+      issue(col("location_raw").isNull,
+        "missing_location", "location absent; defaulted to Unknown_Room",
+        "location_raw", lit(null).cast("string"), "LOW"))
+    raw
+      .select(col("record_id").as("raw_record_id"), issues.as("issues"))
+      .select(col("raw_record_id"),
+        explode(filter(col("issues"), i => i.isNotNull)).as("i"))
+      .select(col("raw_record_id"), col("i.issue_type"),
+        col("i.issue_description"), col("i.field_name"),
+        col("i.invalid_value"), col("i.severity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ooo_audit"           -> ((s, d) => oooAudit(s, d)),
     "gdpr_cascade"        -> ((s, d) => gdprCascade(s, d)),
@@ -265,6 +311,17 @@ FROM customer"""
             "'accepted_values_o_orderstatus', av, " +
             "'relationships_o_custkey', rel) AS (test_name, failures)"))
     }),
+
+    // Row-level data-quality issue audit — the reference's
+    // `iot_metadata.data_quality_issues` model (sql/002_create_tables.sql:
+    // 56-66: one row per flagged raw record with issue_type, description,
+    // field, invalid value, severity), populated from the same validation
+    // rules the staging model's validity flag and coalesce repair encode.
+    // `dq_expectations` reports per-rule failure COUNTS; this keeps the
+    // offending ROWS for triage — the first thing an operator debugging a
+    // bad load reaches for. See [[rowIssues]] for the one-scan shape.
+    "dq_row_issues" -> ((s, d) =>
+      rowIssues(graft.model.Staging.rawReadings(Tables.events(s, d)))),
 
     // k-anonymity audit over the customer dimension — the privacy screen a
     // training-data pipeline runs before releasing user-adjacent features:
@@ -465,6 +522,33 @@ SELECT 'not_null_o_custkey' AS test_name, nn AS failures FROM base
 UNION ALL SELECT 'unique_o_orderkey', uq FROM base
 UNION ALL SELECT 'accepted_values_o_orderstatus', av FROM base
 UNION ALL SELECT 'relationships_o_custkey', rel FROM rel""",
+
+    // Literal one-arm-per-rule form over the shared raw-readings CTE (the
+    // engine's single-scan explode and this 4-scan union are the same
+    // relation; the driver sorts rows before hashing).
+    "dq_row_issues" -> s"""
+${graft.model.IotOracle.rawReadingsCte}
+SELECT record_id AS raw_record_id, 'missing_device_id' AS issue_type,
+  'device identifier null or blank; record unusable' AS issue_description,
+  'device_id' AS field_name, device_id AS invalid_value,
+  'CRITICAL' AS severity
+FROM raw_readings WHERE device_id IS NULL OR trim(device_id) = ''
+UNION ALL
+SELECT record_id, 'missing_timestamp',
+  'reading timestamp absent; record excluded from time series',
+  'reading_timestamp', NULL, 'HIGH'
+FROM raw_readings WHERE reading_timestamp IS NULL
+UNION ALL
+SELECT record_id, 'temperature_out_of_range',
+  'temperature outside accepted bounds [-50, 100] C',
+  'temperature_celsius', CAST(CAST(temperature_raw AS DECIMAL(6,2)) AS VARCHAR), 'HIGH'
+FROM raw_readings WHERE temperature_raw IS NOT NULL
+  AND temperature_raw NOT BETWEEN CAST(-50.0 AS DOUBLE) AND CAST(100.0 AS DOUBLE)
+UNION ALL
+SELECT record_id, 'missing_location',
+  'location absent; defaulted to Unknown_Room',
+  'location_raw', NULL, 'LOW'
+FROM raw_readings WHERE location_raw IS NULL""",
 
     // Mirrors the Spark audit: same QI grouping, same ELSE-0 sums (an
     // empty below-k set must count 0, not NULL), same single division.

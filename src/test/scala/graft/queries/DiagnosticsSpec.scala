@@ -129,6 +129,43 @@ class DiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("dq_row_issues: planted violations each emit exactly their issue rows") {
+    val s0 = spark; import s0.implicits._
+    // one row per rule branch, one clean row, one row tripping all four
+    val raw = Seq(
+      (1L, null.asInstanceOf[String], "2024-01-01 00:00:00", 20.0, "office_in"),
+      (2L, "  ", "2024-01-01 00:00:00", 20.0, "office_in"),
+      (3L, "DEV_0001", null.asInstanceOf[String], 20.0, "office_in"),
+      (4L, "DEV_0002", "2024-01-01 00:00:00", 109.994, "office_in"),
+      (5L, "DEV_0003", "2024-01-01 00:00:00", -55.125, "office_in"),
+      (6L, "DEV_0004", "2024-01-01 00:00:00", 20.0, null.asInstanceOf[String]),
+      (7L, "DEV_0005", "2024-01-01 00:00:00", 20.0, "office_in"),
+      (8L, null.asInstanceOf[String], null.asInstanceOf[String], 150.0,
+        null.asInstanceOf[String]))
+      .toDF("record_id", "device_id", "ts_s", "temperature_raw", "location_raw")
+      .withColumn("reading_timestamp", col("ts_s").cast("timestamp"))
+      .drop("ts_s")
+    val out = Diagnostics.rowIssues(raw).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4), r.getString(5)))
+      .toSet
+    val expected = Set(
+      (1L, "missing_device_id", null, "CRITICAL"),
+      (2L, "missing_device_id", "  ", "CRITICAL"),
+      (3L, "missing_timestamp", null, "HIGH"),
+      // DECIMAL(6,2) is HALF_UP from double: 109.994 -> 109.99, -55.125 -> -55.13
+      (4L, "temperature_out_of_range", "109.99", "HIGH"),
+      (5L, "temperature_out_of_range", "-55.13", "HIGH"),
+      (6L, "missing_location", null, "LOW"),
+      (8L, "missing_device_id", null, "CRITICAL"),
+      (8L, "missing_timestamp", null, "HIGH"),
+      (8L, "temperature_out_of_range", "150.00", "HIGH"),
+      (8L, "missing_location", null, "LOW"))
+    assert(out === expected)
+    // the clean record emits nothing; the all-bad record emits one row per rule
+    assert(!out.exists(_._1 == 7L))
+    assert(out.count(_._1 == 8L) === 4)
+  }
+
   test("max_concurrency >= 1 and <= n_intervals for every user") {
     val bad = Temporal.queries("max_concurrency")(spark, sf)
       .filter(col("max_concurrent") < 1 || col("max_concurrent") > col("n_intervals"))
