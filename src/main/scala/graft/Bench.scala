@@ -159,8 +159,27 @@ object Bench {
     val regJson = regressions.sortBy { case (_, (p, c)) => -(c - p) }.take(8)
       .map { case (k, (p, c)) => s"\"" + k + s"\":[${r3(p)},${r3(c)}]" }
       .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"first_run_total":${r3(firstRunTotal)},"load":"$loadStart;${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"n_rechecked":${recheck.size},"regressions":$regJson,"queries":$slow,"sf":"$sfDir"}"""
+    // Per-layer build-cost manifest (VERDICT r10 #3): the shared persisted
+    // layers explain the first_run_total/total gap, so the bench publishes
+    // them — {layer: [exclusive build seconds, reuse count]}, plus their
+    // sum. Expect layers_total ≈ first_run_total − total (cold JIT and
+    // first-touch parquet footers account for the remainder).
+    val layers = LayerMetrics.snapshot
+    val layersTotal = layers.map(_._2._1).sum
+    def layersJson(maxN: Int): String = {
+      val (shown, rest) = layers.splitAt(maxN)
+      (shown.map { case (k, (b, _, r)) => s"\"" + k + s"\":[${r3(b)},$r]" } ++
+        (if (rest.isEmpty) Nil
+         else Seq(s""""_other":[${r3(rest.map(_._2._1).sum)},${rest.map(_._2._3).sum}]"""))
+        ).mkString("{", ",", "}")
+    }
+    def mkLine(nLayers: Int): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"mean_sec":${r3(mean)},"first_run_total":${r3(firstRunTotal)},"layers_total":${r3(layersTotal)},"layers":${layersJson(nLayers)},"load":"$loadStart;${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"n_rechecked":${recheck.size},"regressions":$regJson,"queries":$slow,"sf":"$sfDir"}"""
+    // the driver keeps only the last ~2000 chars of stdout; shrink the
+    // manifest (never the query/regression detail) until the line fits
+    val line = Seq(layers.size, 8, 4, 0).view.map(mkLine)
+      .find(_.length < 1900)
+      .getOrElse(mkLine(0))
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     // Belt-and-braces against stdout-tail truncation (round 4 lost its
@@ -180,9 +199,12 @@ object Bench {
       val recheckJson = recheck.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
+      val fullLayers = layers.map { case (k, (b, n, r)) =>
+        s"\"$k\":{\"build_s\":${r3(b)},\"builds\":$n,\"reuses\":$r}"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"target/bench_full$suffix.json"),
-        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
+        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"layers_total":${r3(layersTotal)},"layers":$fullLayers,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
       // every individual run, for variance archaeology
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"" + k + "\":[" + ts.map(t => "%.3f".format(t)).mkString(",") + "]"

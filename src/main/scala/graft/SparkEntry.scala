@@ -32,9 +32,20 @@ object SparkEntry {
     * table — safe to MEMORY_AND_DISK at any tested SF. */
   private val layerCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // Build cost is recorded in LayerMetrics (VERDICT r10 #3) with an eager
+  // count() so the layer's materialization — the thing the bench's
+  // first_run/warm gap is made of — is charged to the named layer at build
+  // time, not smeared over whichever consumer's action fires first.
   private def cached(key: String, s: SparkSession, dir: String)(mk: => DataFrame): DataFrame =
-    layerCache.getOrElseUpdate((s, key, dir),
-      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    layerCache.get((s, key, dir)) match {
+      case Some(df) => LayerMetrics.reuse(key); df
+      case None => layerCache.getOrElseUpdate((s, key, dir),
+        LayerMetrics.build(key) {
+          val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        })
+    }
 
   // staging IS persisted even though it is a narrow projection: the layer
   // fans out to byLoad, ops_row_counts, AND every window/grouping-sets

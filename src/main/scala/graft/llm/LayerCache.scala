@@ -13,6 +13,13 @@ private[llm] object LayerCache {
   private val m = scala.collection.concurrent.TrieMap
     .empty[(String, SparkSession, String), DataFrame]
   def of(name: String, s: SparkSession, d: String)(mk: => DataFrame): DataFrame =
-    m.getOrElseUpdate((name, s, d),
-      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    m.get((name, s, d)) match {
+      case Some(df) => graft.LayerMetrics.reuse(name); df
+      case None => m.getOrElseUpdate((name, s, d),
+        graft.LayerMetrics.build(name) {
+          val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        })
+    }
 }

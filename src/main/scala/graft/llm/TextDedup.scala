@@ -46,8 +46,16 @@ object TextDedup {
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[llm] def gramSets(s: SparkSession, d: String): DataFrame =
-    gramCache.getOrElseUpdate((s, d),
-      gramSetsUncached(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    gramCache.get((s, d)) match {
+      case Some(df) => graft.LayerMetrics.reuse("grams"); df
+      case None => gramCache.getOrElseUpdate((s, d),
+        graft.LayerMetrics.build("grams") {
+          val df = gramSetsUncached(s, d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        })
+    }
 
   /** (doc_id, grams) table. Gram extraction runs as primitive string ops in
     * a typed mapPartitions: Catalyst's higher-order array functions are
@@ -242,7 +250,14 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
   private val collapseCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private[llm] def collapsedOf(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    collapseCache.getOrElseUpdate((s, d), collapse(gramSets(s, d)))
+    collapseCache.get((s, d)) match {
+      case Some(t) => graft.LayerMetrics.reuse("collapse"); t
+      case None => collapseCache.getOrElseUpdate((s, d),
+        // reps is localCheckpoint-materialized inside collapse (eager);
+        // members is a narrow projection of the gram layer — nothing to
+        // materialize, so the timing wraps the checkpoint job itself
+        graft.LayerMetrics.build("collapse")(collapse(gramSets(s, d))))
+    }
 
   /** Adaptive-collapse gate (round 10): the exact-collapse tier buys its
     * (1+r)-to-(1+r)² shuffle reduction only when the duplication rate r is
@@ -318,11 +333,17 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d), {
-      val (members, reps, repPairs) = collapsedRepPairs(s, d)
-      expandPairs(repPairs, members, reps)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    pairCache.get((s, d)) match {
+      case Some(df) => graft.LayerMetrics.reuse("near_dup_pairs"); df
+      case None => pairCache.getOrElseUpdate((s, d),
+        graft.LayerMetrics.build("near_dup_pairs") {
+          val (members, reps, repPairs) = collapsedRepPairs(s, d)
+          val df = expandPairs(repPairs, members, reps)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        })
+    }
 
   /** Cluster assignments (doc_id, cluster_rep, is_kept), cached per
     * (session, dir) like [[nearDupPairs]]: `dedup_clusters` and
@@ -332,11 +353,17 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[llm] def clustersOf(s: SparkSession, d: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, d), {
-      val (members, reps, repPairs) = collapsedRepPairs(s, d)
-      clusterAssignmentsFrom(members, reps, repPairs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    clusterCache.get((s, d)) match {
+      case Some(df) => graft.LayerMetrics.reuse("clusters"); df
+      case None => clusterCache.getOrElseUpdate((s, d),
+        graft.LayerMetrics.build("clusters") {
+          val (members, reps, repPairs) = collapsedRepPairs(s, d)
+          val df = clusterAssignmentsFrom(members, reps, repPairs)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        })
+    }
 
   /** The REP-level tier under [[nearDupPairs]] and `dedup_clusters`:
     * collapse + banded candidates + exact verification, cached per
@@ -347,13 +374,18 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   private def collapsedRepPairs(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    repTierCache.getOrElseUpdate((s, d), {
-      val (members, reps) = collapsedOf(s, d)
-      val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
-      val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (members, reps, repPairs)
-    })
+    repTierCache.get((s, d)) match {
+      case Some(t) => graft.LayerMetrics.reuse("rep_pairs"); t
+      case None => repTierCache.getOrElseUpdate((s, d),
+        graft.LayerMetrics.build("rep_pairs") {
+          val (members, reps) = collapsedOf(s, d)
+          val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
+          val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          repPairs.count()
+          (members, reps, repPairs)
+        })
+    }
 
   private[llm] def nearDupPairsFromGrams(grams: DataFrame): DataFrame = {
     val (members, reps) = collapse(grams)
