@@ -67,7 +67,17 @@ object Multimodal {
   }
 
   /** documents.text → binary payload table (the testdata carries no real
-    * media, so payloads are the utf-8 bytes — the plumbing is identical). */
+    * media, so payloads are the utf-8 bytes — the plumbing is identical).
+    *
+    * ORACLE CONTRACT (ADVICE r10): the decode/resize/downsample oracles
+    * model this payload as per-character code points (`unicode(ch)`),
+    * which equals the UTF-8 byte stream only while the corpus is pure
+    * ASCII — a multi-byte character would change engine-side byte counts
+    * and sums but not the oracle's. The driver corpus satisfies this and
+    * MultimodalSpec pins it (byte length == char length over every doc),
+    * so any future non-ASCII testdata fails the spec loudly instead of
+    * silently hash-mismatching. The ENGINE itself is byte-correct for any
+    * input; only the oracle equivalence is ASCII-scoped. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -175,13 +185,20 @@ object Multimodal {
     val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (o + 8 <= bytes.length) {
       val id = tag(o); val len = le32(o + 4)
+      // A hostile/corrupt 32-bit chunk length (negative, or huge enough to
+      // overflow o + 8 + len) must not drive the walker backwards or into
+      // an infinite loop: reject negative lengths outright and advance via
+      // overflow-proof long arithmetic clamped to the buffer end, so the
+      // offset strictly increases on every iteration.
+      require(len >= 0, s"corrupt RIFF chunk: negative length $len at offset $o")
       if (id == "fmt ") { ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22) }
       else if (id == "data") {
         var p = o + 8
-        val end = math.min(o + 8 + len, bytes.length)
+        val end = math.min(math.min(o.toLong + 8L + len, bytes.length.toLong), Int.MaxValue.toLong).toInt
         while (p + 1 < end) { samples += le16(p).toShort.toInt; p += 2 }
       }
-      o += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      val next = o.toLong + 8L + len.toLong + (len & 1) // RIFF chunks are word-aligned
+      o = if (next > bytes.length.toLong) bytes.length else next.toInt
     }
     (rate, ch, bits, samples.toArray)
   }

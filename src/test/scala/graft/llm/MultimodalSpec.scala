@@ -22,6 +22,42 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.filter(col("fake_width") =!= col("n_bytes") % 640).count() === 0)
   }
 
+  test("corpus is pure ASCII — the code-point oracle equals the byte stream") {
+    // The multimodal oracles model payloads as per-character code points;
+    // that equals the engine's UTF-8 bytes only for ASCII text. Pin the
+    // assumption: any non-ASCII doc makes byte length != char length.
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0,
+      s"$nonAscii non-ASCII documents: the unicode(ch) oracle no longer models the UTF-8 payload")
+  }
+
+  test("WAV chunk walker rejects hostile lengths instead of looping") {
+    // A corrupt 32-bit chunk length must not drive the walker backwards
+    // (infinite loop) or past the buffer. Negative length → loud require;
+    // overlong length → clamped decode that terminates.
+    def wavWithChunkLen(len: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("data".getBytes("US-ASCII")).putInt(len)
+        .putShort(7.toShort).putShort(9.toShort)
+      bb.array()
+    }
+    val neg = intercept[IllegalArgumentException] {
+      Multimodal.decodeWavSamples(wavWithChunkLen(-8))
+    }
+    assert(neg.getMessage.contains("negative length"))
+    // huge positive length: o + 8 + len overflows Int; must still terminate
+    // and decode only the bytes actually present
+    val (_, _, _, samples) = Multimodal.decodeWavSamples(wavWithChunkLen(Int.MaxValue - 2))
+    assert(samples.toSeq === Seq(7, 9))
+    // truncated-but-positive length just past the buffer: clamped, terminates
+    val (_, _, _, s2) = Multimodal.decodeWavSamples(wavWithChunkLen(100))
+    assert(s2.toSeq === Seq(7, 9))
+  }
+
   test("media_type partitions cover all three modalities") {
     val types = Multimodal.mediaTable(spark, sf)
       .select("media_type").distinct().collect().map(_.getString(0)).toSet
