@@ -47,11 +47,14 @@ object BatchPrep {
       .withColumn("epoch", explode(array((1 to Epochs).map(lit): _*)))
       .withColumn("h", lcg(col("doc_id") * lit(7919L) + col("epoch")))
       .withColumn("shard", col("h") % Shards)
-    docs
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))))
-      .select(col("epoch"), col("doc_id"), col("shard"),
-        col("pos").cast("long").as("pos"))
+    // Round 11: per-(epoch, shard) position WITHOUT a keyed window — the
+    // shard count is a pinned config, so a window partition holds N/shards
+    // rows and grows with the corpus (unsplittable single task at 100 TB).
+    // groupedRowNumber range-partitions the total order instead: a big
+    // shard spans many partitions, same row_number semantics bit-for-bit.
+    graft.operators.Ranks.groupedRowNumber(
+        docs, Seq("epoch", "shard"), Seq(col("h"), col("doc_id")), "pos")
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
   }
 
   val epochShuffleSql: String = s"""
@@ -124,10 +127,12 @@ WHERE r.pos + o.shard_off > (o.total * 2) // 5
       .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("bin", expr(s"n_tok div $BinWidth"))
       .withColumn("shard", lcg(col("doc_id")) % BatchShards)
-    val rn = row_number().over(
-      Window.partitionBy("bin", "shard").orderBy("doc_id"))
-    docs
-      .withColumn("batch_id", ((rn.cast("long") - 1L) / BatchSize).cast("long"))
+    // Round 11: (bin, shard) has only $BatchShards shards per bin, so a
+    // length-concentrated corpus puts most docs in one window partition —
+    // the audit's exact hazard. Distributed per-group rank instead.
+    graft.operators.Ranks.groupedRowNumber(
+        docs, Seq("bin", "shard"), Seq(col("doc_id")), "_rn")
+      .withColumn("batch_id", ((col("_rn") - 1L) / BatchSize).cast("long"))
       .groupBy("bin", "shard", "batch_id")
       .agg(count(lit(1)).as("n_seqs"), max("n_tok").as("max_len"),
         sum("n_tok").as("sum_len"))

@@ -23,6 +23,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranks {
 
+  /** Every operator here runs TWO jobs over the same sorted RDD (a count/
+    * totals pass, then the emit pass); correctness of the offsets needs
+    * both passes to see identical partition contents. Shuffle-output reuse
+    * makes that automatic for deterministic plans — but a nondeterministic
+    * upstream (rand(), sampling, first() over unordered groups) recomputed
+    * after shuffle-file loss could silently misalign the offsets (ADVICE
+    * r10). Detect the hazard from the optimized plan and pin the sorted
+    * RDD (MEMORY_AND_DISK) only then; deterministic callers — every
+    * registered query — pay nothing. The pinned RDD is released by
+    * Spark's ContextCleaner once the result frame is unreachable. */
+  private def pinIfNondeterministic(
+      df: DataFrame, rdd: org.apache.spark.rdd.RDD[Row]): org.apache.spark.rdd.RDD[Row] = {
+    val deterministic = df.queryExecution.optimizedPlan
+      .find(p => p.expressions.exists(e => !e.deterministic))
+      .isEmpty
+    if (deterministic) rdd
+    else rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Append a 1-based BIGINT `out` column holding the exact global
     * row_number of the TOTAL order `order`. Project `df` to the minimal
     * columns first — the two passes carry every column through the sort. */
@@ -30,7 +49,8 @@ object Ranks {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    // zipWithIndex internally runs the same count-then-emit two-job shape
+    val ranked = pinIfNondeterministic(sorted, sorted.rdd).zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(ranked, schema)
@@ -51,7 +71,7 @@ object Ranks {
     val sorted = df.withColumn("_grs_v", value.cast("long"))
       .repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val idx = sorted.schema.fieldIndex("_grs_v")
-    val rdd = sorted.rdd
+    val rdd = pinIfNondeterministic(sorted, sorted.rdd)
     val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L; it.foreach(s += _.getLong(idx)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
@@ -87,5 +107,29 @@ object Ranks {
                       div (_gnt_n div $k)) + 1
             END AS INT)"""))
       .drop("_gnt_rank", "_gnt_n")
+  }
+
+  /** Append a 1-based BIGINT per-GROUP row_number — exactly
+    * `row_number() OVER (PARTITION BY group ORDER BY order)` — without a
+    * keyed window. A window partition cannot be split (one task per key),
+    * so a group whose size grows with the corpus (a fixed shard count, a
+    * popular length bin) serializes at scale even when the keys are
+    * perfectly balanced. Here the TOTAL order (group ++ order) is
+    * range-partitioned — big groups SPAN partitions — and the per-group
+    * rank is the global index minus the group's exclusive prefix offset,
+    * itself a distributed running sum over the one-row-per-group count
+    * dim. `order` must be total within each group. */
+  def groupedRowNumber(
+      df: DataFrame, group: Seq[String], order: Seq[Column], out: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val groupCols = group.map(col)
+    val counts = df.groupBy(groupCols: _*).agg(count(lit(1)).as("_ggr_cnt"))
+    val bases = globalRunningSum(counts, groupCols, col("_ggr_cnt"), "_ggr_cum")
+      .withColumn("_ggr_base", col("_ggr_cum") - col("_ggr_cnt"))
+      .select(groupCols :+ col("_ggr_base"): _*)
+    globalRowNumber(df, groupCols ++ order, "_ggr_rn")
+      .join(bases, group)
+      .withColumn(out, col("_ggr_rn") - col("_ggr_base"))
+      .drop("_ggr_rn", "_ggr_base")
   }
 }

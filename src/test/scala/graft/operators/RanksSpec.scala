@@ -43,6 +43,42 @@ class RanksSpec extends SparkSpec {
     assert(got.toMap === expected)
   }
 
+  test("groupedRowNumber equals row_number over the partitioned window") {
+    // the round-11 keyed-window replacement: per-group rank computed from
+    // a range-partitioned global order + prefix-sum group offsets must be
+    // bit-identical to the window function it displaces
+    val order = Seq(col("score").desc, col("id"))
+    val expected = users.withColumn("rn",
+      row_number().over(Window.partitionBy("grp_val").orderBy(order: _*)).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranks.groupedRowNumber(users, Seq("grp_val"), order, "rn")
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === got.toMap.size, "one rank per row")
+    assert(got.toMap === expected)
+  }
+
+  test("nondeterministic upstream pins the sorted RDD; deterministic does not") {
+    // ADVICE r10: the two-pass operators must not silently misalign
+    // offsets when a nondeterministic input is recomputed — the hazard is
+    // answered by persisting the sorted frame, detected from the plan.
+    def pinnedCount = spark.sparkContext.getPersistentRDDs.size
+    val beforeKeys = spark.sparkContext.getPersistentRDDs.keySet
+    val before = pinnedCount
+    val det = Ranks.globalRunningSum(users, Seq(col("id")), col("id"), "cum")
+    det.count()
+    assert(pinnedCount === before, "deterministic input must not persist anything")
+    val nonDet = users.withColumn("r", rand(42))
+    val summed = Ranks.globalRunningSum(nonDet, Seq(col("id")), col("id"), "cum")
+    assert(summed.count() === 1013)
+    assert(pinnedCount > before, "rand() upstream must pin the sorted RDD")
+    // the pinned copy makes the result self-consistent: rank pass agrees
+    val ranked = Ranks.globalRowNumber(nonDet, Seq(col("id")), "rn")
+    assert(ranked.select("rn").distinct().count() === 1013)
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (k, _) => beforeKeys.contains(k) }
+      .values.foreach(_.unpersist(false))
+  }
+
   test("globalNtile equals ntile() for k not dividing n, k dividing n, and k > n") {
     for (k <- Seq(5, 1013, 2048)) {
       val order = Seq(col("score"), col("id"))

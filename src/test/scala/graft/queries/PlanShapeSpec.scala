@@ -382,7 +382,11 @@ class PlanShapeSpec extends SparkSpec {
     // (rfm_segments and spearman_rho left this list in round 10: their
     // rankings over the user/customer dims now use the distributed
     // Ranks.globalNtile / Ranks.globalRowNumber.)
+    //  - bpe_merges_batch (round 11): each superstep's candidate rank is a
+    //    window over an orderBy().limit(topC) — a topC-row input by
+    //    construction (the knn/TakeOrdered pattern), once per superstep.
     val audited = Set(
+      "bpe_merges_batch",
       "collocation_lift", "copurchase_pairs", "link_prediction",
       "q3_shipping_priority", "resume_page",
       "skyline_parts", "yoy_revenue",
@@ -435,15 +439,14 @@ class PlanShapeSpec extends SparkSpec {
     //  - dedup_containment (fp): per-DOCUMENT window over that doc's own
     //    grams — partition size is one document's gram count, an entity
     //    key, not a content key;
-    //  - epoch_shuffle / resume_page (epoch, shard): shard is a hash
-    //    bucket, balanced by construction;
     //  - gapfill_interpolate (user_id): per-entity series.
+    // (epoch_shuffle / resume_page left this list in round 11: their
+    // fixed-shard windows became Ranks.groupedRowNumber — no keyed window
+    // remains, so a shard's rows span partitions at any corpus size.)
     // Anything new triggering this shape must either convert to the
     // aggregation form or justify its bound here.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val audited = Set(
-      "dedup_containment", "epoch_shuffle", "resume_page",
-      "gapfill_interpolate")
+    val audited = Set("dedup_containment", "gapfill_interpolate")
     def reachesGenerate(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => false
       case _: Generate => true
@@ -467,6 +470,81 @@ class PlanShapeSpec extends SparkSpec {
       s"keyed-window-over-generator audit failures (convert to aggregation+join or audit the bound):\n  ${offenders.mkString("\n  ")}")
     val stale = audited -- triggered
     assert(stale.isEmpty, s"audited entries no longer planning the shape: $stale")
+  }
+
+  test("every text-derived window key is provenance-audited (generator-fed or not)") {
+    // Round-11 extension (VERDICT r10 #6): the generator audit above only
+    // catches content keys fed by an explode — but a window keyed on a
+    // text-derived value (fingerprint, hash, gram) serializes a hot key's
+    // copies into one unsplittable task no matter how the rows got there.
+    // This audit traces EVERY keyed window's partition keys back to leaf
+    // parquet columns through alias/generator lineage and flags any key
+    // whose roots include `text`; each survivor must be whitelisted here
+    // with its partition-size bound. Current whitelist:
+    //  - dedup_containment (fp): per-GROUP window over one representative
+    //    document's own distinct grams — the partition is a single doc's
+    //    gram set (entity-bounded), not all corpus occurrences of a gram;
+    //  - ngram_lm_topk / continuation_rank (w1): window over the
+    //    AGGREGATED per-(w1, w2) count table — a partition is one
+    //    context's DISTINCT successor set, bounded by vocabulary size
+    //    (grows ~log with the corpus), never by corpus occurrences;
+    //  - length_batching / epoch_shuffle converted to
+    //    Ranks.groupedRowNumber in round 11 (fixed shard count made the
+    //    partition corpus-proportional) — keepers/batchers must stay
+    //    window-free or justify a bound in this list.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Window => LWindow}
+    val audited = Map(
+      "dedup_containment" -> "fp window spans one rep doc's own gram set (entity-bounded)",
+      "ngram_lm_topk" -> "w1 window over aggregated bigram counts (vocab-bounded)",
+      "continuation_rank" -> "w1 window over aggregated bigram counts (vocab-bounded)")
+    def rootsOf(plan: LogicalPlan): Map[Long, Set[String]] = {
+      val fromChildren = plan.children.map(rootsOf)
+        .foldLeft(Map.empty[Long, Set[String]])(_ ++ _)
+      def refRoots(e: Expression): Set[String] =
+        e.references.toSeq.flatMap(a =>
+          fromChildren.getOrElse(a.exprId.id, Set(a.name))).toSet
+      val added: Seq[(Long, Set[String])] = plan match {
+        case l: LeafNode => l.output.map(a => a.exprId.id -> Set(a.name))
+        case g: Generate =>
+          g.generatorOutput.map(a => a.exprId.id -> refRoots(g.generator))
+        case p => p.expressions.flatMap(_.collect {
+          case al: Alias => al.exprId.id -> refRoots(al.child)
+        })
+      }
+      fromChildren ++ added
+    }
+    spark.catalog.clearCache()
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val triggered = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val lineage = rootsOf(lp)
+      def keyRoots(e: Expression): Set[String] = e match {
+        case a: Attribute => lineage.getOrElse(a.exprId.id, Set(a.name))
+        case other => other.references.toSeq
+          .flatMap(a => lineage.getOrElse(a.exprId.id, Set(a.name))).toSet
+      }
+      // a cached layer (collapse tier, pair layer) truncates lineage at an
+      // InMemoryRelation leaf — so content-NAMED leaf attributes count as
+      // content roots too, or the audit would go blind behind every cache
+      val contentRoot = "^(?i)(text|fp|fp1|fp2|fingerprint|grams?|lines?|paragraph|sig|signature|shingle|sym)$".r
+      val contentKeyed = lp.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.exists(k =>
+            keyRoots(k).exists(r => contentRoot.findFirstIn(r).isDefined)) =>
+          w.partitionSpec.map(k => s"${k.sql}<-${keyRoots(k).mkString("+")}").mkString(",")
+      }
+      if (contentKeyed.nonEmpty) {
+        triggered += name
+        if (!audited.contains(name))
+          offenders += s"$name (${contentKeyed.mkString("; ")})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"text-derived window keys without a documented bound:\n  ${offenders.mkString("\n  ")}")
+    val stale = audited.keySet -- triggered
+    assert(stale.isEmpty, s"audited entries no longer planning a text-keyed window: $stale")
   }
 
   test("dedup_incremental: the gram join's probe side is batch-restricted before the shuffle") {
