@@ -84,12 +84,36 @@ FROM r WHERE rank <= 3"""
   private def symRepr(word: org.apache.spark.sql.Column) =
     concat(lit(" "), array_join(split(word, ""), "  "), lit(" "))
 
+  /** Adjacent-symbol pair counts over a (word, freq, sym) vocabulary
+    * table, weighted by word frequency — the per-iteration aggregation
+    * both BPE trainers share. Explode → one hash aggregation over |vocab|
+    * rows; the corpus itself is never re-scanned. */
+  private def pairCountsOf(syms: DataFrame): DataFrame =
+    syms.select(col("freq"), split(trim(col("sym")), "  ").as("p"))
+      .select(col("freq"), explode(
+        when(size(col("p")) >= 2,
+          transform(sequence(lit(1), size(col("p")) - 1),
+            j => struct(
+              element_at(col("p"), j.cast("int")).as("l"),
+              element_at(col("p"), (j + 1).cast("int")).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
   /** Shared BPE learn loop (see [[bpeMerges]] for the algorithm): returns
     * the merge list AND the final per-word symbol table (word, freq, sym)
     * — the learned tokenizer in both its rule form and its applied form.
     * The applied form is what [[bpeEncode]] joins against: real tokenizer
     * application at scale is exactly this — a bounded vocabulary
-    * dictionary built once, broadcast to the corpus. */
+    * dictionary built once, broadcast to the corpus.
+    *
+    * K-BOUND CONTRACT: this loop is the EXACT sequential reference — one
+    * pair re-aggregation and one `limit(1)` driver round-trip per merge,
+    * plus a chained narrow replace per iteration, so cost is O(K) jobs
+    * and O(K²) chained replace work. It is pinned to small K (the oracled
+    * queries use K = 6; LangModelSpec bounds it). Tokenizer-real merge
+    * counts (K = 50k) go through [[bpeMergesBatched]], which amortizes
+    * ~|batch| merges per aggregation and checkpoints the vocabulary. */
   private def bpeLearn(s: SparkSession, d: String, iters: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val words = Tables.documents(s, d)
@@ -101,18 +125,7 @@ FROM r WHERE rank <= 3"""
     var i = 0
     var exhausted = false
     while (i < iters && !exhausted) {
-      val parts = syms.select(col("freq"), split(trim(col("sym")), "  ").as("p"))
-      val pairCounts = parts
-        .select(col("freq"), explode(
-          when(size(col("p")) >= 2,
-            transform(sequence(lit(1), size(col("p")) - 1),
-              j => struct(
-                element_at(col("p"), j.cast("int")).as("l"),
-                element_at(col("p"), (j + 1).cast("int")).as("r"))))
-            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-      val best = pairCounts
+      val best = pairCountsOf(syms)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -202,6 +215,126 @@ s${i + 1} AS (
 SELECT CAST($i AS INTEGER) AS iteration, l AS left_sym, r AS right_sym,
   l || r AS merged, cnt AS pair_count FROM b$i"""
     }.mkString("", "\nUNION ALL", "")
+
+  // ---- Batched BPE supersteps (round 11, VERDICT r10 #5) ---------------
+
+  /** Batched-superstep BPE trainer — the tokenizer-real-K scale path.
+    * [[bpeLearn]] is exact classic BPE but pays one pair re-aggregation +
+    * driver round-trip PER MERGE — fine at its pinned K≈6, a wall-clock
+    * killer at K=50k. The standard parallel-BPE remedy: per superstep,
+    * count pairs ONCE, rank the top `topC` candidates (cnt desc, l, r),
+    * keep every candidate with NO conflicting higher-ranked candidate —
+    * conflict iff {a.l, a.r, a.l||a.r} ∩ {b.l, b.r, b.l||b.r} ≠ ∅ — and
+    * apply all kept merges in rank order in ONE pass over the vocabulary.
+    * The symmetric conflict rule makes kept merges mutually
+    * non-interacting (no kept pattern can create, destroy, or overlap an
+    * occurrence of another kept pattern), so the single fold equals
+    * applying them as consecutive classic merges; LangModelSpec proves
+    * topC = 1 reduces bit-exactly to [[bpeLearn]] and that every emitted
+    * batch is conflict-free. K merges therefore cost ~K/|batch| pair
+    * aggregations instead of K, with NOTHING collected to the driver —
+    * the kept set stays a broadcast 1-row array. `checkpoint` truncates
+    * the vocabulary's lineage each superstep (localCheckpoint) so plan
+    * depth stays O(1) at high superstep counts. */
+  def bpeMergesBatched(s: SparkSession, d: String, supersteps: Int = 3,
+      topC: Int = 8, checkpoint: Boolean = false): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(T).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words.select(col("word"), col("freq"), symRepr(col("word")).as("sym"))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 0 until supersteps) {
+      // rank candidates; the bounded TakeOrdered feeds a topC-row window
+      val ranked = pairCountsOf(syms)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(topC)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l"), col("r"))).cast("long"))
+      val sym3a = Seq(col("a.l"), col("a.r"), concat(col("a.l"), col("a.r")))
+      val sym3b = Seq(col("b.l"), col("b.r"), concat(col("b.l"), col("b.r")))
+      val conflict = sym3a.flatMap(x => sym3b.map(y => x === y)).reduce(_ || _)
+      val kept = ranked.alias("a").join(ranked.alias("b"),
+        col("b.rn") < col("a.rn") && conflict, "left_anti")
+      steps += kept.select(
+        lit(t).as("superstep"), col("rn").as("cand_rank"),
+        col("l").as("left_sym"), col("r").as("right_sym"),
+        concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
+      // pack the kept merges as one broadcast array of "from \t to" rules
+      // and fold them over every word's symbol string in rank order
+      val ms = kept.agg(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("l"), col("r")))),
+          x => concat(
+            lit(" "), x.getField("l"), lit("  "), x.getField("r"), lit(" "),
+            lit("\t"),
+            lit(" "), x.getField("l"), x.getField("r"), lit(" "))).as("ms"))
+      syms = syms.crossJoin(broadcast(ms))
+        .withColumn("sym", expr(
+          "aggregate(ms, sym, (acc, x) -> " +
+            "replace(acc, split_part(x, chr(9), 1), split_part(x, chr(9), 2)))"))
+        .drop("ms")
+      if (checkpoint) syms = syms.localCheckpoint()
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  /** The batched trainer macro-expanded to `supersteps` CTE stages — same
+    * pair counting, same (cnt desc, l, r) candidate ranking, same
+    * symmetric conflict filter, same rank-ordered replace fold. */
+  def bpeBatchSql(supersteps: Int = 3, topC: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+WITH w0 AS (
+  SELECT token AS word, COUNT(*) AS freq
+  FROM (SELECT unnest($TS) AS token FROM documents) GROUP BY token
+),
+s0 AS (
+  SELECT word, freq,
+    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
+  FROM w0
+)"""
+    for (t <- 0 until supersteps) {
+      sb ++= s""",
+p$t AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+      unnest(CASE WHEN len(p) >= 2
+        THEN list_transform(generate_series(1, len(p)-1), j -> p[j]) ELSE [] END) AS l,
+      unnest(CASE WHEN len(p) >= 2
+        THEN list_transform(generate_series(1, len(p)-1), j -> p[j+1]) ELSE [] END) AS r
+    FROM (SELECT freq, string_split(trim(sym), '  ') AS p FROM s$t)
+  ) GROUP BY l, r
+),
+r$t AS (
+  SELECT l, r, cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS BIGINT) AS rn
+  FROM p$t ORDER BY cnt DESC, l ASC, r ASC LIMIT $topC
+),
+k$t AS (
+  SELECT a.l, a.r, a.cnt, a.rn FROM r$t a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r$t b WHERE b.rn < a.rn
+      AND (b.l IN (a.l, a.r, a.l || a.r)
+        OR b.r IN (a.l, a.r, a.l || a.r)
+        OR (b.l || b.r) IN (a.l, a.r, a.l || a.r)))
+),
+m$t AS (
+  SELECT coalesce(list(' ' || l || '  ' || r || ' ' || chr(9) || ' ' || l || r || ' '
+    ORDER BY rn), CAST([] AS VARCHAR[])) AS ms
+  FROM k$t
+),
+s${t + 1} AS (
+  SELECT word, freq,
+    list_reduce(list_prepend(sym, ms),
+      (acc, x) -> replace(acc, split_part(x, chr(9), 1), split_part(x, chr(9), 2))) AS sym
+  FROM s$t CROSS JOIN m$t
+)"""
+    }
+    sb.toString + (0 until supersteps).map { t =>
+      s"""
+SELECT CAST($t AS INTEGER) AS superstep, rn AS cand_rank, l AS left_sym,
+  r AS right_sym, l || r AS merged, cnt AS pair_count FROM k$t"""
+    }.mkString("", "\nUNION ALL", "")
+  }
 
   /** Tokenizer APPLICATION — the other half of the BPE lifecycle: encode
     * a held-out document stride with the 6-merge tokenizer [[bpeLearn]]
@@ -374,6 +507,7 @@ SELECT lang, bigram, rank, cnt FROM r WHERE rank <= 5"""
     "top_ngrams_per_lang" -> ((s, d) => topNgramsPerLang(s, d)),
     "ngram_lm_topk"     -> ((s, d) => bigramTopK(s, d)),
     "bpe_merges"        -> ((s, d) => bpeMerges(s, d)),
+    "bpe_merges_batch"  -> ((s, d) => bpeMergesBatched(s, d)),
     "bpe_encode"        -> ((s, d) => bpeEncode(s, d)),
     "lexical_diversity" -> ((s, d) => lexicalDiversity(s, d)),
     "continuation_rank" -> ((s, d) => continuationRank(s, d))
@@ -383,6 +517,7 @@ SELECT lang, bigram, rank, cnt FROM r WHERE rank <= 5"""
     "top_ngrams_per_lang" -> topNgramsPerLangSql,
     "ngram_lm_topk"     -> bigramTopKSql,
     "bpe_merges"        -> bpeMergesSql(),
+    "bpe_merges_batch"  -> bpeBatchSql(),
     "bpe_encode"        -> bpeEncodeSql(),
     "lexical_diversity" -> lexicalDiversitySql,
     "continuation_rank" -> continuationRankSql

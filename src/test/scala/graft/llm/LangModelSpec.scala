@@ -81,6 +81,55 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("batched BPE with topC=1 reduces bit-exactly to the sequential trainer") {
+    // the equivalence that justifies the batched scale path: a 1-candidate
+    // batch IS classic BPE (no conflict filter can ever fire), so the two
+    // trainers must agree merge-for-merge on the real corpus
+    val seq = LangModel.bpeMerges(spark, sf, iters = 6).collect()
+      .sortBy(_.getAs[Int]("iteration"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    val bat = LangModel.bpeMergesBatched(spark, sf, supersteps = 6, topC = 1).collect()
+      .sortBy(_.getAs[Int]("superstep"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(bat === seq)
+  }
+
+  test("batched BPE: every superstep's kept merges are mutually conflict-free") {
+    val rows = LangModel.bpeMergesBatched(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("superstep")).foreach { case (t, rs) =>
+      assert(rs.length >= 1, s"superstep $t kept nothing")
+      val sets = rs.map { r =>
+        val (l, m) = (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"))
+        Set(l, m, l + m)
+      }
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert(sets(i).intersect(sets(j)).isEmpty,
+          s"superstep $t: interacting merges ${sets(i)} / ${sets(j)}")
+    }
+  }
+
+  test("batched BPE trains a tokenizer-scale merge count in bounded supersteps") {
+    // the K=50k argument in miniature: many merges per aggregation pass,
+    // lineage checkpointed — 20 supersteps must land ≥3× the sequential
+    // loop's 20 merges in the same number of pair aggregations (the
+    // conservative conflict filter keeps ~4-5 of the top-64 on this tiny
+    // vocabulary; real vocabularies keep far more — symbols collide less)
+    val rows = LangModel.bpeMergesBatched(
+      spark, sf, supersteps = 20, topC = 64, checkpoint = true).collect()
+    val perStep = rows.groupBy(_.getAs[Int]("superstep")).view.mapValues(_.length).toMap
+    assert(rows.length >= 60,
+      s"expected amortization: ${rows.length} merges over 20 supersteps ($perStep)")
+    // merges stay well-formed deep into training
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+      assert(r.getAs[Long]("pair_count") >= 1L)
+    }
+  }
+
   test("BPE: consecutive pair occurrences merge greedily left-to-right") {
     val s0 = spark; import s0.implicits._
     // "aaaa" x3: pairs (a,a) count 9 (3 per word-occurrence x 3)... after
