@@ -99,4 +99,12 @@ object Tables {
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir))
   }
+
+  /** Streaming twin of [[documents]]: a file-stream source over the
+    * documents parquet only. Streaming reads require an explicit schema;
+    * taken from the batch reader's footer (no data scan). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(table(spark, sfDir, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
 }

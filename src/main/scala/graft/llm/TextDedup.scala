@@ -645,6 +645,52 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // Same oracle as dedup_jaccard (see class doc for the recall argument).
     "dedup_minhash" -> ((s, d) => nearDupPairs(s, d)),
 
+    // Streaming INCREMENTAL near-dup through the actual engine — the
+    // arriving-corpus shape of `dedup_incremental`, but through Structured
+    // Streaming instead of a batch probe join: documents stream in, each
+    // doc's MinHash band buckets probe per-bucket keyed state
+    // (flatMapGroupsWithState; state = the doc ids seen in that bucket so
+    // far) and candidate pairs are emitted the moment the second member
+    // arrives. State carries IDS ONLY — signatures and text stay out of
+    // the store; at 100 TB the state is bucket membership and a watermark
+    // TTL bounds it (the gate keeps NoTimeout because the whole corpus is
+    // one retained epoch). Exact Jaccard verification joins the STATIC
+    // gram layer downstream of the sink — the standard streaming-
+    // candidates / batch-verify split. Output equals `dedup_minhash`'s
+    // verified pair set, so the exact inverted-index oracle is shared;
+    // DedupSpec additionally pins stream ≡ batch.
+    "stream_exec_neardup" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val src = Tables.documentsStream(s, d).select("doc_id", "text")
+      val buckets = bandBuckets(gramsOf(src)).as[(Long, Int, Long)]
+      val cands = buckets
+        .groupByKey { case (_, b, bh) => (b, bh) }
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Seq[Long]]) => {
+            var seen = state.getOption.getOrElse(Seq.empty[Long])
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            rows.foreach { case (id, _, _) =>
+              if (!seen.contains(id)) {
+                seen.foreach(o => out += ((math.min(o, id), math.max(o, id))))
+                seen = seen :+ id
+              }
+            }
+            if (seen.nonEmpty) state.update(seen)
+            out.iterator
+          })
+        .toDF("d1", "d2")
+      val name = "graft_stream_neardup_sink"
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_nd_")
+      val q = cands.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      verifyJaccard(s.table(name).distinct(), gramSets(s, d))
+    }),
+
     // Band-configuration recall audit — the dedup analog of
     // `ann_recall_audit`: for each (bands b × rows-per-band r) split of the
     // 128 permutations, the expected recall of LSH banding over the
@@ -1054,6 +1100,9 @@ SELECT d1 AS contained_doc, d2 AS container_doc, n_shared,
 FROM inter JOIN sizes s1 ON s1.doc_id = d1
 WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n AS DOUBLE) >= $ContainmentThreshold""",
     "dedup_minhash" -> jaccardPairsSql,
+    // the streaming gate produces the same verified pair set, so it shares
+    // the exact inverted-index oracle
+    "stream_exec_neardup" -> jaccardPairsSql,
 
     // One aggregate arm per sweep threshold over the same verified-pair
     // CTE; conditional COUNT / COUNT(DISTINCT CASE) mirror the engine's

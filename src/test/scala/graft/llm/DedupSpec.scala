@@ -20,6 +20,16 @@ class DedupSpec extends SparkSpec {
     assert(mh === exact)
   }
 
+  test("streaming near-dup gate emits exactly the batch verified pair set") {
+    // the flatMapGroupsWithState candidate path (per-bucket id state,
+    // pairs emitted on second arrival) must reduce to the same verified
+    // pairs as the batch banded join — stream ≡ batch, and both ≡ the
+    // exact inverted-index oracle
+    val streamed = pairsOf("stream_exec_neardup")
+    val batch    = pairsOf("dedup_minhash")
+    assert(streamed === batch)
+  }
+
   test("simhash blocking is complete at its own radius (pigeonhole)") {
     // The operator's guarantee: EVERY pair at Hamming distance <= 3 is
     // found (3 differing bits touch at most 3 of the 4 bands). Brute-force
