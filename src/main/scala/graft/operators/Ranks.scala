@@ -124,12 +124,16 @@ object Ranks {
     import org.apache.spark.sql.functions.{col, count, lit}
     val groupCols = group.map(col)
     val counts = df.groupBy(groupCols: _*).agg(count(lit(1)).as("_ggr_cnt"))
+    // null-SAFE offset join: `row_number() OVER (PARTITION BY k)` treats a
+    // null key as a regular group, so a plain equi-join here would silently
+    // drop every null-keyed row (null never equals null). <=> is still
+    // hash-joinable, so the shape is unchanged.
     val bases = globalRunningSum(counts, groupCols, col("_ggr_cnt"), "_ggr_cum")
       .withColumn("_ggr_base", col("_ggr_cum") - col("_ggr_cnt"))
-      .select(groupCols :+ col("_ggr_base"): _*)
+      .select(group.map(k => col(k).as(s"_ggr_k_$k")) :+ col("_ggr_base"): _*)
     globalRowNumber(df, groupCols ++ order, "_ggr_rn")
-      .join(bases, group)
+      .join(bases, group.map(k => col(k) <=> col(s"_ggr_k_$k")).reduce(_ && _))
       .withColumn(out, col("_ggr_rn") - col("_ggr_base"))
-      .drop("_ggr_rn", "_ggr_base")
+      .drop("_ggr_rn" +: "_ggr_base" +: group.map("_ggr_k_" + _): _*)
   }
 }

@@ -57,6 +57,20 @@ class RanksSpec extends SparkSpec {
     assert(got.toMap === expected)
   }
 
+  test("groupedRowNumber keeps null group keys (window parity, not join loss)") {
+    val s0 = spark
+    import s0.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)), (4L, None), (5L, Some(20L)))
+      .toDF("id", "grp").repartition(3)
+    val expected = df.withColumn("rn",
+      row_number().over(Window.partitionBy("grp").orderBy("id")).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranks.groupedRowNumber(df, Seq("grp"), Seq(col("id")), "rn")
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 5, "null-keyed rows must survive the offset join")
+    assert(got === expected)
+  }
+
   test("nondeterministic upstream pins the sorted RDD; deterministic does not") {
     // ADVICE r10: the two-pass operators must not silently misalign
     // offsets when a nondeterministic input is recomputed — the hazard is
