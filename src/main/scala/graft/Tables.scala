@@ -94,17 +94,30 @@ object Tables {
     val tsDdl = eventsTsDdl(spark, sfDir)
     val schema = s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+    streamSource(spark, sfDir, "events", schema).transform(normalizeTs)
+  }
+
+  /** File-stream source for one table under either testdata layout:
+    * driver testdata ships `<name>.parquet` as a single FILE (so the
+    * source must read the parent dir with a leaf-name filter — a bare
+    * file path fails partition discovery's "basePath must be a
+    * directory"), while scaled copies (ScaleGen) write a DIRECTORY of
+    * part files (where the leaf-name filter silently matches ZERO files —
+    * an empty stream masquerading as a fast one; caught in the round-11
+    * sf1 battery). Branch on the layout. */
+  private def streamSource(
+      spark: SparkSession, sfDir: String, name: String, schema: String): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    val target = new java.io.File(s"$sfDir/$name.parquet")
+    if (target.isDirectory) r.parquet(target.getPath)
+    else r.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
 
   /** Streaming twin of [[documents]]: a file-stream source over the
-    * documents parquet only. Streaming reads require an explicit schema;
-    * taken from the batch reader's footer (no data scan). */
+    * documents parquet only ([[streamSource]] handles both layouts).
+    * Streaming reads require an explicit schema; taken from the batch
+    * reader's footer (no data scan). */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(table(spark, sfDir, "documents").schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    streamSource(spark, sfDir, "documents",
+      table(spark, sfDir, "documents").schema.toDDL)
 }
