@@ -174,40 +174,45 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * its bucket hash. Emits (doc_id, band, bh). The gram hash only needs
     * engine-internal stability — candidates are exact-verified afterwards —
     * so a JVM murmur pair suffices. */
+  /** The per-gram-set minhash+banding kernel shared by [[bandBuckets]]
+    * (doc-keyed, batch) and the streaming gate (signature-keyed): hash
+    * every gram once, run the 128 affine permutations keeping mins, fold
+    * each 4-row band to its bucket hash. A gram-less doc has NO signature
+    * (emitting its band rows would give every empty doc the identical
+    * Long.MaxValue-min bucket in all 32 bands — an O(m²) candidate
+    * blowup; verification would discard the pairs, but only after paying
+    * the quadratic join). */
+  private def bandRowsOf(gs: Seq[String]): Iterator[(Int, Long)] =
+    if (gs.isEmpty) Iterator.empty
+    else {
+      val pa = permA; val pb = permB
+      val mins = Array.fill(NumPerms)(Long.MaxValue)
+      gs.foreach { g =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(g, 0x85ebca6b)
+        val x = java.lang.Math.floorMod((h1.toLong << 32) | (h2.toLong & 0xffffffffL), P)
+        var i = 0
+        while (i < NumPerms) {
+          val v = (pa(i) * x + pb(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      (0 until Bands).iterator.map { b =>
+        var h = 1125899906842597L
+        var r = 0
+        while (r < RowsPerBand) { h = h * 31 + mins(b * RowsPerBand + r); r += 1 }
+        (b, h)
+      }
+    }
+  private lazy val permA = perms.map(_._1).toArray
+  private lazy val permB = perms.map(_._2).toArray
+
   def bandBuckets(grams: DataFrame): DataFrame = {
     val spark = grams.sparkSession
     import spark.implicits._
-    val pa = perms.map(_._1).toArray
-    val pb = perms.map(_._2).toArray
     grams.as[(Long, Seq[String])].mapPartitions { it =>
-      it.flatMap { case (id, gs) =>
-        // A doc with no grams has no signature: emitting its band rows would
-        // give every gram-less doc the identical Long.MaxValue-min bucket in
-        // all 32 bands — an O(m²) candidate-pair blowup on corpora with many
-        // short/empty docs (exact verification would discard the pairs, but
-        // only after paying the quadratic join).
-        if (gs.isEmpty) Iterator.empty
-        else {
-        val mins = Array.fill(NumPerms)(Long.MaxValue)
-        gs.foreach { g =>
-          val h1 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c)
-          val h2 = scala.util.hashing.MurmurHash3.stringHash(g, 0x85ebca6b)
-          val x = java.lang.Math.floorMod((h1.toLong << 32) | (h2.toLong & 0xffffffffL), P)
-          var i = 0
-          while (i < NumPerms) {
-            val v = (pa(i) * x + pb(i)) % P
-            if (v < mins(i)) mins(i) = v
-            i += 1
-          }
-        }
-        (0 until Bands).iterator.map { b =>
-          var h = 1125899906842597L
-          var r = 0
-          while (r < RowsPerBand) { h = h * 31 + mins(b * RowsPerBand + r); r += 1 }
-          (id, b, h)
-        }
-        }
-      }
+      it.flatMap { case (id, gs) => bandRowsOf(gs).map { case (b, h) => (id, b, h) } }
     }.toDF("doc_id", "band", "bh")
   }
 
@@ -647,39 +652,50 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
 
     // Streaming INCREMENTAL near-dup through the actual engine — the
     // arriving-corpus shape of `dedup_incremental`, but through Structured
-    // Streaming instead of a batch probe join: documents stream in, each
-    // doc's MinHash band buckets probe per-bucket keyed state
-    // (flatMapGroupsWithState; state = the doc ids seen in that bucket so
-    // far) and candidate pairs are emitted the moment the second member
-    // arrives. State carries IDS ONLY — signatures and text stay out of
-    // the store; at 100 TB the state is bucket membership and a watermark
-    // TTL bounds it (the gate keeps NoTimeout because the whole corpus is
-    // one retained epoch). Exact Jaccard verification joins the STATIC
-    // gram layer downstream of the sink — the standard streaming-
-    // candidates / batch-verify split. Output equals `dedup_minhash`'s
-    // verified pair set, so the exact inverted-index oracle is shared;
-    // DedupSpec additionally pins stream ≡ batch.
+    // Streaming instead of a batch probe join. Documents stream in; each
+    // doc's CONTENT SIGNATURE (the collapse-tier fp — sha256 of the sorted
+    // gram set, computed in-stream by the same expression) probes
+    // per-band-bucket keyed state (flatMapGroupsWithState; state = the
+    // DISTINCT signatures seen in that bucket so far) and signature pairs
+    // are emitted the moment a second distinct signature arrives. Keying
+    // state by signature instead of doc id is the streaming analog of the
+    // exact-collapse tier: duplicated content neither grows the state nor
+    // re-emits pairs, so state and candidate volume are bounded by
+    // DISTINCT content, immune to the duplication blowup (the doc-keyed
+    // first cut paid 61 s at sf1 verifying the expanded 250k pair set;
+    // this shape verifies ~512 rep pairs and expands losslessly). At
+    // 100 TB a watermark TTL bounds the store; the gate keeps NoTimeout
+    // because the whole corpus is one retained epoch. Downstream of the
+    // sink: exact rep-level Jaccard against the static collapse layer,
+    // then the shared duplicate-group expansion — output equals
+    // `dedup_minhash`'s verified pair set, so the exact inverted-index
+    // oracle is shared; DedupSpec additionally pins stream ≡ batch.
     "stream_exec_neardup" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val src = Tables.documentsStream(s, d).select("doc_id", "text")
-      val buckets = bandBuckets(gramsOf(src)).as[(Long, Int, Long)]
+      val sigs = gramsOf(src)
+        .withColumn("fp", sha2(array_join(sort_array(col("grams")), "|"), 256))
+        .select(col("fp"), col("grams")).as[(String, Seq[String])]
+      val buckets = sigs.mapPartitions { it =>
+        it.flatMap { case (fp, gs) => bandRowsOf(gs).map { case (b, h) => (fp, b, h) } }
+      }
       val cands = buckets
         .groupByKey { case (_, b, bh) => (b, bh) }
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Seq[Long]]) => {
-            var seen = state.getOption.getOrElse(Seq.empty[Long])
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            rows.foreach { case (id, _, _) =>
-              if (!seen.contains(id)) {
-                seen.foreach(o => out += ((math.min(o, id), math.max(o, id))))
-                seen = seen :+ id
+          (_: (Int, Long), rows: Iterator[(String, Int, Long)], state: GroupState[Seq[String]]) => {
+            var seen = state.getOption.getOrElse(Seq.empty[String])
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            rows.foreach { case (fp, _, _) =>
+              if (!seen.contains(fp)) {
+                seen.foreach(o => out += (if (o < fp) (o, fp) else (fp, o)))
+                seen = seen :+ fp
               }
             }
             if (seen.nonEmpty) state.update(seen)
             out.iterator
           })
-        .toDF("d1", "d2")
+        .toDF("fp1", "fp2")
       val name = "graft_stream_neardup_sink"
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_nd_")
       val q = cands.writeStream.format("memory").queryName(name)
@@ -688,7 +704,18 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      verifyJaccard(s.table(name).distinct(), gramSets(s, d))
+      val (members, reps) = collapsedOf(s, d)
+      val repPairs = s.table(name).distinct()
+        .join(reps.select(col("fp").as("fp1"), col("rep_id").as("d1"),
+          col("grams").as("g1")), "fp1")
+        .join(reps.select(col("fp").as("fp2"), col("rep_id").as("d2"),
+          col("grams").as("g2")), "fp2")
+        .withColumn("n_shared", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("n_shared")).cast("double"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("d1", "d2", "n_shared", "jaccard")
+      expandPairs(repPairs, members, reps)
     }),
 
     // Band-configuration recall audit — the dedup analog of
