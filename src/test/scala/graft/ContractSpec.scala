@@ -45,7 +45,8 @@ class ContractSpec extends SparkSpec {
       "PhraseIndex" -> PhraseIndex.queries.size,
       "KnnLabel" -> KnnLabel.queries.size,
       "BatchPrep" -> BatchPrep.queries.size,
-      "Lexicon" -> Lexicon.queries.size)
+      "Lexicon" -> Lexicon.queries.size,
+      "Perceptron" -> Perceptron.queries.size)
     val expected = moduleMaps.map(_._2).sum
     assert(SparkEntry.queries.size === expected,
       s"merged query map lost ${expected - SparkEntry.queries.size} entries to a name collision " +
