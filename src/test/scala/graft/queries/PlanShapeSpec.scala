@@ -547,6 +547,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(stale.isEmpty, s"audited entries no longer planning a text-keyed window: $stale")
   }
 
+  test("every non-equi join has an aggregate/limit-bounded side") {
+    // Round-11 repo-wide pin: a join with no equi predicate between its
+    // sides plans as BroadcastNestedLoopJoin (or cartesian, separately
+    // banned) — per-probe-row × build-side work, fatal when the build
+    // side scales with the corpus. 42 registered queries legitimately
+    // plan BNLJs today and every one of them broadcasts a 1-row total, a
+    // grouped reduction, a literal dim, or a LIMIT-bounded sample; this
+    // audit makes that property mechanical instead of per-query folklore:
+    // one side of every non-equi join must pass through an Aggregate,
+    // LIMIT, LocalRelation, or Range before touching a scan. A genuinely
+    // unbounded-side case must carry its own size gate and a whitelist
+    // entry documenting it. (A localCheckpoint truncates lineage to a
+    // LogicalRDD leaf, hiding an upstream Aggregate from this walk — two
+    // of the three audited survivors are that blindness, not a risk.)
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val audited = Map(
+      "cosine_neardup" -> "size-gated broadcast triangle: vector side capped at 32 MB, else the block-grid equi-join path (PlanShapeSpec pins the fallback)",
+      "kmeans_step" -> "centroid dim is the K-row literal filter vec_id < 8 — model-sized by the predicate",
+      "theil_sen_trend" -> "both sides are the localCheckpointed WEEKLY AGGREGATE (calendar-bounded; the checkpoint hides the Aggregate from the walk)")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: LocalRelation | _: Range | _: GlobalLimit => true
+      case other => other.children.exists(bounded)
+    }
+    def hasEquiKey(j: Join): Boolean = {
+      val l = j.left.outputSet
+      val r = j.right.outputSet
+      def across(a: Expression, b: Expression): Boolean =
+        (a.references.subsetOf(l) && b.references.subsetOf(r)) ||
+          (a.references.subsetOf(r) && b.references.subsetOf(l))
+      j.condition.exists(_.collect {
+        case EqualTo(a, b) if across(a, b) => true
+        case EqualNullSafe(a, b) if across(a, b) => true
+      }.nonEmpty)
+    }
+    spark.catalog.clearCache()
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val triggered = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case j: Join if !hasEquiKey(j) && !bounded(j.left) && !bounded(j.right) => j
+      }
+      if (bad.nonEmpty) {
+        triggered += name
+        if (!audited.contains(name))
+          offenders += s"$name (${bad.map(_.joinType).mkString(",")})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-equi joins with no bounded side (gate the size or bound a side):\n  ${offenders.mkString("\n  ")}")
+    val stale = audited.keySet -- triggered
+    assert(stale.isEmpty, s"audited entries no longer planning the shape: $stale")
+  }
+
   test("dedup_incremental: the gram join's probe side is batch-restricted before the shuffle") {
     // Round-11 restoration pin (VERDICT r10 #1): incremental dedup's cost
     // contract is "proportional to the batch, not the corpus" — which is a
