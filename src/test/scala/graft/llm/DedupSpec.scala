@@ -30,6 +30,33 @@ class DedupSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming gate state is signature-keyed: duplication cannot inflate candidates") {
+    val s0 = spark; import s0.implicits._
+    // 3 distinct texts × 8 exact copies each: doc-keyed bucket state
+    // would emit up to 32 bands × C(24, 2) candidate rows; signature-
+    // keyed state can emit at most 32 × C(3, 2) = 96 — the streaming
+    // analog of the collapse tier, pinned as a hard bound on the sink.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy cat again and again",
+      "completely different text about apples bananas and cherries today")
+    val docs = (0 until 24).map(i => (i.toLong, base(i % 3))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndstream_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextDedup.queries("stream_exec_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    val emitted = spark.table("graft_stream_neardup_sink").count()
+    assert(emitted <= 96L,
+      s"sink saw $emitted candidate rows — state is no longer content-keyed")
+    // and the expansion still restores the FULL doc-level pair set
+    val truth = TextDedup.nearDupPairsFromGrams(TextDedup.gramsOf(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(out === truth)
+    assert(out.keySet.exists { case (a, b) => base(a.toInt % 3) == base(b.toInt % 3) },
+      "within-group J=1 pairs must be present")
+  }
+
   test("simhash blocking is complete at its own radius (pigeonhole)") {
     // The operator's guarantee: EVERY pair at Hamming distance <= 3 is
     // found (3 differing bits touch at most 3 of the 4 bands). Brute-force
