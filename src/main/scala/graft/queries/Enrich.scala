@@ -407,6 +407,70 @@ SELECT event_id, url,
   regexp_extract(url, '[?&]u=([^&#]*)', 1) AS u_val
 FROM u"""
 
+  // ----------------------------------------------- url_prefix_policy --
+
+  /** Longest-prefix-match policy join — the robots.txt / crawl-policy /
+    * routing-table shape: every URL path is checked against a rule table
+    * of path prefixes and the MOST SPECIFIC (longest) matching rule wins,
+    * so "/click/100 deny" carves an exception out of "/click allow" which
+    * itself overrides the root default "/ deny". The 100 TB shape: each
+    * path explodes into its SEGMENT prefixes — fan-out bounded by URL
+    * depth (3 here), never by data — the rule dim broadcasts (policy
+    * tables are small by nature), and one `max_by` aggregation per URL
+    * picks the longest match. No shuffle beyond the per-URL aggregation;
+    * prefix lengths within one path are strictly nested, so the argmax is
+    * tie-free and deterministic on both engines. */
+  val PolicyRules: Seq[(String, String, Long)] = Seq(
+    ("/", "deny", 0L),            // default-deny root
+    ("/click", "allow", 1L),
+    ("/view", "allow", 2L),
+    ("/purchase", "allow", 3L),
+    ("/view/100", "deny", 4L),    // most-specific carve-out (event 100 is
+                                  // a view at every driver SF)
+    ("/click/100", "deny", 5L),   // carve-out exercised by the planted spec
+    ("/checkout", "allow", 6L))   // never matches — dead rules are legal
+  def urlPrefixPolicy(s: SparkSession, d: String): DataFrame = {
+    val s0 = s
+    import s0.implicits._
+    val rules = PolicyRules.toDF("prefix", "action", "rule_id")
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+      .withColumn("path",
+        concat(lit("/"), col("event_type"), lit("/"), col("event_id").cast("string")))
+    ev.select(col("event_id"), col("path"),
+        explode(array(lit("/"), concat(lit("/"), col("event_type")), col("path")))
+          .as("prefix"))
+      .join(broadcast(rules), "prefix")
+      .groupBy("event_id", "path")
+      .agg(
+        expr("max_by(rule_id, length(prefix))").as("rule_id"),
+        expr("max_by(action, length(prefix))").as("action"),
+        max(length(col("prefix"))).as("matched_len"))
+  }
+
+  val urlPrefixPolicySql: String = {
+    val ruleRows = PolicyRules
+      .map { case (p, a, i) => s"('$p', '$a', CAST($i AS BIGINT))" }
+      .mkString(", ")
+    s"""
+WITH rules(prefix, action, rule_id) AS (VALUES $ruleRows),
+ev AS (
+  SELECT event_id, '/' || event_type || '/' || CAST(event_id AS VARCHAR) AS path,
+         event_type
+  FROM events
+),
+px AS (
+  SELECT event_id, path,
+         unnest(['/', '/' || event_type, path]) AS prefix
+  FROM ev
+)
+SELECT event_id, path,
+  arg_max(rule_id, len(prefix)) AS rule_id,
+  arg_max(action, len(prefix)) AS action,
+  CAST(max(len(prefix)) AS INT) AS matched_len
+FROM px JOIN rules USING (prefix)
+GROUP BY event_id, path"""
+  }
+
   // ------------------------------------------------------- url_dedup --
 
   /** Canonical-URL deduplication — the web-corpus ingest step that
@@ -697,6 +761,7 @@ FROM folds"""
     "allocate_largest_remainder" -> ((s, d) => allocateLargestRemainder(s, d)),
     "pps_systematic_sample"      -> ((s, d) => ppsSystematicSample(s, d)),
     "url_parse"                  -> ((s, d) => urlParse(s, d)),
+    "url_prefix_policy"          -> ((s, d) => urlPrefixPolicy(s, d)),
     "url_dedup"                  -> ((s, d) => urlDedup(s, d)),
     "ewma_value"                 -> ((s, d) => ewmaValue(s, d)),
     "stream_exec_left_join"      -> ((s, d) => streamLeftJoin(s, d)),
@@ -713,6 +778,7 @@ FROM folds"""
     "allocate_largest_remainder" -> allocateSql,
     "pps_systematic_sample"      -> ppsSql,
     "url_parse"                  -> urlSql,
+    "url_prefix_policy"          -> urlPrefixPolicySql,
     "url_dedup"                  -> urlDedupSql,
     "ewma_value"                 -> ewmaSql,
     "stream_exec_left_join"      -> streamLeftJoinSql,

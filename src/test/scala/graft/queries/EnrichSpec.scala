@@ -191,4 +191,46 @@ class EnrichSpec extends SparkSpec {
     // and the mess residues really produce multi-variant pages somewhere
     assert(rows.exists(_.getAs[Long]("n_raw_forms") > 1L))
   }
+
+  test("url_prefix_policy: longest matching rule wins, carve-outs override") {
+    val rows = Enrich.urlPrefixPolicy(spark, sf).collect()
+    assert(rows.length === graft.Tables.events(spark, sf).count())
+    // driver-side longest-prefix replay against the literal rule table
+    val rules = Enrich.PolicyRules.map { case (p, a, i) => p -> ((a, i)) }.toMap
+    rows.foreach { r =>
+      val path = r.getAs[String]("path")
+      val segs = path.stripPrefix("/").split("/")
+      val prefixes = Seq("/", "/" + segs(0), path)
+      val best = prefixes.filter(rules.contains).maxBy(_.length)
+      val (a, i) = rules(best)
+      assert(r.getAs[String]("action") === a, path)
+      assert(r.getAs[Long]("rule_id") === i, path)
+      assert(r.getAs[Int]("matched_len") === best.length, path)
+    }
+    // unlisted types fall to the root default-deny
+    val m = rows.map(r => r.getAs[String]("path") -> r.getAs[String]("action")).toMap
+    assert(m.exists { case (p, a) => p.startsWith("/signup/") && a == "deny" })
+  }
+
+  test("url_prefix_policy: the depth-2 carve-out beats its allow parent (planted)") {
+    // event types per id are NOT stable across driver SFs, so the
+    // carve-out proof runs on a planted corpus where /click/100 exists
+    val s0 = spark; import s0.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (100L, ts, 1L, "click", 1.0, "{}"),
+      (101L, ts, 1L, "click", 1.0, "{}"),
+      (102L, ts, 2L, "view", 1.0, "{}"),
+      (103L, ts, 2L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_upp_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = Enrich.urlPrefixPolicy(spark, dir).collect()
+      .map(r => r.getAs[String]("path") ->
+        ((r.getAs[String]("action"), r.getAs[Long]("rule_id")))).toMap
+    assert(m("/click/100") === (("deny", 5L)), "carve-out must beat /click allow")
+    assert(m("/click/101") === (("allow", 1L)))
+    assert(m("/view/102") === (("allow", 2L)))
+    assert(m("/signup/103") === (("deny", 0L)), "unlisted type falls to root deny")
+  }
 }
