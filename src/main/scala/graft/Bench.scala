@@ -202,9 +202,15 @@ object Bench {
       val fullLayers = layers.map { case (k, (b, n, r)) =>
         s"\"$k\":{\"build_s\":${r3(b)},\"builds\":$n,\"reuses\":$r}"
       }.mkString("{", ",", "}")
+      // Per-gate streaming state-store high-water marks (VERDICT r11 #7):
+      // {gate: [state rows, state bytes, rows evicted]} — the measured form
+      // of every "state is bounded" claim. Zeros prove a gate stateless.
+      val stateJson = graft.streaming.StreamGate.stateSnapshot
+        .map { case (k, (r, b, rm)) => s"\"$k\":[$r,$b,$rm]" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"target/bench_full$suffix.json"),
-        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"layers_total":${r3(layersTotal)},"layers":$fullLayers,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
+        s"""{"total":$total,"n":${results.size},"first_run_total":$firstRunTotal,"layers_total":${r3(layersTotal)},"layers":$fullLayers,"state":$stateJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","quiesce_wait":${r3(quiesceWait)},"prev_parse":$prevParse,"rechecked":$recheckJson,"regressions":$fullRegs,"queries":$fullQs}""" + "\n")
       // every individual run, for variance archaeology
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"" + k + "\":[" + ts.map(t => "%.3f".format(t)).mkString(",") + "]"

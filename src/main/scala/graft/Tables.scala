@@ -108,8 +108,14 @@ object Tables {
   private def streamSource(
       spark: SparkSession, sfDir: String, name: String, schema: String): DataFrame = {
     val r = spark.readStream.schema(schema)
-    val target = new java.io.File(s"$sfDir/$name.parquet")
-    if (target.isDirectory) r.parquet(target.getPath)
+    // layout probe through the Hadoop FileSystem API, not java.io.File: the
+    // sfDir may live on any supported filesystem (HDFS, S3A, ...) where a
+    // local-File probe always answers "not a directory" and the
+    // pathGlobFilter branch would silently produce an empty stream for a
+    // directory-per-table layout (ADVICE r11)
+    val target = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(target).isDirectory) r.parquet(target.toString)
     else r.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
 

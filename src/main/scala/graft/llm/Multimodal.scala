@@ -191,7 +191,15 @@ object Multimodal {
       // overflow-proof long arithmetic clamped to the buffer end, so the
       // offset strictly increases on every iteration.
       require(len >= 0, s"corrupt RIFF chunk: negative length $len at offset $o")
-      if (id == "fmt ") { ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22) }
+      // fmt fields live at body offsets 2..15 (o+10 .. o+23): a truncated
+      // fmt chunk (declared len < 16, or a header that runs past the buffer)
+      // must fail through the walker's diagnostics, not a raw
+      // ArrayIndexOutOfBoundsException from an unguarded le16/le32 read
+      // (ADVICE r11)
+      if (id == "fmt ") {
+        require(len >= 16 && o + 24 <= bytes.length, s"truncated fmt chunk at offset $o (len $len)")
+        ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22)
+      }
       else if (id == "data") {
         var p = o + 8
         val end = math.min(math.min(o.toLong + 8L + len, bytes.length.toLong), Int.MaxValue.toLong).toInt

@@ -684,19 +684,24 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .groupByKey { case (_, b, bh) => (b, bh) }
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
           (_: (Int, Long), rows: Iterator[(String, Int, Long)], state: GroupState[Seq[String]]) => {
-            var seen = state.getOption.getOrElse(Seq.empty[String])
+            val stored = state.getOption.getOrElse(Seq.empty[String])
+            // membership probes run per ROW against a hash set built once
+            // per (group, batch) — the Seq.contains linear scan was O(n²)
+            // per hot band bucket (VERDICT r11); the persisted state stays
+            // a Seq only because it has a tuple-free stock encoder
+            val seen = scala.collection.mutable.LinkedHashSet(stored: _*)
             val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
             rows.foreach { case (fp, _, _) =>
               if (!seen.contains(fp)) {
                 seen.foreach(o => out += (if (o < fp) (o, fp) else (fp, o)))
-                seen = seen :+ fp
+                seen += fp
               }
             }
-            if (seen.nonEmpty) state.update(seen)
+            if (seen.nonEmpty) state.update(seen.toSeq)
             out.iterator
           })
         .toDF("fp1", "fp2")
-      val name = "graft_stream_neardup_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_neardup_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_nd_")
       val q = cands.writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -704,6 +709,7 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_neardup", q)
       val (members, reps) = collapsedOf(s, d)
       val repPairs = s.table(name).distinct()
         .join(reps.select(col("fp").as("fp1"), col("rep_id").as("d1"),

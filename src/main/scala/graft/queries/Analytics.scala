@@ -352,7 +352,7 @@ object Analytics {
     "stream_exec_window_counts" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       val src = Tables.eventsStream(s, d)
       val agg = graft.streaming.StreamAggregates.windowedTypeCounts(src)
-      val name = "graft_stream_exec_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_exec_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_wc_")
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -360,6 +360,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_window_counts", q)
       s.table(name)
     }),
 
@@ -375,7 +376,7 @@ object Analytics {
       val deduped = src.union(src)
         .dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
-      val name = "graft_stream_dedup_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_dedup_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_dd_")
       val q = deduped.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -383,6 +384,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_dedup", q)
       s.table(name)
     }),
 
@@ -400,7 +402,7 @@ object Analytics {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
-      val name = "graft_stream_dedup_wm_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_dedup_wm_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_dw_")
       val q = deduped.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -408,6 +410,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_dedup_wm", q)
       s.table(name)
     }),
 
@@ -422,7 +425,7 @@ object Analytics {
         .select(col("user_id"), col("value")).as[(Long, Double)]
       val totals = graft.streaming.StreamAggregates.runningUserTotals(src)
         .select(col("user_id"), col("events"))
-      val name = "graft_stream_state_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_state_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_st_")
       val q = totals.writeStream.format("memory").queryName(name)
         .outputMode("update")
@@ -430,6 +433,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_state", q)
       // update-mode sink holds one state snapshot per (key, micro-batch);
       // the final state is the max (counts grow monotonically)
       s.table(name).groupBy("user_id").agg(max(col("events")).as("n_events"))
@@ -450,7 +454,7 @@ object Analytics {
           round(col("value") * lit(1e6), 0).cast("long").as("q"))
         .as[(Long, Long)]
       val totals = graft.streaming.StreamAggregates.runningUserTotalsTws(src)
-      val name = "graft_stream_tws_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_tws_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_tws_")
       val q = totals.toDF().writeStream.format("memory").queryName(name)
         .outputMode("update")
@@ -458,6 +462,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_tws", q)
       s.table(name).groupBy("user_id")
         .agg(max(col("events")).as("n_events"), max(col("q_sum")).as("q_sum"))
         .select(col("user_id"), col("n_events"),
@@ -502,6 +507,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_upsert", q)
       s.read.parquet(stateDir.get)
         .select(col("event_type"), col("n_events"),
           (col("sum_q").cast("double") / lit(1e6)).as("value_sum"))
@@ -543,6 +549,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_jdbc_merge", q)
       graft.sources.Sinks.readJdbc(s, url, "landing", props)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum(col("q")).as("sum_q"))
@@ -679,7 +686,7 @@ object Analytics {
           col("event_id"), col("event_type"))
         .as[(Long, Long, Long, String)]
       val sessions = graft.streaming.StreamAggregates.sessionized(src)
-      val name = "graft_stream_session_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_session_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_ss_")
       val q = sessions.writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -687,6 +694,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_session", q)
       s.table(name).select(
         col("user_id"), col("session_idx"), col("n_events"),
         timestamp_micros(col("start_us")).as("session_start"),
@@ -717,7 +725,7 @@ object Analytics {
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           col("click_ts"), col("purchase_ts"), col("purchase_value"))
-      val name = "graft_stream_join_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_join_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_sj_")
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -725,6 +733,7 @@ object Analytics {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_join", q)
       s.table(name)
     }),
 

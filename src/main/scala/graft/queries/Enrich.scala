@@ -631,7 +631,7 @@ FROM events"""
           "left_outer")
         .select(col("click_id"), col("user_id"), col("click_ts"),
           col("purchase_id"), col("purchase_ts"), col("purchase_value"))
-      val name = "graft_stream_left_join_sink"
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_left_join_sink")
       val ckpt = graft.streaming.StreamGate.tempDir("ckpt_slj_")
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -639,6 +639,7 @@ FROM events"""
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_left_join", q)
       s.table(name).filter(col("user_id") >= 0)
     }
 

@@ -82,6 +82,51 @@ object StreamGate {
   def tempDir(tag: String): String =
     Files.createTempDirectory(root, tag).toString
 
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-invocation unique memory-sink query name. Memory-sink names are
+    * session-global temp views AND active-query identifiers: a second
+    * concurrent run of the same gate with a static name either fails to
+    * start (duplicate active query name) or clobbers the first run's sink
+    * table between its awaitTermination and the table read (ADVICE r11).
+    * The tag prefix stays stable so [[recordState]] can aggregate runs of
+    * the same gate under one key. */
+  def uniqueName(tag: String): String = s"${tag}_u${nameCounter.incrementAndGet()}"
+
+  /** Final state-store footprint per gate tag — (state rows, state bytes,
+    * rows removed by eviction), maxed over the run's progress events so the
+    * published number is the store's high-water mark. VERDICT r11 #7: the
+    * gates' "state is bounded" claims should be measured like everything
+    * else; Bench publishes this snapshot next to the layer manifest. */
+  private val stateMetricsMap = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, Long)]
+
+  /** Record the state-operator metrics of a finished gate query under its
+    * stable tag (the [[uniqueName]] prefix). Reads the query's retained
+    * progress array — synchronous, no listener race with AvailableNow
+    * termination. Gates with no stateful operator record (0, 0, 0), which
+    * is itself the statelessness proof. */
+  def recordState(tag: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    var rows = 0L; var bytes = 0L; var removed = 0L
+    q.recentProgress.foreach { p =>
+      var r = 0L; var b = 0L; var rm = 0L
+      p.stateOperators.foreach { so =>
+        r += so.numRowsTotal; b += so.memoryUsedBytes; rm += so.numRowsRemoved
+      }
+      rows = math.max(rows, r); bytes = math.max(bytes, b); removed = math.max(removed, rm)
+    }
+    stateMetricsMap.updateWith(tag) {
+      case Some((r0, b0, rm0)) =>
+        Some((math.max(r0, rows), math.max(b0, bytes), math.max(rm0, removed)))
+      case None => Some((rows, bytes, removed))
+    }
+    ()
+  }
+
+  /** Sorted snapshot of [[recordState]]'s per-gate high-water marks. */
+  def stateSnapshot: Seq[(String, (Long, Long, Long))] =
+    stateMetricsMap.toSeq.sortBy(_._1)
+
   /** Run one streaming gate (start → awaitTermination → sink read) with the
     * shuffle-partition count scoped down to [[StreamShufflePartitions]];
     * the previous session value is restored afterwards, so surrounding

@@ -82,18 +82,35 @@ class LangModelSpec extends SparkSpec {
   }
 
   test("batched BPE with topC=1 reduces bit-exactly to the sequential trainer") {
-    // the equivalence that justifies the batched scale path: a 1-candidate
-    // batch IS classic BPE (no conflict filter can ever fire), so the two
-    // trainers must agree merge-for-merge on the real corpus
-    val seq = LangModel.bpeMerges(spark, sf, iters = 6).collect()
+    // the equivalence that justifies the batched scale path — and, since
+    // round 12, the REGISTERED bpe_merges path itself (it routes through
+    // the batched superstep with topC=1, zero per-merge driver collects):
+    // a 1-candidate batch IS classic BPE (no conflict filter can ever
+    // fire), so it must agree merge-for-merge with the per-merge-collect
+    // sequential reference on the real corpus
+    val seq = LangModel.bpeMergesSeq(spark, sf, iters = 6).collect()
       .sortBy(_.getAs[Int]("iteration"))
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
         r.getAs[Long]("pair_count"))).toSeq
-    val bat = LangModel.bpeMergesBatched(spark, sf, supersteps = 6, topC = 1).collect()
-      .sortBy(_.getAs[Int]("superstep"))
+    val bat = LangModel.bpeMerges(spark, sf, iters = 6).collect()
+      .sortBy(_.getAs[Int]("iteration"))
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
         r.getAs[Long]("pair_count"))).toSeq
     assert(bat === seq)
+  }
+
+  test("BPE decode: encode∘decode is the identity over the corpus vocabulary") {
+    val rows = LangModel.bpeDecodeRoundtrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the lossless contract: not one roundtrip failure in any length bucket
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_roundtrip_fail") === 0L, r.toString)
+      assert(r.getAs[Long]("n_words") >= 1L)
+      // merges only shrink symbol counts: 1 <= syms(word) <= len(word)
+      assert(r.getAs[Long]("n_syms") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_syms") <=
+        r.getAs[Int]("word_len").toLong * r.getAs[Long]("n_words"))
+    }
   }
 
   test("batched BPE: every superstep's kept merges are mutually conflict-free") {
