@@ -315,6 +315,96 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     cross.unionByName(within)
   }
 
+  /** Dedup horizon of the TTL-bounded streaming gate, in event-time
+    * MINUTES (each document's synthetic event time is doc_id minutes after
+    * epoch, so the horizon is also a doc_id distance). Pairs farther apart
+    * than this are out of dedup scope and their state is evictable — the
+    * contract that keeps the state store bounded by the horizon's distinct
+    * content instead of the whole arriving corpus. 250 splits the sf0.01
+    * corpus (doc_ids 0..499, verified pair gaps 4..429) into a genuine
+    * restriction: ~2/3 of the near-dup pairs are in-horizon. */
+  val NearDupHorizonMin = 250L
+
+  /** The streaming tier of `stream_exec_neardup_ttl`: signature + band
+    * rows over an arriving (doc_id, text) stream, then per-band-bucket
+    * keyed state mapping each content signature to its [min, max]
+    * event-time span (minutes), emitting candidate signature pairs when
+    * an arrival lies within [[NearDupHorizonMin]] of a retained partner's
+    * span. Watermark-driven event-time timeouts evict a bucket's expired
+    * signatures (and remove the state row entirely once all are expired);
+    * the data path prunes by the same rule so a hot bucket's pair scan
+    * never touches expired partners. Factored from the gate so
+    * StreamingSpec can drive it over a controlled multi-batch corpus. */
+  private[llm] def streamNearDupTtlCandidates(
+      src: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
+    val s = src.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val H = NearDupHorizonMin
+    // event-time minute = doc_id + 1: the engine's late-row predicate drops
+    // rows at-or-below the watermark, and the watermark INITIALIZES to
+    // epoch 0 — an unshifted doc_id 0 (event time exactly epoch) would be
+    // silently discarded in its first batch (caught by DedupSpec's TTL
+    // case). The +1 is uniform, so every horizon DIFFERENCE is unchanged
+    // and the oracle keeps the plain d2 − d1 ≤ H form.
+    val sigs = gramsOf(src)
+      .withColumn("fp", sha2(array_join(sort_array(col("grams")), "|"), 256))
+      .select(col("fp"), col("grams"), (col("doc_id") + 1).as("tmin"))
+      .as[(String, Seq[String], Long)]
+    // the watermark attaches AFTER the typed band explosion (typed
+    // mapPartitions mints fresh attributes, which would strip the
+    // event-time metadata the stateful operator's checker requires in its
+    // input), and the marked ev_ts column rides along into groupByKey so
+    // it survives to flatMapGroupsWithState
+    val buckets = sigs.mapPartitions { it =>
+        it.flatMap { case (fp, gs, t) =>
+          bandRowsOf(gs).map { case (b, h) => (fp, b, h, t) }
+        }
+      }
+      .toDF("fp", "band", "bh", "tmin")
+      .withColumn("ev_ts", timestamp_seconds(col("tmin") * 60))
+      .withWatermark("ev_ts", "0 seconds")
+      .as[(String, Int, Long, Long, java.sql.Timestamp)]
+    buckets
+      .groupByKey { case (_, b, bh, _, _) => (b, bh) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: (Int, Long), rows: Iterator[(String, Int, Long, Long, java.sql.Timestamp)],
+            state: GroupState[Map[String, (Long, Long)]]) => {
+          def expired(span: (Long, Long), wmMin: Long) = span._2 + H < wmMin
+          def nextTimeout(seen: Map[String, (Long, Long)]): Long =
+            (seen.values.map(_._2).min + H + 1) * 60000L
+          val wmMin = state.getCurrentWatermarkMs() / 60000L
+          if (state.hasTimedOut) {
+            val kept = state.get.filter { case (_, span) => !expired(span, wmMin) }
+            if (kept.isEmpty) state.remove()
+            else { state.update(kept); state.setTimeoutTimestamp(nextTimeout(kept)) }
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+              .filter { case (_, span) => !expired(span, wmMin) }
+            val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+            rows.foreach { case (fp, _, _, t, _) =>
+              seen.foreach { case (o, (mn, mx)) =>
+                // span distance max(0, mn−t, t−mx) ≤ H: the span endpoints
+                // are real sightings, so this emits every within-H pair
+                // and over-emits only candidates the exact doc-level
+                // filter downstream discards
+                if (o != fp && mn - t <= H && t - mx <= H)
+                  out += (if (o < fp) (o, fp) else (fp, o))
+              }
+              seen = seen.updatedWith(fp) {
+                case Some((mn, mx)) => Some((math.min(mn, t), math.max(mx, t)))
+                case None           => Some((t, t))
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else { state.update(seen); state.setTimeoutTimestamp(nextTimeout(seen)) }
+            out.iterator
+          }
+        })
+      .toDF("fp1", "fp2").as[(String, String)]
+  }
+
   /** The verified near-duplicate pair set (d1, d2, n_shared, jaccard) at
     * [[JaccardThreshold]], produced the 100 TB way: exact-collapse of
     * identical gram sets ([[collapse]] — a duplication rate r shrinks the
@@ -722,6 +812,57 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         .filter(col("jaccard") >= JaccardThreshold)
         .select("d1", "d2", "n_shared", "jaccard")
       expandPairs(repPairs, members, reps)
+    }),
+
+    // Horizon-bounded streaming near-dup gate (VERDICT r11 #1 — the one
+    // structure left that grew without bound on an arriving corpus). Same
+    // content-signature-keyed shape as `stream_exec_neardup`, but state is
+    // EVICTED: each document carries a synthetic event time (doc_id
+    // minutes after epoch — deterministic, so both engines can restrict
+    // to the horizon), the stream is watermarked, per-bucket state maps
+    // each signature to its [min, max] event-time span, and
+    // GroupStateTimeout.EventTimeTimeout drops signatures once the
+    // watermark passes their last sighting by more than
+    // [[NearDupHorizonMin]] (the in-data branch prunes by the same rule,
+    // so a hot bucket never pairs against expired partners either).
+    // Output contract: every doc-level near-dup pair whose event times
+    // lie within the horizon — candidate sig pairs stream out whenever an
+    // arrival's time lies within H of a retained partner's span (the span
+    // endpoints are real sightings, so a within-H doc pair always has its
+    // later member arrive while the earlier one's span is in-horizon and
+    // unevictable under event-time-ordered arrival), then the batch tier
+    // exact-verifies rep-level Jaccard and the duplicate-group expansion
+    // applies the exact per-doc horizon filter (over-emitted candidates
+    // die there; under-emission cannot happen). The oracle is the exact
+    // inverted-index pair set restricted to the same horizon.
+    // StreamingSpec separately proves eviction: a multi-batch run drops
+    // expired signatures (numRowsRemoved > 0) and never pairs across the
+    // horizon.
+    "stream_exec_neardup_ttl" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_neardup_ttl_sink")
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_ndt_")
+      val q = streamNearDupTtlCandidates(
+          Tables.documentsStream(s, d).select("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_neardup_ttl", q)
+      val (members, reps) = collapsedOf(s, d)
+      val repPairs = s.table(name).distinct()
+        .join(reps.select(col("fp").as("fp1"), col("rep_id").as("d1"),
+          col("grams").as("g1")), "fp1")
+        .join(reps.select(col("fp").as("fp2"), col("rep_id").as("d2"),
+          col("grams").as("g2")), "fp2")
+        .withColumn("n_shared", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("n_shared")).cast("double"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("d1", "d2", "n_shared", "jaccard")
+      expandPairs(repPairs, members, reps)
+        .filter(col("d2") - col("d1") <= NearDupHorizonMin)
     }),
 
     // Band-configuration recall audit — the dedup analog of
@@ -1136,6 +1277,11 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n AS DOUBLE) >= $ContainmentThreshold""
     // the streaming gate produces the same verified pair set, so it shares
     // the exact inverted-index oracle
     "stream_exec_neardup" -> jaccardPairsSql,
+    // the TTL gate's scope: the exact pair set restricted to the event-time
+    // horizon (doc_id distance == event-time minutes by construction)
+    "stream_exec_neardup_ttl" -> s"""
+SELECT d1, d2, n_shared, jaccard FROM ($jaccardPairsSql
+) WHERE d2 - d1 <= $NearDupHorizonMin""",
 
     // One aggregate arm per sweep threshold over the same verified-pair
     // CTE; conditional COUNT / COUNT(DISTINCT CASE) mirror the engine's

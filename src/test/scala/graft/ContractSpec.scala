@@ -18,7 +18,7 @@ class ContractSpec extends SparkSpec {
 
   test("no cross-module query-name collision is silently dropped by the merge") {
     val moduleMaps: Seq[(String, Int)] = Seq(
-      "iot" -> 9,
+      "iot" -> 10,
       "Relational" -> Relational.queries.size,
       "Temporal" -> Temporal.queries.size,
       "Analytics" -> Analytics.queries.size,

@@ -46,7 +46,12 @@ class DedupSpec extends SparkSpec {
     val out = TextDedup.queries("stream_exec_neardup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getInt(2), r.getDouble(3)))).toMap
-    val emitted = spark.table("graft_stream_neardup_sink").count()
+    // sink names are per-invocation unique since round 12 (ADVICE r11);
+    // the run just executed registered the highest-numbered suffix
+    val sink = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_stream_neardup_sink_u"))
+      .maxBy(_.stripPrefix("graft_stream_neardup_sink_u").toLong)
+    val emitted = spark.table(sink).count()
     assert(emitted <= 96L,
       s"sink saw $emitted candidate rows — state is no longer content-keyed")
     // and the expansion still restores the FULL doc-level pair set
@@ -55,6 +60,70 @@ class DedupSpec extends SparkSpec {
     assert(out === truth)
     assert(out.keySet.exists { case (a, b) => base(a.toInt % 3) == base(b.toInt % 3) },
       "within-group J=1 pairs must be present")
+  }
+
+  test("TTL gate: in-horizon pairs emit, expired signatures are evicted from state") {
+    // the bounded-state contract of stream_exec_neardup_ttl (VERDICT r11
+    // #1), proven through a real multi-batch run: three time-ordered files
+    // (one per micro-batch via maxFilesPerTrigger=1) where batch 1's
+    // near-dup pair sits inside the horizon, batch 2 advances the
+    // watermark far past it, and batch 3 carries a NEW near-dup pair plus
+    // content near-duplicate to batch 1's docs — the gate must emit both
+    // in-horizon signature pairs, never a cross-horizon one, and must
+    // physically remove expired state rows (numRowsRemoved > 0).
+    import org.apache.spark.sql.streaming.Trigger
+    val s0 = spark; import s0.implicits._
+    // in-horizon pairs are built by APPENDING a token (J = 10/11 — band
+    // miss odds ~1e-16; a mid-text word swap gives J ≈ 0.54, where 32×4
+    // banding deterministically missed one of the pairs on first cut)
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = tA + " woof"                   // near-dup of A, in-horizon
+    val tFar = "completely different text about apples bananas cherries grapes melons today"
+    val tC = tA.replace("quick", "swift")   // near-dup of A by CONTENT, out of horizon by TIME
+    val tE = tC + " meow"                   // near-dup of C, in-horizon
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndttl_")
+    def addFile(n: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ndttl_w_")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(it, dir.resolve(n))
+    }
+    // event time = doc_id minutes; horizon = 250 min
+    addFile("f1.parquet", Seq((0L, tA), (10L, tB)))
+    addFile("f2.parquet", Seq((6000L, tFar)))
+    addFile("f3.parquet", Seq((6010L, tC), (6020L, tE)))
+    val out = graft.streaming.StreamGate.scoped(spark) {
+      val src = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val name = graft.streaming.StreamGate.uniqueName("graft_ndttl_test_sink")
+      val q = TextDedup.streamNearDupTtlCandidates(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", graft.streaming.StreamGate.tempDir("ckpt_ndttl_t_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val removed = q.recentProgress
+        .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      assert(removed > 0,
+        "expired signatures were never evicted from the state store")
+      spark.table(name).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    def sigOf(text: String): String =
+      TextDedup.gramsOf(Seq((0L, text)).toDF("doc_id", "text"))
+        .withColumn("fp", sha2(array_join(sort_array(col("grams")), "|"), 256))
+        .head().getAs[String]("fp")
+    def pair(a: String, b: String) = {
+      val (sa, sb) = (sigOf(a), sigOf(b)); if (sa < sb) (sa, sb) else (sb, sa)
+    }
+    // exactly the two in-horizon pairs: (A,B) from batch 1, (C,E) from
+    // batch 3 — and in particular NOT (A,C)/(A,E)/(B,C): those contents
+    // are near-dups but their times straddle the horizon and A/B's state
+    // is gone by the time C/E arrive
+    assert(out === Set(pair(tA, tB), pair(tC, tE)))
   }
 
   test("simhash blocking is complete at its own radius (pigeonhole)") {

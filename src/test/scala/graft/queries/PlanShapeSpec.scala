@@ -385,8 +385,11 @@ class PlanShapeSpec extends SparkSpec {
     //  - bpe_merges_batch (round 11): each superstep's candidate rank is a
     //    window over an orderBy().limit(topC) — a topC-row input by
     //    construction (the knn/TakeOrdered pattern), once per superstep.
+    //    bpe_merges / bpe_encode / bpe_decode_roundtrip joined in round 12
+    //    when they switched to the same batched superstep (topC = 1, the
+    //    collect-free path), inheriting the identical 1-row-window shape.
     val audited = Set(
-      "bpe_merges_batch",
+      "bpe_merges_batch", "bpe_merges", "bpe_encode", "bpe_decode_roundtrip",
       "collocation_lift", "copurchase_pairs", "link_prediction",
       "q3_shipping_priority", "resume_page",
       "skyline_parts", "yoy_revenue",
