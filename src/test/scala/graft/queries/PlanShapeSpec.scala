@@ -382,14 +382,14 @@ class PlanShapeSpec extends SparkSpec {
     // (rfm_segments and spearman_rho left this list in round 10: their
     // rankings over the user/customer dims now use the distributed
     // Ranks.globalNtile / Ranks.globalRowNumber.)
-    //  - bpe_merges_batch (round 11): each superstep's candidate rank is a
-    //    window over an orderBy().limit(topC) — a topC-row input by
-    //    construction (the knn/TakeOrdered pattern), once per superstep.
-    //    bpe_merges / bpe_encode / bpe_decode_roundtrip joined in round 12
-    //    when they switched to the same batched superstep (topC = 1, the
-    //    collect-free path), inheriting the identical 1-row-window shape.
+    // (the four bpe_* queries left this list in round 12: the batched
+    // superstep's per-merge candidate rank — a window over an
+    // orderBy().limit(topC) — now executes eagerly inside the shared
+    // bpe_vocab layer build, whose per-superstep localCheckpoint replaces
+    // the lineage with an RDD leaf; the registered queries' final plans
+    // therefore carry no Window at all. The superstep shape itself is
+    // pinned by LangModelSpec's batch≡sequential equivalence.)
     val audited = Set(
-      "bpe_merges_batch", "bpe_merges", "bpe_encode", "bpe_decode_roundtrip",
       "collocation_lift", "copurchase_pairs", "link_prediction",
       "q3_shipping_priority", "resume_page",
       "skyline_parts", "yoy_revenue",
