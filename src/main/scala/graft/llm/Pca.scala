@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed PCA over the embedding corpus, exact-integer end to end —
+  * the dimensionality-analysis step a training-data pipeline runs before
+  * whitening / compressing / drift-checking its embedding shards.
+  *
+  * Three stages, each the 100 TB-shaped version of its textbook form:
+  *
+  *  1. **Gramian** (`gramian_features`): G = Σ v·vᵀ in ONE pass via
+  *     [[graft.expr.VectorGramian]] — a fixed 64×64 int64 buffer per
+  *     partition, no n·d² explode, no self-join. The shuffle carries one
+  *     buffer per partition however many rows scanned (the oracle computes
+  *     the same matrix with the naive dim×dim self-join DuckDB can afford
+  *     at sf0.01).
+  *  2. **Power iteration** (`pca_power_component`): the dominant
+  *     eigenvector by v ← G·v, six supersteps. G is a BOUNDED aggregate
+  *     (d² rows by construction, whatever the corpus size), so each
+  *     superstep is a d²-row broadcast join — the Perceptron/Pregel shape:
+  *     model state flows as a broadcast subplan, nothing touches the
+  *     driver. Normalization is max-abs (no sqrt — the exactness
+  *     discipline bans irrationals), fixed-point at [[VScale]], with the
+  *     division applied to the non-negative operand only so truncation
+  *     direction is engine-independent.
+  *  3. **Projection** (`embed_pca_project`): every vector's coordinate
+  *     along the learned component — one linear scan with the 64-row
+  *     component broadcast, the shape that projects 100 TB without a
+  *     shuffle at all.
+  *
+  * Arithmetic: elements are quantized once via the shortest-decimal float
+  * cast (`CAST(CAST(x AS VARCHAR) AS DECIMAL(27,10))`, the
+  * [[graft.expr.VectorCentroid]] trick) times [[QScale]], rounded
+  * HALF_UP — identical in Spark and DuckDB — and everything downstream is
+  * int64: associative, merge-order-free, hash-exact. Magnitudes at sf2:
+  * |g| ≤ ~2e10, |u| = |Σ_j g·v| ≤ ~1.3e15, |u|·VScale ≤ ~1.3e18 — inside
+  * int64 with one decade of headroom; at larger corpora drop VScale a
+  * decade per 100× rows.
+  */
+object Pca {
+
+  private val D = 64
+  private val QScale = 1000 // element fixed-point: e_q = round(e * 1000)
+  private val VScale = 1000L // eigenvector fixed-point scale
+  private val Steps = 6
+
+  /** round(shortest-decimal(x) * QScale) as int64, per element — the
+    * rounding all runs inside Spark SQL so it is the same engine every
+    * other oracle-checked query exercises. */
+  private def quantized: Column = transform(col("embedding"),
+    x => round(x.cast("string").cast("decimal(27,10)") * lit(QScale)).cast("long"))
+
+  /** (vec_id, i, e): the quantized element stream. */
+  private def eqFlat(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(quantized).as(Seq("i", "e")))
+
+  /** Upper-triangle Gramian (i ≤ j), one aggregation pass, shared by the
+    * whole PCA family (layer `pca_gram`): 2080 rows, localCheckpointed so
+    * the supersteps restart from the materialized matrix instead of
+    * re-scanning the corpus. */
+  private val gramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def gram(s: SparkSession, d: String): DataFrame =
+    gramCache.get((s, d)) match {
+      case Some(g) => graft.LayerMetrics.reuse("pca_gram"); g
+      case None => gramCache.getOrElseUpdate((s, d),
+        graft.LayerMetrics.build("pca_gram") {
+          val ga = udaf(graft.expr.VectorGramian, ExpressionEncoder[Array[Long]]())
+          Tables.embeddings(s, d)
+            .select(quantized.as("eq"))
+            .agg(ga(col("eq")).as("g"))
+            .select(posexplode(col("g")).as(Seq("idx", "g_q")))
+            .filter(col("idx") % D >= expr(s"idx div $D"))
+            .select(expr(s"idx div $D").cast("int").as("i"),
+              (col("idx") % D).cast("int").as("j"), col("g_q"))
+            .localCheckpoint()
+        })
+    }
+
+  /** Six power-iteration supersteps from v₀ = VScale·1: per-step
+    * (step, i, u, v_q) plus the final component frame (layer `pca_power`,
+    * shared by `pca_power_component` and `embed_pca_project`). */
+  private val powerCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def power(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    powerCache.get((s, d)) match {
+      case Some(t) => graft.LayerMetrics.reuse("pca_power"); t
+      case None => powerCache.getOrElseUpdate((s, d),
+        graft.LayerMetrics.build("pca_power") {
+          val g = gram(s, d)
+          // symmetric expansion: integer Gramian is exactly symmetric, so
+          // mirroring the strict upper triangle reproduces the full matrix
+          val sym = g.unionByName(g.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("g_q")))
+            .localCheckpoint()
+          var v: DataFrame = s.range(D)
+            .select(col("id").cast("int").as("i"), lit(VScale).as("v"))
+          val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          for (t <- 1 to Steps) {
+            val u = sym
+              .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+              .groupBy("i")
+              .agg(sum(col("g_q") * col("vj")).as("u"))
+            val m = u.agg(max(abs(col("u"))).as("m"))
+            val st = u.crossJoin(broadcast(m))
+              .withColumn("q", expr(s"(abs(u) * $VScale) div m"))
+              .select(col("i"), col("u"),
+                when(col("u") < 0, -col("q")).otherwise(col("q"))
+                  .cast("long").as("v"))
+            outs += st.select(lit(t).as("step"), col("i"), col("u"),
+              col("v").as("v_q"))
+            // 64-row frame; checkpoint keeps superstep lineage linear
+            v = st.select(col("i"), col("v")).localCheckpoint()
+          }
+          (outs.reduce(_ unionByName _), v)
+        })
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gramian_features" -> ((s, d) => gram(s, d)),
+    "pca_power_component" -> ((s, d) => power(s, d)._1),
+    "embed_pca_project" -> ((s, d) => {
+      val vf = power(s, d)._2
+      eqFlat(s, d)
+        .join(broadcast(vf), "i")
+        .groupBy("vec_id")
+        .agg(sum(col("e") * col("v")).as("proj_q"))
+    })
+  )
+
+  /** Shared oracle prelude: quantized elements, the (naive self-join)
+    * full symmetric Gramian, and v₀. */
+  private def preludeSql: String = s"""
+WITH eq AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,10)) * $QScale) AS BIGINT)) AS e
+  FROM embeddings
+), flat AS (
+  SELECT vec_id, CAST(i AS INT) AS i, e[i + 1] AS v
+  FROM eq, generate_series(0, ${D - 1}) AS t(i)
+), gsym AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS g
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT CAST(unnest(generate_series(0, ${D - 1})) AS INT) AS i,
+       CAST($VScale AS BIGINT) AS v)"""
+
+  /** The supersteps macro-expanded to CTE stages (the Perceptron idiom). */
+  private def stepsSql: String = {
+    val sb = new StringBuilder
+    for (t <- 1 to Steps) {
+      sb ++= s""",
+u$t AS (
+  SELECT g.i, CAST(SUM(g.g * p.v) AS BIGINT) AS u
+  FROM gsym g JOIN v${t - 1} p ON g.j = p.i GROUP BY 1
+),
+m$t AS (SELECT MAX(abs(u)) AS m FROM u$t),
+s$t AS (
+  SELECT i, u,
+    CASE WHEN u < 0 THEN -(((-u) * $VScale) // m) ELSE (u * $VScale) // m END AS v
+  FROM u$t, m$t
+),
+v$t AS (SELECT i, v FROM s$t)"""
+    }
+    sb.toString
+  }
+
+  def oracles: Map[String, String] = Map(
+    "gramian_features" -> (preludeSql +
+      "\nSELECT i, j, g AS g_q FROM gsym WHERE j >= i"),
+    "pca_power_component" -> (preludeSql + stepsSql +
+      (1 to Steps).map { t =>
+        s"\nSELECT CAST($t AS INT) AS step, i, u, CAST(v AS BIGINT) AS v_q FROM s$t"
+      }.mkString("", "\nUNION ALL", "")),
+    "embed_pca_project" -> (preludeSql + stepsSql + s"""
+SELECT f.vec_id, CAST(SUM(f.v * vv.v) AS BIGINT) AS proj_q
+FROM flat f JOIN v$Steps vv ON f.i = vv.i GROUP BY 1""")
+  )
+}

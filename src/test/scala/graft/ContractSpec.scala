@@ -46,7 +46,8 @@ class ContractSpec extends SparkSpec {
       "KnnLabel" -> KnnLabel.queries.size,
       "BatchPrep" -> BatchPrep.queries.size,
       "Lexicon" -> Lexicon.queries.size,
-      "Perceptron" -> Perceptron.queries.size)
+      "Perceptron" -> Perceptron.queries.size,
+      "Pca" -> Pca.queries.size)
     val expected = moduleMaps.map(_._2).sum
     assert(SparkEntry.queries.size === expected,
       s"merged query map lost ${expected - SparkEntry.queries.size} entries to a name collision " +
