@@ -126,4 +126,10 @@ object Tables {
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
     streamSource(spark, sfDir, "documents",
       table(spark, sfDir, "documents").schema.toDDL)
+
+  /** Streaming twin of [[embeddings]], for the incremental-statistics
+    * gates (arriving embedding shards folded into running aggregates). */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
+    streamSource(spark, sfDir, "embeddings",
+      table(spark, sfDir, "embeddings").schema.toDDL)
 }

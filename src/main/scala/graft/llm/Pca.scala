@@ -63,6 +63,17 @@ object Pca {
     * whole PCA family (layer `pca_gram`): 2080 rows, localCheckpointed so
     * the supersteps restart from the materialized matrix instead of
     * re-scanning the corpus. */
+  /** The un-checkpointed Gramian plan — one aggregation pass, no join.
+    * Package-visible so PlanShapeSpec can pin the one-pass shape (the
+    * registered query returns the layer's checkpointed frame, whose plan
+    * is an RDD leaf by design). */
+  private[graft] def gramFrame(s: SparkSession, d: String): DataFrame = {
+    val ga = udaf(graft.expr.VectorGramian, ExpressionEncoder[Array[Long]]())
+    unpack(Tables.embeddings(s, d)
+      .select(quantized.as("eq"))
+      .agg(ga(col("eq")).as("g")))
+  }
+
   private val gramCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def gram(s: SparkSession, d: String): DataFrame =
@@ -70,15 +81,7 @@ object Pca {
       case Some(g) => graft.LayerMetrics.reuse("pca_gram"); g
       case None => gramCache.getOrElseUpdate((s, d),
         graft.LayerMetrics.build("pca_gram") {
-          val ga = udaf(graft.expr.VectorGramian, ExpressionEncoder[Array[Long]]())
-          Tables.embeddings(s, d)
-            .select(quantized.as("eq"))
-            .agg(ga(col("eq")).as("g"))
-            .select(posexplode(col("g")).as(Seq("idx", "g_q")))
-            .filter(col("idx") % D >= expr(s"idx div $D"))
-            .select(expr(s"idx div $D").cast("int").as("i"),
-              (col("idx") % D).cast("int").as("j"), col("g_q"))
-            .localCheckpoint()
+          gramFrame(s, d).localCheckpoint()
         })
     }
 
@@ -121,8 +124,42 @@ object Pca {
         })
     }
 
+  /** Unpack the aggregated d²-long array to (i, j, g_q) upper-triangle
+    * rows — shared by the batch query and the streaming gate's sink. */
+  private def unpack(g: DataFrame): DataFrame = g
+    .select(posexplode(col("g")).as(Seq("idx", "g_q")))
+    .filter(col("idx") % D >= expr(s"idx div $D"))
+    .select(expr(s"idx div $D").cast("int").as("i"),
+      (col("idx") % D).cast("int").as("j"), col("g_q"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gramian_features" -> ((s, d) => gram(s, d)),
+
+    // The SAME Gramian aggregate run as STREAMING STATE: embedding shards
+    // arrive as a file stream (AvailableNow micro-batches), the custom
+    // typed-imperative aggregate folds each batch into its d²-slot buffer
+    // through the state store (Complete mode, global aggregation — state
+    // is ONE serialized buffer row, independent of rows streamed), and
+    // the final snapshot equals the batch matrix — incremental statistics
+    // maintenance through the real engine, with the batch query's oracle.
+    // The int64 buffer is what makes the incremental fold exact: merge
+    // order across micro-batches cannot drift the result.
+    "stream_exec_gramian" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      val ga = udaf(graft.expr.VectorGramian, ExpressionEncoder[Array[Long]]())
+      val agg = Tables.embeddingsStream(s, d)
+        .select(quantized.as("eq"))
+        .agg(ga(col("eq")).as("g"))
+      val name = graft.streaming.StreamGate.uniqueName("graft_stream_gram_sink")
+      val ckpt = graft.streaming.StreamGate.tempDir("ckpt_gram_")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_gramian", q)
+      unpack(s.table(name))
+    }),
     "pca_power_component" -> ((s, d) => power(s, d)._1),
     "embed_pca_project" -> ((s, d) => {
       val vf = power(s, d)._2
@@ -173,6 +210,9 @@ v$t AS (SELECT i, v FROM s$t)"""
 
   def oracles: Map[String, String] = Map(
     "gramian_features" -> (preludeSql +
+      "\nSELECT i, j, g AS g_q FROM gsym WHERE j >= i"),
+    // the streaming fold must land on the identical matrix
+    "stream_exec_gramian" -> (preludeSql +
       "\nSELECT i, j, g AS g_q FROM gsym WHERE j >= i"),
     "pca_power_component" -> (preludeSql + stepsSql +
       (1 to Steps).map { t =>

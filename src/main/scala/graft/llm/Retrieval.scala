@@ -757,7 +757,82 @@ SELECT scope, m_zero, s_int, exact_distinct,
     / CAST(exact_distinct AS DOUBLE) AS rel_err
 FROM per JOIN ex USING (scope)"""
 
+  // ----------------------------------------------- token_chisq_topk ----
+
+  private val ChisqK = 25
+
+  /** χ² feature selection: the top-[[ChisqK]] tokens most associated with
+    * the language label (y = lang = 'en'), by the 2×2 document-frequency
+    * contingency per token — the classifier-feature shortlist a quality/
+    * routing pipeline computes before training. Counts (a, b, c, d) are
+    * exact int64 aggregates; the χ² statistic N(ad−bc)²/((a+b)(c+d)(a+c)
+    * (b+d)) is a pure per-row scalar over those exact counts, written in
+    * lock-step operand order on both engines (IEEE doubles are
+    * bit-deterministic for identical expression trees) and quantized at
+    * 1e6 with a total (χ², token) order, so the top-k cut is exact. One
+    * token-explode aggregation + a 1-row broadcast of the corpus totals —
+    * no shuffle beyond the groupBy, linear at any corpus size. */
+  def tokenChisqTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.expr.Exact
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("y"), col("text"))
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"), Exact.cntIf(col("y")).as("n_pos"))
+    val df = docs
+      .select(col("y"), explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      .groupBy("tok")
+      .agg(Exact.cntIf(col("y")).as("a"), Exact.cntIf(!col("y")).as("b"))
+    df.crossJoin(broadcast(totals))
+      .withColumn("c", col("n_pos") - col("a"))
+      .withColumn("d2", col("n_docs") - col("n_pos") - col("b"))
+      .withColumn("det",
+        col("a").cast("double") * col("d2").cast("double") -
+          col("b").cast("double") * col("c").cast("double"))
+      .withColumn("den",
+        (col("a") + col("b")).cast("double") * (col("c") + col("d2")).cast("double") *
+          (col("a") + col("c")).cast("double") * (col("b") + col("d2")).cast("double"))
+      .withColumn("chisq_q",
+        when(col("den") === 0.0, 0L).otherwise(
+          round(col("n_docs").cast("double") * col("det") * col("det") /
+            col("den") * lit(1000000.0)).cast("long")))
+      .select(col("tok"), col("a").as("n_pos_docs"), col("b").as("n_neg_docs"),
+        col("chisq_q"))
+      .orderBy(col("chisq_q").desc, col("tok"))
+      .limit(ChisqK)
+  }
+
+  private val tokenChisqSql: String = {
+    val cnt = graft.expr.Exact.cntIfSql _
+    s"""
+WITH docs AS (SELECT doc_id, lang = 'en' AS y, text FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, ${cnt("y")} AS n_pos FROM docs),
+dfp AS (
+  SELECT tok, ${cnt("y")} AS a, ${cnt("NOT y")} AS b FROM (
+    SELECT y, unnest(list_distinct(${Text.tokensSql("text")})) AS tok FROM docs
+  ) GROUP BY tok
+),
+cells AS (
+  SELECT tok, a, b, n_pos - a AS c, n_docs - n_pos - b AS d2, n_docs FROM dfp, tot
+),
+scored AS (
+  SELECT tok, a, b,
+    CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d2 AS DOUBLE)
+            * CAST(a + c AS DOUBLE) * CAST(b + d2 AS DOUBLE) = 0
+         THEN CAST(0 AS BIGINT)
+         ELSE CAST(round(CAST(n_docs AS DOUBLE)
+            * (CAST(a AS DOUBLE) * CAST(d2 AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            * (CAST(a AS DOUBLE) * CAST(d2 AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            / (CAST(a + b AS DOUBLE) * CAST(c + d2 AS DOUBLE)
+               * CAST(a + c AS DOUBLE) * CAST(b + d2 AS DOUBLE))
+            * 1000000) AS BIGINT) END AS chisq_q
+  FROM cells
+)
+SELECT tok, a AS n_pos_docs, b AS n_neg_docs, chisq_q
+FROM scored ORDER BY chisq_q DESC, tok LIMIT $ChisqK"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_chisq_topk"    -> ((s, d) => tokenChisqTopK(s, d)),
     "bm25_topk"           -> ((s, d) => bm25TopK(s, d)),
     "rrf_fusion"          -> ((s, d) => rrfFusion(s, d)),
     "rbo_rankings"        -> ((s, d) => rboRankings(s, d)),
@@ -771,6 +846,7 @@ FROM per JOIN ex USING (scope)"""
   )
 
   def oracles: Map[String, String] = Map(
+    "token_chisq_topk"    -> tokenChisqSql,
     "bm25_topk"           -> bm25Sql,
     "rrf_fusion"          -> rrfSql,
     "rbo_rankings"        -> rboSql,

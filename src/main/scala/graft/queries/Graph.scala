@@ -158,9 +158,95 @@ SELECT CAST(rnk AS INT) AS rnk, u, w, cn, deg_u, deg_w, jaccard FROM (
   FROM scored
 ) WHERE rnk <= 20"""
 
+  private val LpRounds = 3
+
+  /** Semi-supervised LABEL PROPAGATION over the shared supplier graph —
+    * the third Pregel-superstep family member (PageRank spreads mass, BFS
+    * spreads distance, this spreads CLASS LABELS from a seed set). Seeds
+    * (node % 10 = 0) carry label node % 5 and are clamped; every round
+    * each unlabeled node takes the MAJORITY label of its labeled
+    * neighbors (count desc, label asc — a total order, no RNG), keeping
+    * its previous label when no neighbor is labeled. Each superstep is
+    * one edge join + two grouped aggregations, all partitioned on the
+    * node key — per-round cost proportional to the edge list, the shape
+    * that holds at any graph size; the majority vote is a max(struct)
+    * aggregate, not a per-node window over occurrences. The oracle
+    * macro-expands the same [[LpRounds]] rounds as CTE stages. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val und = symmetricEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
+    var lbl = nodes.select(col("node"),
+      (col("node") % 10 === 0).as("is_seed"),
+      when(col("node") % 10 === 0, col("node") % 5).otherwise(lit(-1L)).as("lbl"))
+    for (t <- 1 to LpRounds) {
+      val votes = und
+        .join(lbl.filter(col("lbl") >= 0)
+          .select(col("node").as("src"), col("lbl").as("nl")), "src")
+        .groupBy(col("dst").as("node"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      // majority with (cnt desc, label asc) tiebreak: max of (cnt, -label)
+      val voted = votes.groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("nl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("voted"))
+      lbl = lbl.join(voted, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          when(col("is_seed"), col("lbl"))
+            .otherwise(coalesce(col("voted"), col("lbl"))).as("lbl"))
+      // superstep lineage truncation, the pagerank/bfs discipline
+      if (t % 2 == 0) lbl = lbl.localCheckpoint(false)
+    }
+    val out = lbl.select(col("node"), col("lbl").as("label"))
+    out
+  }
+
+  private val labelPropagationSql: String = {
+    val sb = new StringBuilder
+    sb ++= """
+WITH raw AS (
+  SELECT l_suppkey AS x,
+         l_partkey % (SELECT count(*) FROM supplier) AS y
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0
+    AND l_suppkey <> l_partkey % (SELECT count(*) FROM supplier)
+), e AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw
+), adj AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e
+), l0 AS (
+  SELECT s_suppkey AS node, s_suppkey % 10 = 0 AS is_seed,
+    CASE WHEN s_suppkey % 10 = 0 THEN s_suppkey % 5 ELSE CAST(-1 AS BIGINT) END AS lbl
+  FROM supplier
+)"""
+    for (t <- 1 to LpRounds) {
+      sb ++= s""",
+c$t AS (
+  SELECT adj.dst AS node, l.lbl AS nl, CAST(count(*) AS BIGINT) AS cnt
+  FROM adj JOIN l${t - 1} l ON adj.src = l.node
+  WHERE l.lbl >= 0 GROUP BY 1, 2
+),
+v$t AS (
+  SELECT node, nl AS voted FROM (
+    SELECT node, nl,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, nl ASC) AS rn
+    FROM c$t)
+  WHERE rn = 1
+),
+l$t AS (
+  SELECT p.node, p.is_seed,
+    CASE WHEN p.is_seed THEN p.lbl ELSE coalesce(v.voted, p.lbl) END AS lbl
+  FROM l${t - 1} p LEFT JOIN v$t v ON p.node = v.node
+)"""
+    }
+    sb.toString + s"\nSELECT node, lbl AS label FROM l$LpRounds"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bfs_hops"        -> ((s, d) => bfsHops(s, d)),
-    "link_prediction" -> ((s, d) => linkPrediction(s, d))
+    "bfs_hops"          -> ((s, d) => bfsHops(s, d)),
+    "link_prediction"   -> ((s, d) => linkPrediction(s, d)),
+    "label_propagation" -> ((s, d) => labelPropagation(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -189,6 +275,7 @@ WITH RECURSIVE raw AS (
 )
 SELECT node, CAST(min(d) AS INT) AS hops FROM walk GROUP BY node""",
 
-    "link_prediction" -> linkPredictionSql
+    "link_prediction" -> linkPredictionSql,
+    "label_propagation" -> labelPropagationSql
   )
 }

@@ -65,6 +65,14 @@ class PcaSpec extends SparkSpec {
     assert(cos > 0.95, s"not converged: cos(v5, v6) = $cos")
   }
 
+  test("streaming gramian fold equals the batch matrix") {
+    val batch = SparkEntry.queries("gramian_features")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val streamed = SparkEntry.queries("stream_exec_gramian")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(streamed === batch)
+  }
+
   test("projection equals the dot with the final component") {
     val vf = replay._2
     val expected = quantizedFlat.collect()

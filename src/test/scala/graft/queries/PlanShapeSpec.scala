@@ -631,6 +631,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("triangle_count hash-joins the wedge stream — never sorts it") {
+    // Round-12 fix pinned: without the SHUFFLE_HASH hints the planner
+    // broadcasts the edge side at small SF and flips to SortMergeJoin one
+    // doubling up — sorting the ~|wedges| stream (measured 4.6× at the
+    // sf1→sf2 doubling). The hinted plan builds per-partition hash maps
+    // on the edge side and keeps the wedge stream sort-free at any scale.
+    val p = plan("triangle_count")
+    assert(p.contains("ShuffledHashJoin"), s"wedge joins must be hash joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"wedge stream must never be sorted:\n$p")
+  }
+
+  test("gramian_features is ONE aggregation pass — no join, no explode-side shuffle") {
+    // The PCA Gramian's scale claim: a fixed d²-slot buffer per partition
+    // (graft.expr.VectorGramian), merged pairwise — the n·d² exploded
+    // self-join lives only in the DuckDB oracle. The registered query
+    // returns the layer's checkpointed frame (an RDD leaf), so the pin
+    // targets the builder plan. A Join here means the one-pass shape
+    // rotted.
+    val p = graft.llm.Pca.gramFrame(spark, sf).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("vectorgramian"),
+      s"expected the custom gramian aggregate:\n$p")
+    assert(!p.contains("Join"), s"gramian must not join:\n$p")
+  }
+
+  test("pca_power_component supersteps broadcast the 64-row state — no shuffle join") {
+    val p = plan("pca_power_component")
+    assert(!p.contains("SortMergeJoin"), s"d²-row superstep joins must broadcast:\n$p")
+  }
+
   test("NO registered query plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
