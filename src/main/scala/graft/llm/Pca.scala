@@ -47,6 +47,7 @@ object Pca {
   private val QScale = 1000 // element fixed-point: e_q = round(e * 1000)
   private val VScale = 1000L // eigenvector fixed-point scale
   private val Steps = 6
+  private val RpK = 16 // random-projection sketch width
 
   /** round(shortest-decimal(x) * QScale) as int64, per element — the
     * rounding all runs inside Spark SQL so it is the same engine every
@@ -167,6 +168,30 @@ object Pca {
         .join(broadcast(vf), "i")
         .groupBy("vec_id")
         .agg(sum(col("e") * col("v")).as("proj_q"))
+    }),
+
+    // Johnson-Lindenstrauss ±1 random projection, 64 → 16 dims: the cheap
+    // sketch an ANN/semdedup pre-filter runs before exact scoring. The
+    // sign matrix is DERIVED, not stored — sign(i, j) = a bit of an LCG
+    // over (i, j), identical integer arithmetic on both engines — and the
+    // whole projection is one nested higher-order expression (transform
+    // over output dims × aggregate over input dims) on the quantized
+    // elements: zero joins, zero shuffles, whole-stage codegen; at 100 TB
+    // this is a pure map over the corpus. Output exact int64.
+    "embed_random_projection" -> ((s, d) => {
+      // bit 16 of the LCG word (low bits of an LCG are weakly mixed; the
+      // plain low-bit parity here would degenerate to parity(i + j))
+      val sign = (i: Column, j: Column) =>
+        when(((i * 131L + j * 137L) * 1103515245L + 12345L) % 131072L >= 65536L,
+          lit(1L)).otherwise(lit(-1L))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantized.as("eq"))
+        .select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(RpK - 1)), j =>
+            aggregate(sequence(lit(0), lit(D - 1)), lit(0L),
+              (acc, i) => acc + element_at(col("eq"), (i + 1).cast("int")) * sign(i, j))))
+          .as(Seq("j", "p_q")))
+        .select(col("vec_id"), col("j").cast("int").as("j"), col("p_q"))
     })
   )
 
@@ -220,6 +245,18 @@ v$t AS (SELECT i, v FROM s$t)"""
       }.mkString("", "\nUNION ALL", "")),
     "embed_pca_project" -> (preludeSql + stepsSql + s"""
 SELECT f.vec_id, CAST(SUM(f.v * vv.v) AS BIGINT) AS proj_q
-FROM flat f JOIN v$Steps vv ON f.i = vv.i GROUP BY 1""")
+FROM flat f JOIN v$Steps vv ON f.i = vv.i GROUP BY 1"""),
+    "embed_random_projection" -> s"""
+WITH eq AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,10)) * $QScale) AS BIGINT)) AS e
+  FROM embeddings
+)
+SELECT vec_id, CAST(j AS INT) AS j,
+  list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(0, ${D - 1}),
+    i -> e[i + 1] * (CASE WHEN ((i * 131 + j * 137) * 1103515245 + 12345) % 131072 >= 65536
+                          THEN 1 ELSE -1 END)),
+    (a, b) -> a + b) AS p_q
+FROM eq, generate_series(0, ${RpK - 1}) AS t(j)"""
   )
 }

@@ -48,7 +48,13 @@ object Pairs {
     val kc: Seq[Column] = keys.map(col)
     val a = capped.select(kc :+ col(item).as(out1): _*)
     val b = capped.select(kc :+ col(item).as(out2): _*)
-    a.join(b, keys)
+    // SHUFFLE_HASH, not the default sort-merge: both sides are the same
+    // keyed item stream, and sorting them buys nothing the hash build
+    // doesn't — at the sf5 tier the SMJ sorts of the wedge stream were
+    // the dominant cost (the triangle_count knee, round 12). The build
+    // side is one per-partition slice of the capped item stream, the
+    // same memory class as the sort buffer it replaces, and spillable.
+    a.join(b.hint("shuffle_hash"), keys)
       .filter(col(out1) < col(out2))
       .groupBy(out1, out2)
       .agg(count(lit(1)).as(cnt))

@@ -103,11 +103,18 @@ object Graph {
     // neighbor; the degree cap above already bounds each key's fan-out
     val wedges = graft.operators.Pairs.pairJoin(
       adj.select(col("nbr").as("v"), col("node")), Seq("v"), "node", "u", "w2", "cn")
-    val cand = wedges.join(adj.select(col("node").as("u"), col("nbr").as("w2")),
+    // hash joins against the candidate stream (adjacency and degree dims
+    // are node-scale — too big to broadcast at 100 TB, but exactly right
+    // as per-partition hash builds; the default SMJ re-sorted the wedge
+    // stream at every step — the sf5 sweep's 4.1×-at-2.5× residual)
+    val cand = wedges.join(
+      adj.select(col("node").as("u"), col("nbr").as("w2")).hint("shuffle_hash"),
       Seq("u", "w2"), "left_anti")
     val scored = cand
-      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
-      .join(deg.select(col("node").as("w2"), col("deg").as("deg_w")), Seq("w2"))
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("w2"), col("deg").as("deg_w"))
+        .hint("shuffle_hash"), Seq("w2"))
       .select(col("u"), col("w2").as("w"), col("cn"), col("deg_u"), col("deg_w"),
         (col("cn").cast("double") /
           (col("deg_u") + col("deg_w") - col("cn")).cast("double")).as("jaccard"))

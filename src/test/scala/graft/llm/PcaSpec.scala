@@ -73,6 +73,25 @@ class PcaSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("random projection equals a driver replay and its sign matrix is balanced") {
+    val eq = quantizedFlat.collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+      val e = new Array[Long](D); rows.foreach(r => e(r.getInt(1)) = r.getLong(2)); id -> e
+    }
+    def sign(i: Int, j: Int): Long =
+      if (((i * 131L + j * 137L) * 1103515245L + 12345L) % 131072L >= 65536L) 1L else -1L
+    val expected = (for ((id, e) <- eq.toSeq; j <- 0 until 16)
+      yield ((id, j), (0 until D).map(i => e(i) * sign(i, j)).sum)).toMap
+    val got = SparkEntry.queries("embed_random_projection")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got === expected)
+    // each output dim must mix both signs (the low-bit-parity degenerate
+    // matrix this pin guards against was all-alternating)
+    for (j <- 0 until 16) {
+      val ones = (0 until D).count(i => sign(i, j) > 0)
+      assert(ones > 8 && ones < D - 8, s"sign column $j unbalanced: $ones")
+    }
+  }
+
   test("projection equals the dot with the final component") {
     val vf = replay._2
     val expected = quantizedFlat.collect()
