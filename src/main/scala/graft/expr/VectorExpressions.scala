@@ -101,5 +101,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in optimizer rule: rewrite `row_number() ... WHERE rn <= k`
     // window patterns into TopKPerGroup (spark.graft.topkRewrite=true)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // opt-in optimizer rule: rewrite `abs(x - y) <= tol` band joins into
+    // the bucketed equi-join (spark.graft.bandJoinRewrite=true)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBandJoin)
   }
 }

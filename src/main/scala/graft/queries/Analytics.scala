@@ -299,9 +299,43 @@ object Analytics {
                    row_number() OVER (PARTITION BY p_brand
                      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
             FROM graft_part_auto) WHERE rn <= 4""")
-        df.queryExecution.executedPlan // materialize under the flag
-        df
+        // pin the REWRITTEN tree as the result's logical plan: a later
+        // .write / .cache creates a fresh QueryExecution, and by then the
+        // finally below has dropped the flag — the re-optimization would
+        // silently resurrect the un-rewritten plan (caught live: the band
+        // rewrite's noop-write ran the quadratic join, 220 s at sf1)
+        org.apache.spark.sql.graftbridge.Bridge
+          .ofRows(s, df.queryExecution.optimizedPlan)
       } finally s.conf.set(graft.plans.RewriteWindowTopK.ConfKey, "false")
+    }),
+
+    // The [[graft.plans.RewriteBandJoin]] rule driven end-to-end: the query
+    // WRITES the naive quadratic band join — `JOIN ON abs(pt - et) <= tol`,
+    // which Spark can only plan as a broadcast-nested-loop — and the
+    // optimizer rewrites it into the bucketed equi-join that
+    // `binned_range_join` builds by hand (probe cells ±1 via explode, hash
+    // join on the cell, residual band filter). Same engine posture as
+    // auto_topk_rewrite: users keep the declarative formulation, the
+    // extension substitutes the scalable plan. PlanShapeSpec pins that no
+    // nested-loop join survives under the flag.
+    "auto_band_join_rewrite" -> ((s, d) => {
+      s.conf.set(graft.plans.RewriteBandJoin.ConfKey, "true")
+      try {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("et"))
+        val df = errors
+          .join(purchases, abs(col("pt") - col("et")) <= lit(900000000L))
+          .groupBy("error_id")
+          .agg(count(lit(1)).as("n_nearby_purchases"))
+        // pin the rewritten tree (see auto_topk_rewrite): without this, the
+        // noop-write path re-optimizes with the flag off and runs the naive
+        // quadratic join — 220 s vs 2.6 s at sf1
+        org.apache.spark.sql.graftbridge.Bridge
+          .ofRows(s, df.queryExecution.optimizedPlan)
+      } finally s.conf.set(graft.plans.RewriteBandJoin.ConfKey, "false")
     }),
 
     // Cohort retention: customers bucketed by first-order month, activity
@@ -1919,6 +1953,16 @@ SELECT * FROM (
     CAST(row_number() OVER (PARTITION BY p_brand
       ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rn
   FROM part) WHERE rn <= 4""",
+
+    "auto_band_join_rewrite" -> """
+WITH err AS (
+  SELECT event_id AS error_id, epoch_us(ts) AS et FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS p_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'
+)
+SELECT e.error_id, count(*) AS n_nearby_purchases
+FROM err e JOIN pur p ON abs(p.pt - e.et) <= 900000000
+GROUP BY e.error_id""",
 
     "topk_ranked_brand_parts" -> """
 SELECT * FROM (
