@@ -831,7 +831,103 @@ SELECT tok, a AS n_pos_docs, b AS n_neg_docs, chisq_q
 FROM scored ORDER BY chisq_q DESC, tok LIMIT $ChisqK"""
   }
 
+  // ------------------------------------------- kmv_distinct_overlap ----
+
+  private val KmvK = 128
+  private val KmvP = 1000000007L
+
+  /** KMV (k-minimum-values) distinct-set sketch with an INTERSECTION
+    * estimate — the set operation HLL registers cannot provide
+    * ([[hllUnionEstimate]] merges for unions only). Each side keeps the k
+    * smallest DISTINCT key hashes (a TakeOrdered — 128 rows cross the wire
+    * per side, never the key sets); the kth value θ of the merged sketch
+    * estimates the union ((m−1)·P/θ), and the fraction of merged-sketch
+    * members present in BOTH side sketches scales it to the overlap
+    * (the KMV synopsis of Beyer et al., SIGMOD'07). θ ≤ min(θ_A, θ_B), so
+    * every merged-sketch member of A is in A's sketch and the membership
+    * joins over the 128-row sketches are exact — and broadcast. At 100 TB
+    * this is two TakeOrdered(128) scans plus 128-row joins where the exact
+    * answer needs a distinct-join over billions of keys; the exact
+    * baseline ships alongside as the audit columns, hll-style. The hash is
+    * the overflow-safe mod-P multiplicative map the repo's checksums use
+    * ((P−1)·2654435761 < 2^63) — deterministic on both engines. */
+  def kmvDistinctOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.expr.Exact
+    val o = Tables.orders(s, d)
+    val h = ((col("o_custkey") % KmvP) * 2654435761L + 40503L) % KmvP
+    def sketch(status: String, flag: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(h.as("h")).distinct()
+        .orderBy("h").limit(KmvK)
+        .withColumn(flag, lit(1))
+    val sa = sketch("F", "in_a")
+    val sb = sketch("O", "in_b")
+    val merged = sa.select("h").union(sb.select("h")).distinct()
+      .orderBy("h").limit(KmvK)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey")).distinct()
+    val exact = keys("F").join(keys("O"), "o_custkey")
+      .agg(count(lit(1)).as("exact_common"))
+    val estU = (col("m") - 1).cast("double") * lit(KmvP.toDouble) /
+      col("theta").cast("double")
+    merged
+      .join(broadcast(sa), Seq("h"), "left")
+      .join(broadcast(sb), Seq("h"), "left")
+      .agg(
+        count(lit(1)).as("m"),
+        max(col("h")).as("theta"),
+        Exact.cntIf(col("in_a").isNotNull && col("in_b").isNotNull).as("c_common"))
+      .crossJoin(broadcast(exact))
+      .select(col("m"), col("theta"), col("c_common"), col("exact_common"),
+        estU.as("est_union"),
+        (col("c_common").cast("double") / col("m").cast("double") * estU)
+          .as("est_common"),
+        ((col("c_common").cast("double") / col("m").cast("double") * estU -
+          col("exact_common").cast("double")) /
+          col("exact_common").cast("double")).as("rel_err"))
+  }
+
+  private val kmvSql: String = {
+    val cnt = graft.expr.Exact.cntIfSql _
+    s"""
+WITH sa AS (
+  SELECT DISTINCT ((o_custkey % $KmvP) * 2654435761 + 40503) % $KmvP AS h
+  FROM orders WHERE o_orderstatus = 'F' ORDER BY h LIMIT $KmvK
+), sb AS (
+  SELECT DISTINCT ((o_custkey % $KmvP) * 2654435761 + 40503) % $KmvP AS h
+  FROM orders WHERE o_orderstatus = 'O' ORDER BY h LIMIT $KmvK
+), merged AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT $KmvK
+), mem AS (
+  SELECT merged.h, sa.h IS NOT NULL AND sb.h IS NOT NULL AS both_sides
+  FROM merged LEFT JOIN sa ON merged.h = sa.h LEFT JOIN sb ON merged.h = sb.h
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS theta,
+    ${cnt("both_sides")} AS c_common
+  FROM mem
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_common FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+  JOIN (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') b
+  USING (o_custkey)
+)
+SELECT m, theta, c_common, exact_common,
+  CAST(m - 1 AS DOUBLE) * CAST($KmvP AS DOUBLE) / CAST(theta AS DOUBLE)
+    AS est_union,
+  CAST(c_common AS DOUBLE) / CAST(m AS DOUBLE)
+    * (CAST(m - 1 AS DOUBLE) * CAST($KmvP AS DOUBLE) / CAST(theta AS DOUBLE))
+    AS est_common,
+  (CAST(c_common AS DOUBLE) / CAST(m AS DOUBLE)
+    * (CAST(m - 1 AS DOUBLE) * CAST($KmvP AS DOUBLE) / CAST(theta AS DOUBLE))
+    - CAST(exact_common AS DOUBLE)) / CAST(exact_common AS DOUBLE) AS rel_err
+FROM agg, ex"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_distinct_overlap" -> ((s, d) => kmvDistinctOverlap(s, d)),
     "token_chisq_topk"    -> ((s, d) => tokenChisqTopK(s, d)),
     "bm25_topk"           -> ((s, d) => bm25TopK(s, d)),
     "rrf_fusion"          -> ((s, d) => rrfFusion(s, d)),
@@ -846,6 +942,7 @@ FROM scored ORDER BY chisq_q DESC, tok LIMIT $ChisqK"""
   )
 
   def oracles: Map[String, String] = Map(
+    "kmv_distinct_overlap" -> kmvSql,
     "token_chisq_topk"    -> tokenChisqSql,
     "bm25_topk"           -> bm25Sql,
     "rrf_fusion"          -> rrfSql,

@@ -1789,6 +1789,54 @@ object Analytics {
             .cast("double") / 1e6).as("value_sum"))
     }),
 
+    // Incremental view maintenance for a JOIN view (the two-sided sibling
+    // of incremental_agg_merge's aggregate case): the per-nation revenue
+    // view V = orders ⋈ customer is brought up to date after a batch that
+    // touches BOTH sides — ΔA = the latest order month, ΔB = the dim rows
+    // updated this cycle (custkey ≡ 0 mod 17) — by the classic delta rule
+    //   ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB,
+    // three joins each proportional to a DELTA side (broadcastable /
+    // bucketable at 100 TB), never a recompute of A⋈B. The old state is
+    // re-derived here only because queries are stateless between runs —
+    // the maintenance arithmetic is the three delta terms. The oracle
+    // computes n_orders/revenue from the FULL join and n_old from the
+    // old-state join, so n_delta = n_total − n_old checks the delta
+    // tiling INDEPENDENTLY: any pair double-counted or missed by the
+    // three terms breaks the hash.
+    "ivm_join_delta" -> ((s, d) => {
+      val ords = Tables.orders(s, d).select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("om"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_q"))
+      val maxM = ords.agg(max(col("om")).as("max_om"))
+      val a = ords.crossJoin(broadcast(maxM))
+      val aOld = a.filter(col("om") < col("max_om"))
+      val aDelta = a.filter(col("om") === col("max_om"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val bOld = cust.filter(col("c_custkey") % 17 =!= 0)
+      val bDelta = cust.filter(col("c_custkey") % 17 === 0)
+      def term(ao: DataFrame, bo: DataFrame) =
+        ao.join(bo, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), sum(col("price_q")).as("rq"))
+      val vOld = term(aOld, bOld)
+        .withColumnRenamed("n", "n_old").withColumnRenamed("rq", "rq_old")
+      val deltaV = term(aDelta, bOld)
+        .unionByName(term(aOld, bDelta))
+        .unionByName(term(aDelta, bDelta))
+        .groupBy("c_nationkey")
+        .agg(sum(col("n")).as("n_dv"), sum(col("rq")).as("rq_dv"))
+      vOld.join(deltaV, Seq("c_nationkey"), "full_outer")
+        .select(
+          col("c_nationkey"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_dv"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_dv"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("rq_old"), lit(0L)) + coalesce(col("rq_dv"), lit(0L)))
+            .as("revenue_q"))
+    }),
+
     "try_arithmetic" -> ((s, d) => {
       val toks = graft.llm.Text.tokens(col("text"))
       Tables.documents(s, d).select(
@@ -2732,6 +2780,35 @@ SELECT event_type,
   COUNT(*) AS n_events,
   CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1e6 AS value_sum
 FROM q GROUP BY event_type""",
+
+    // the oracle derives n_delta = n_total − n_old, so the three Spark-side
+    // delta terms are checked independently against the full-join recompute
+    "ivm_join_delta" -> """
+WITH o AS (
+  SELECT o_custkey,
+    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS om,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS price_q
+  FROM orders
+), mx AS (SELECT max(om) AS max_om FROM o),
+full_v AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(SUM(price_q) AS BIGINT) AS revenue_q
+  FROM o JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+), old_v AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_old,
+    CAST(SUM(price_q) AS BIGINT) AS rq_old
+  FROM o
+  JOIN customer ON o_custkey = c_custkey
+  CROSS JOIN mx
+  WHERE om < max_om AND c_custkey % 17 <> 0
+  GROUP BY c_nationkey
+)
+SELECT f.c_nationkey,
+  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old,
+  n_orders - COALESCE(n_old, CAST(0 AS BIGINT)) AS n_delta,
+  n_orders, revenue_q
+FROM full_v f LEFT JOIN old_v USING (c_nationkey)""",
 
     "try_arithmetic" -> s"""
 WITH base AS (SELECT doc_id, n_chars, ${graft.llm.Text.tokensSql("text")} AS toks FROM documents)

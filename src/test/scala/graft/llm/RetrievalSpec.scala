@@ -189,6 +189,35 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("rel_err")) < 0.35, r.toString))
   }
 
+  test("kmv sketch replays exactly from the driver and estimates inside tolerance") {
+    val K = 128
+    val P = 1000000007L
+    def h(k: Long) = ((k % P) * 2654435761L + 40503L) % P
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderstatus")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def side(st: String) =
+      orders.collect { case (k, s) if s == st => h(k) }.toSet
+    val (ha, hb) = (side("F"), side("O"))
+    def sketch(s: Set[Long]) = s.toSeq.sorted.take(K).toSet
+    val (sa, sb) = (sketch(ha), sketch(hb))
+    val merged = sketch(sa ++ sb)
+    val theta = merged.max
+    val c = merged.count(v => sa(v) && sb(v))
+    val row = Retrieval.kmvDistinctOverlap(spark, sf).collect().head
+    assert(row.getAs[Long]("m") === merged.size.toLong)
+    assert(row.getAs[Long]("theta") === theta)
+    assert(row.getAs[Long]("c_common") === c.toLong)
+    // the membership joins are exact because θ ≤ min(θ_A, θ_B)
+    assert(theta <= sa.max && theta <= sb.max)
+    // k=128 keeps the overlap estimate inside coarse-sketch error
+    assert(math.abs(row.getAs[Double]("rel_err")) < 0.35, row.toString)
+    // exact audit column equals a driver recount
+    val (ka, kb) = (orders.collect { case (k, "F") => k }.toSet,
+      orders.collect { case (k, "O") => k }.toSet)
+    assert(row.getAs[Long]("exact_common") === ka.intersect(kb).size.toLong)
+  }
+
   test("renyi diversity: collision mass in (0,1], eff_vocab bounded by support") {
     val rows = Retrieval.renyiDiversity(spark, sf).collect()
     assert(rows.nonEmpty)
