@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
 import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, ScaleOps, Stats, Temporal, Windowed}
-import graft.llm.{AnnRecall, BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Lexicon, Multimodal, Pca, Perceptron, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, TextAnalysis, TextDedup, TrainPrep}
+import graft.llm.{AnnRecall, BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Lexicon, Multimodal, Pca, Perceptron, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, Stump, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,7 +142,7 @@ object SparkEntry {
       IvfAnn.queries ++ PqAnn.queries ++ AnnRecall.queries ++ SemDeDup.queries ++ Multimodal.queries ++
       Retrieval.queries ++ Enrich.queries ++ Stats.queries ++ ScaleOps.queries ++
       PhraseIndex.queries ++ KnnLabel.queries ++ BatchPrep.queries ++ Lexicon.queries ++
-      Perceptron.queries ++ Pca.queries
+      Perceptron.queries ++ Pca.queries ++ Stump.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
@@ -158,5 +158,5 @@ object SparkEntry {
       PqAnn.oracles ++ AnnRecall.oracles ++ SemDeDup.oracles ++ Multimodal.oracles ++
       Retrieval.oracles ++ Enrich.oracles ++ Stats.oracles ++ ScaleOps.oracles ++
       PhraseIndex.oracles ++ KnnLabel.oracles ++ BatchPrep.oracles ++ Lexicon.oracles ++
-      Perceptron.oracles ++ Pca.oracles
+      Perceptron.oracles ++ Pca.oracles ++ Stump.oracles
 }

@@ -47,7 +47,8 @@ class ContractSpec extends SparkSpec {
       "BatchPrep" -> BatchPrep.queries.size,
       "Lexicon" -> Lexicon.queries.size,
       "Perceptron" -> Perceptron.queries.size,
-      "Pca" -> Pca.queries.size)
+      "Pca" -> Pca.queries.size,
+      "Stump" -> Stump.queries.size)
     val expected = moduleMaps.map(_._2).sum
     assert(SparkEntry.queries.size === expected,
       s"merged query map lost ${expected - SparkEntry.queries.size} entries to a name collision " +
