@@ -338,6 +338,31 @@ object Analytics {
       } finally s.conf.set(graft.plans.RewriteBandJoin.ConfKey, "false")
     }),
 
+    // The rule's ASYMMETRIC form: purchases within [error − 15 min,
+    // error + 5 min], written as the two naive inequalities. The rewrite
+    // normalizes the conjuncts into bounds on pt − et, CENTERS the band
+    // (y' = y + δ) so the off-center window still buckets at the
+    // half-width, and plans the same explode → equi-join → residual shape
+    // — the general interval-join case, not just abs().
+    "auto_interval_join_rewrite" -> ((s, d) => {
+      s.conf.set(graft.plans.RewriteBandJoin.ConfKey, "true")
+      try {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("et"))
+        val df = errors
+          .join(purchases,
+            col("pt") >= col("et") - lit(900000000L) &&
+            col("pt") <= col("et") + lit(300000000L))
+          .groupBy("error_id")
+          .agg(count(lit(1)).as("n_window_purchases"))
+        org.apache.spark.sql.graftbridge.Bridge
+          .ofRows(s, df.queryExecution.optimizedPlan)
+      } finally s.conf.set(graft.plans.RewriteBandJoin.ConfKey, "false")
+    }),
+
     // Cohort retention: customers bucketed by first-order month, activity
     // counted by months-since-cohort. Month indices are exact integers
     // (year·12+month) so the bucketing is engine-independent. Shape: one
@@ -2010,6 +2035,17 @@ WITH err AS (
 )
 SELECT e.error_id, count(*) AS n_nearby_purchases
 FROM err e JOIN pur p ON abs(p.pt - e.et) <= 900000000
+GROUP BY e.error_id""",
+
+    "auto_interval_join_rewrite" -> """
+WITH err AS (
+  SELECT event_id AS error_id, epoch_us(ts) AS et FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS p_id, epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'
+)
+SELECT e.error_id, count(*) AS n_window_purchases
+FROM err e JOIN pur p
+  ON p.pt >= e.et - 900000000 AND p.pt <= e.et + 300000000
 GROUP BY e.error_id""",
 
     "topk_ranked_brand_parts" -> """

@@ -78,6 +78,38 @@ class BandJoinSpec extends SparkSpec {
     assert(got === Set[Seq[Any]](Seq(5L, 6L), Seq(17L, 3L)))
   }
 
+  test("asymmetric two-inequality band: rewritten, centered, and exact") {
+    val s0 = spark
+    import s0.implicits._
+    val xs = (-30L to 30L by 3L).toDF("x")
+    val ys = (-25L to 35L by 2L).toDF("y")
+    // -7 ≤ x − y ≤ 3, strict upper: x − y < 4 ⟺ ≤ 3
+    def pairs() = xs.join(ys,
+      col("x") >= col("y") - lit(7L) && col("x") - col("y") < lit(4L))
+    val (naivePlan, expected) = run(on = false)(pairs())
+    val (plan, got) = run(on = true)(pairs())
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"), naivePlan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+    assert(got === expected)
+  }
+
+  test("far-offset band (100 ≤ x − y ≤ 110) buckets at the half-width via centering") {
+    val s0 = spark
+    import s0.implicits._
+    val xs = (0L to 400L by 7L).toDF("x")
+    val ys = (0L to 300L by 5L).toDF("y")
+    def pairs() = xs.join(ys,
+      col("x") - lit(100L) >= col("y") && col("x") <= col("y") + lit(110L))
+    val (_, expected) = run(on = false)(pairs())
+    val (plan, got) = run(on = true)(pairs())
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+    // centered half-width w = 5, not the raw 110-wide bound
+    assert(plan.contains("div 5"), s"expected width-5 buckets:\n$plan")
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("scope guards: outer joins and fractional operands are left alone") {
     val s0 = spark
     import s0.implicits._

@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi-join materialized:\n$p")
   }
 
+  test("auto_interval_join_rewrite: the asymmetric inequality pair buckets too") {
+    val p = plan("auto_interval_join_rewrite")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join survived as a nested loop:\n$p")
+    assert(p.contains("Generate explode"), s"no probe-cell explode:\n$p")
+    // centered: [−15 min, +5 min] → half-width 600 s buckets, not 900
+    assert(p.contains("div 600000000"), s"expected centered width:\n$p")
+  }
+
   test("conf-gated rewrites survive the write path (rewritten tree is the logical plan)") {
     // .write / .cache create a FRESH QueryExecution after the query's
     // finally has dropped the opt-in flag; unless the query pins the
@@ -526,7 +535,11 @@ class PlanShapeSpec extends SparkSpec {
     val audited = Map(
       "dedup_containment" -> "fp window spans one rep doc's own gram set (entity-bounded)",
       "ngram_lm_topk" -> "w1 window over aggregated bigram counts (vocab-bounded)",
-      "continuation_rank" -> "w1 window over aggregated bigram counts (vocab-bounded)")
+      "continuation_rank" -> "w1 window over aggregated bigram counts (vocab-bounded)",
+      "stump_split_gain" -> ("feature windows run over the aggregated " +
+        "(feature, bin) class histogram: ≤64 rows per feature by the fixed " +
+        "bin count, never corpus occurrences (the corpus is only touched " +
+        "by the histogram groupBy below the window)"))
     def rootsOf(plan: LogicalPlan): Map[Long, Set[String]] = {
       val fromChildren = plan.children.map(rootsOf)
         .foldLeft(Map.empty[Long, Set[String]])(_ ++ _)
