@@ -446,7 +446,66 @@ SELECT CAST(lag AS INT) AS lag,
 FROM per_lag, t"""
   }
 
+  // ------------------------------------------------ exact_median_twopass
+
+  /** EXACT k-th order statistic (lower median) with NO global sort — the
+    * two-pass histogram-narrowing algorithm that makes exact order
+    * statistics feasible at 100 TB: pass 1 aggregates counts per coarse
+    * value bin (truncating div is monotone, so bin order = value order)
+    * and a cumulative window over the BIN table — bounded by the value
+    * domain / 65536, never the corpus — locates the bin holding rank k
+    * plus the residual rank inside it; pass 2 aggregates counts per
+    * DISTINCT value within that one bin (≤ 65536 rows by construction)
+    * and the same prefix logic picks the value. Two grouped scans + two
+    * tiny windows, versus approx_quantiles' sketch (approximate) or
+    * percentile_disc's per-group sort. The oracle is an independent
+    * formulation: row_number over the fully sorted values. */
+  def exactMedianTwoPass(s: SparkSession, d: String): DataFrame = {
+    val W = 65536L
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(round(col("value") * 1e6, 0).cast("long").as("q"))
+    val tot = ev.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("(n + 1) div 2").as("k"))
+    val hist = ev.groupBy(expr(s"q div $W").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = hist
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("prev", col("cum") - col("c"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k") && col("prev") < col("k"))
+      .select(col("bin"), (col("k") - col("prev")).as("k_in_bin"),
+        col("n"), col("k"))
+    val inBin = ev
+      .join(broadcast(cand), expr(s"q div $W") === col("bin"))
+      .groupBy("q", "k_in_bin", "n", "k")
+      .agg(count(lit(1)).as("cq"))
+    val wq = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBin
+      .withColumn("cumq", sum(col("cq")).over(wq))
+      .filter(col("cumq") >= col("k_in_bin") &&
+        col("cumq") - col("cq") < col("k_in_bin"))
+      .select(col("n"), col("k"), (col("q").cast("double") / 1e6).as("median"))
+  }
+
+  private val exactMedianSql: String = """
+WITH q AS (
+  SELECT CAST(round(value * 1e6) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST((count(*) + 1) // 2 AS BIGINT) AS k
+  FROM q
+)
+SELECT t.n, t.k, CAST(s.q AS DOUBLE) / 1e6 AS median
+FROM t JOIN (
+  SELECT q, row_number() OVER (ORDER BY q) AS rn FROM q
+) s ON s.rn = t.k"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_median_twopass" -> ((s, d) => exactMedianTwoPass(s, d)),
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
     "spearman_rho"  -> ((s, d) => spearmanRho(s, d)),
@@ -456,6 +515,7 @@ FROM per_lag, t"""
   )
 
   def oracles: Map[String, String] = Map(
+    "exact_median_twopass" -> exactMedianSql,
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,
     "spearman_rho"  -> spearmanSql,

@@ -424,6 +424,10 @@ class PlanShapeSpec extends SparkSpec {
     // the lineage with an RDD leaf; the registered queries' final plans
     // therefore carry no Window at all. The superstep shape itself is
     // pinned by LangModelSpec's batch≡sequential equivalence.)
+    // (exact_median_twopass, round 12: both cumulative windows run over
+    //  grouped reductions bounded by the VALUE DOMAIN — the coarse-bin
+    //  table ≤ domain/65536 rows, the in-bin table ≤ 65536 distinct
+    //  values — never the corpus.)
     val audited = Set(
       "collocation_lift", "copurchase_pairs", "link_prediction",
       "q3_shipping_priority", "resume_page",
@@ -431,7 +435,7 @@ class PlanShapeSpec extends SparkSpec {
       "benford_digits", "chi_square_independence", "drift_tvd",
       "group_kfold", "ks_statistic", "mannwhitney_u",
       "pps_systematic_sample", "rbo_rankings",
-      "vocab_coverage")
+      "vocab_coverage", "exact_median_twopass")
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: LocalRelation | _: Range => true
       case l: GlobalLimit => true
