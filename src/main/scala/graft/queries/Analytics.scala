@@ -1193,6 +1193,47 @@ object Analytics {
           col("seq").rlike("s.*p").as("signup_then_purchase"))
     }),
 
+    // Viterbi decode (the DP sibling of event_pattern_match's regex
+    // matcher): each user's ordered event sequence is scored against a
+    // fixed 3-state HMM — browse / buy-intent / frustrated — with INTEGER
+    // emission and transition costs, so the whole dynamic program is exact
+    // int64 arithmetic with no probability floats. The DP fold runs as one
+    // higher-order `aggregate` over the per-user cost arrays (sequences
+    // are user-activity-bounded — ≤99 events here — so per-row work is
+    // constant-ish and the heavy lift is the one groupBy shuffle). The
+    // tie-break for the best final state is first-min-index on both
+    // engines.
+    "viterbi_decode" -> ((s, d) => {
+      // emission costs per state [browse, intent, frustrated]
+      val emit = when(col("event_type") === "view", array(lit(0L), lit(2L), lit(3L)))
+        .when(col("event_type") === "click", array(lit(1L), lit(1L), lit(3L)))
+        .when(col("event_type") === "purchase", array(lit(4L), lit(0L), lit(5L)))
+        .when(col("event_type") === "error", array(lit(4L), lit(3L), lit(0L)))
+        .otherwise(array(lit(2L), lit(1L), lit(4L))) // signup
+      // transition costs T(s' -> s), row-major from-state
+      val T = Seq(Seq(0L, 2L, 3L), Seq(2L, 0L, 3L), Seq(1L, 2L, 0L))
+      def trans(from: Int, sCol: Column) =
+        element_at(array(T(from).map(lit): _*), (sCol + 1).cast("int"))
+      val costs = transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), emit.as("e")))),
+        x => x.getField("e"))
+      val v = aggregate(col("costs"),
+        array(lit(0L), lit(0L), lit(0L)),
+        (acc, x) => transform(sequence(lit(0), lit(2)), st =>
+          element_at(x, (st + 1).cast("int")) + least(
+            element_at(acc, 1) + trans(0, st),
+            element_at(acc, 2) + trans(1, st),
+            element_at(acc, 3) + trans(2, st))))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(costs.as("costs"))
+        .select(col("user_id"), size(col("costs")).cast("long").as("n_events"),
+          v.as("v"))
+        .select(col("user_id"), col("n_events"),
+          array_min(col("v")).as("min_cost"),
+          (array_position(col("v"), array_min(col("v"))) - 1L).as("best_state"))
+    }),
+
     // INTERSECT ALL: bag-semantics intersection (multiplicity = min of the
     // two sides), vs the distinct INTERSECT already covered — Spark plans
     // the generate+count rewrite distributed on the key.
@@ -2414,6 +2455,28 @@ SELECT user_id,
   CAST(len(regexp_extract_all(seq, 'pe')) AS INTEGER) AS error_after_purchase,
   regexp_matches(seq, 's.*p') AS signup_then_purchase
 FROM s""",
+
+    "viterbi_decode" -> """
+WITH seqs AS (
+  SELECT user_id, list(CASE event_type
+      WHEN 'view' THEN [0, 2, 3]
+      WHEN 'click' THEN [1, 1, 3]
+      WHEN 'purchase' THEN [4, 0, 5]
+      WHEN 'error' THEN [4, 3, 0]
+      ELSE [2, 1, 4] END::BIGINT[] ORDER BY ts, event_id) AS costs
+  FROM events GROUP BY user_id
+), dp AS (
+  SELECT user_id, CAST(len(costs) AS BIGINT) AS n_events,
+    list_reduce([[0, 0, 0]::BIGINT[]] || costs, (a, x) -> [
+      x[1] + least(a[1] + 0, a[2] + 2, a[3] + 1),
+      x[2] + least(a[1] + 2, a[2] + 0, a[3] + 2),
+      x[3] + least(a[1] + 3, a[2] + 3, a[3] + 0)]::BIGINT[]) AS v
+  FROM seqs
+)
+SELECT user_id, n_events,
+  list_min(v) AS min_cost,
+  CAST(list_position(v, list_min(v)) - 1 AS BIGINT) AS best_state
+FROM dp""",
 
     "intersect_all_parts" -> """
 SELECT l_partkey, COUNT(*) AS multiplicity FROM (
