@@ -189,6 +189,30 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("rel_err")) < 0.35, r.toString))
   }
 
+  test("token_chisq_topk ranks a perfectly discriminative planted token first") {
+    // synthetic documents table: `zyzzyxq` appears in EVERY en doc and NO
+    // other doc (chi-square = N, the maximum); `the` appears in every doc
+    // (zero association). The query runs unchanged against the temp dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chisq_docs_").toString
+    val s2 = spark
+    import s2.implicits._
+    (1 to 40).map { i =>
+      val en = i % 2 == 0
+      val text =
+        if (en) s"the common filler zyzzyxq token w$i" else s"the common filler token w$i"
+      (i.toLong, text, if (en) "en" else "de", "synthetic", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Retrieval.queries("token_chisq_topk")(spark, dir).collect()
+    val top = out.head
+    assert(top.getString(0) === "zyzzyxq")
+    assert(top.getLong(1) === 20L && top.getLong(2) === 0L)
+    // chisq = n_docs exactly for a perfect discriminator, quantized at 1e6
+    assert(top.getLong(3) === 40L * 1000000L)
+    // an everywhere-token carries zero signal (present but scored 0, or cut)
+    assert(out.find(_.getString(0) == "the").forall(_.getLong(3) == 0L))
+  }
+
   test("kmv sketch replays exactly from the driver and estimates inside tolerance") {
     val K = 128
     val P = 1000000007L

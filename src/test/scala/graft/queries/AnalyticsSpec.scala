@@ -8,6 +8,41 @@ import graft.{SparkSpec, Tables}
   * hash oracle (cross-formulation equivalences). */
 class AnalyticsSpec extends SparkSpec {
 
+  test("viterbi_decode matches a driver-side DP replay") {
+    val out = Analytics.queries("viterbi_decode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // the same 3-state integer HMM, folded independently on the driver
+    val emit = Map(
+      "view" -> Array(0L, 2L, 3L), "click" -> Array(1L, 1L, 3L),
+      "purchase" -> Array(4L, 0L, 5L), "error" -> Array(4L, 3L, 0L))
+    val otherEmit = Array(2L, 1L, 4L)
+    val trans = Array(Array(0L, 2L, 3L), Array(2L, 0L, 3L), Array(1L, 2L, 0L))
+    val seqs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getString(3)))
+      .groupBy(_._1)
+    assert(seqs.keySet === out.keySet)
+    for ((user, evs) <- seqs) {
+      val ordered = evs.sortBy(_._2).map(_._3)
+      var acc = Array(0L, 0L, 0L)
+      for (t <- ordered) {
+        val c = emit.getOrElse(t, otherEmit)
+        acc = Array.tabulate(3)(st =>
+          c(st) + (0 to 2).map(f => acc(f) + trans(f)(st)).min)
+      }
+      val best = acc.min
+      assert(out(user) === ((ordered.length.toLong, best, acc.indexOf(best).toLong)),
+        s"user $user: driver DP disagrees with the distributed fold")
+    }
+    // the replay is only meaningful if some sequence is long enough for the
+    // transition costs to matter
+    assert(seqs.values.map(_.size).max > 3)
+  }
+
   test("ivm_join_delta: the three delta terms tile the full join exactly") {
     val out = Analytics.queries("ivm_join_delta")(spark, sf)
     // independent full recompute of the view, no old/delta split
