@@ -301,7 +301,103 @@ object Multimodal {
     out.toArray
   }
 
+  /** 56-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual image fingerprint (aHash/dHash family): sample 8 rows by
+    * nearest-neighbor (y_r = r·h/8), grayscale each of the 8 columns with
+    * integer luma weights (299·R + 587·G + 114·B)/1000 (truncating — all
+    * arithmetic exact int64), and set bit r·8+x when the gray value
+    * DECREASES down the row gradient gray(y_r, x) > gray(y_{r+1}, x):
+    * 7 gradients × 8 columns = 56 bits, deliberately ≤ 62 so the
+    * signature is a non-negative long (the [[simhashes]] sign-safety
+    * convention). Visually-near images differ in few bits; the Hamming
+    * ball is searchable by pigeonhole banding exactly like SimHash. */
+  private[llm] def dHash56(w: Int, h: Int, raster: Array[Byte]): Long = {
+    def gray(y: Int, x: Int): Long = {
+      val j = (y * w + x) * 3
+      def px(k: Int): Long =
+        if (j + k < raster.length) (raster(j + k) & 0xffL) else 0L
+      (299L * px(0) + 587L * px(1) + 114L * px(2)) / 1000L
+    }
+    var sig = 0L
+    var r = 0
+    while (r < 7) {
+      val y0 = (r * h) / 8
+      val y1 = ((r + 1) * h) / 8
+      var x = 0
+      while (x < 8) {
+        if (gray(y0, x) > gray(y1, x)) sig |= 1L << (r * 8 + x)
+        x += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  case class DHashed(doc_id: Long, dhash: Long)
+
+  /** Per-doc dHash frame shared by `image_dhash` and
+    * `image_dhash_neardup`: encode → REAL PPM decode → 56-bit signature,
+    * one primitive kernel per row, no shuffle. */
+  private def dhashFrame(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (w, h, raster) =
+            decodePpmRaster(encodePpm(text.getBytes(StandardCharsets.UTF_8)))
+          DHashed(id, dHash56(w, h, raster))
+        }
+      }.toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Perceptual image fingerprints: every image doc's 56-bit dHash —
+    // the per-doc layer (the oracle hash-checks all 56 bits of every
+    // signature, so any kernel drift fails loudly here, not in the
+    // sparse pair set downstream).
+    "image_dhash" -> ((s, d) => dhashFrame(s, d)),
+
+    // Perceptual near-duplicate IMAGE pairs at Hamming ≤ 3 — the
+    // multimodal sibling of dedup_simhash, with the same two-tier scale
+    // shape: collapse to DISTINCT signatures first (pair work is then
+    // invariant to row-level duplication), 4-band 14-bit pigeonhole
+    // blocking over the 56-bit signature (≤3 flipped bits touch ≤3 of 4
+    // bands, so one band matches exactly — full recall at the radius,
+    // never all-pairs), exact bit_count verify on the banded candidates.
+    // Output is SIGNATURE-level: near pairs with each side's collapsed
+    // doc count, plus the exact-duplicate groups (n_docs > 1) as
+    // hamming-0 self-rows — bounded by distinct content, not corpus size.
+    "image_dhash_neardup" -> ((s, d) => {
+      val sigs = dhashFrame(s, d)
+      val reps = sigs.groupBy("dhash")
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      val banded = reps.select(
+        col("rep_id"), col("dhash"), col("n_docs"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), 14 * b).bitwiseAND(lit(16383L)).as("bh"))
+        }: _*)).as("bb"))
+        .select(col("rep_id"), col("dhash"), col("n_docs"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val l = banded.select(col("band"), col("bh"), col("rep_id").as("ra"),
+        col("dhash").as("hash_a"), col("n_docs").as("n_docs_a"))
+      val r = banded.select(col("band"), col("bh"), col("rep_id").as("rb"),
+        col("dhash").as("hash_b"), col("n_docs").as("n_docs_b"))
+      val pairs = l.join(r, Seq("band", "bh")).filter(col("ra") < col("rb"))
+        .select(col("hash_a"), col("hash_b"),
+          bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int").as("hamming"),
+          col("n_docs_a"), col("n_docs_b"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+      val groups = reps.filter(col("n_docs") > 1)
+        .select(col("dhash").as("hash_a"), col("dhash").as("hash_b"),
+          lit(0).cast("int").as("hamming"),
+          col("n_docs").as("n_docs_a"), col("n_docs").as("n_docs_b"))
+      pairs.unionByName(groups)
+    }),
+
     // Content-defined chunking of each payload: per-chunk rows with the
     // chunk fingerprint — the substrate of binary-level dedup (identical
     // chunks dedupe across payloads even when offsets shift). The boundary
@@ -429,7 +525,64 @@ object Multimodal {
     })
   )
 
+  /** The dHash bit fold as DuckDB SQL, generated from the same (row,
+    * column, channel) offsets the JVM kernel loops over — c = 1-based
+    * code points, n = len(c), h = raster height (the raster's zero
+    * padding and the rows beyond the data both land in the ELSE 0). */
+  private def dhashSigSql: String = {
+    def gray(rowExpr: String): String = {
+      val j = s"((($rowExpr) * 8 + (i % 8)) * 3)"
+      def term(k: Int, wgt: Int) =
+        s"$wgt * (CASE WHEN $j + ${k + 1} <= n THEN c[$j + ${k + 1}] ELSE 0 END)"
+      s"((${term(0, 299)} + ${term(1, 587)} + ${term(2, 114)}) // 1000)"
+    }
+    val g0 = gray("((i // 8) * h) // 8")
+    val g1 = gray("(((i // 8) + 1) * h) // 8")
+    s"""CAST(list_sum(list_transform(generate_series(0, 55),
+    i -> CASE WHEN $g0 > $g1 THEN (CAST(1 AS BIGINT) << i)
+              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+  }
+
+  private def dhashBaseSql: String = s"""
+WITH cs AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS c
+  FROM documents WHERE doc_id % 2 = 0
+), base AS (
+  SELECT doc_id, c, CAST(len(c) AS BIGINT) AS n,
+    greatest(1, CAST(ceil(len(c) / ${PpmWidth * 3}.0) AS BIGINT)) AS h
+  FROM cs
+)"""
+
   def oracles: Map[String, String] = Map(
+    "image_dhash" -> s"""$dhashBaseSql
+SELECT doc_id, $dhashSigSql AS dhash FROM base""",
+
+    // Mirrors the engine tier for tier: distinct-signature collapse,
+    // 4×14-bit band equi-join, bit_count verify, dup groups appended.
+    "image_dhash_neardup" -> s"""$dhashBaseSql
+, sigs AS (
+  SELECT doc_id, $dhashSigSql AS dhash FROM base
+), reps AS (
+  SELECT dhash, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM sigs GROUP BY 1
+), banded AS (
+  SELECT rep_id, dhash, n_docs, b.band, (dhash >> (14 * b.band)) & 16383 AS bh
+  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS band) b
+), pairs AS (
+  SELECT DISTINCT l.dhash AS hash_a, r.dhash AS hash_b,
+    CAST(bit_count(xor(l.dhash, r.dhash)) AS INT) AS hamming,
+    l.n_docs AS n_docs_a, r.n_docs AS n_docs_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh AND l.rep_id < r.rep_id
+  WHERE bit_count(xor(l.dhash, r.dhash)) <= 3
+)
+SELECT * FROM pairs
+UNION ALL
+SELECT dhash AS hash_a, dhash AS hash_b, CAST(0 AS INT) AS hamming,
+  n_docs AS n_docs_a, n_docs AS n_docs_b
+FROM reps WHERE n_docs > 1""",
+
     "multimodal_chunks" -> {
       // h(i) = Σ_{k=0..7} code(char at i-k) · 31^k — mirrors cdcBoundaries
       val winSum = (0 until CdcWindow)

@@ -86,6 +86,32 @@ object TrainPrep {
         when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
     }),
 
+    // Sliding-window document chunking with overlap — the RAG/embedding
+    // prep step (retrieval corpora index CHUNKS, not documents): windows
+    // of 64 tokens at stride 48 (16-token overlap so no boundary context
+    // is lost), the final partial window kept. Pure per-row
+    // generate+explode — zero shuffles, output rows ≈ n_tokens/stride,
+    // linear at any corpus size with the scan.
+    "rag_chunk_overlap" -> ((s, d) => {
+      val W = 64
+      val S = 48
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") > 0)
+      val sliced = slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W))
+      base
+        .withColumn("n_chunks", when(col("n_tok") <= W, lit(1L))
+          .otherwise(expr(s"(n_tok - $W + ${S - 1}) div $S + 1")))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S).as("start_tok"),
+          size(sliced).cast("long").as("n_tok_chunk"),
+          concat_ws(" ", sliced).as("chunk_text"))
+    }),
+
     "seq_packing" -> ((s, d) => {
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -209,6 +235,25 @@ SELECT doc_id,
        WHEN ($h % 100) < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM documents""",
+
+      "rag_chunk_overlap" -> s"""
+WITH base AS (
+  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+), b2 AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM base
+  WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, n_tok, toks,
+    unnest(generate_series(0,
+      CASE WHEN n_tok <= 64 THEN CAST(0 AS BIGINT)
+           ELSE (n_tok - 64 + 47) // 48 END)) AS chunk_idx
+  FROM b2
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tok_chunk,
+  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+FROM c""",
 
       "seq_packing" -> s"""
 WITH base AS (

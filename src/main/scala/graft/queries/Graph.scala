@@ -165,6 +165,88 @@ SELECT CAST(rnk AS INT) AS rnk, u, w, cn, deg_u, deg_w, jaccard FROM (
   FROM scored
 ) WHERE rnk <= 20"""
 
+  private val SsspRounds = 4
+
+  /** Single-source shortest paths with WEIGHTED edges — the fourth
+    * Pregel-superstep family member (BFS is its unit-weight special
+    * case). Edge weights are deterministic integers derived from the
+    * canonical pair (1 + (a·31 + b) mod 9, symmetric by construction), so
+    * the whole relaxation is exact int64 arithmetic. Frontier-delta
+    * Bellman–Ford: each round joins ONLY the nodes whose distance
+    * improved last round against the adjacency list, min-merges the
+    * offers into the distance table via one full-outer join, and the new
+    * frontier is the improved rows — per-superstep cost proportional to
+    * the frontier's out-edges, never a full re-relaxation (after r rounds
+    * the table is exactly min-cost over ≤r-edge paths, the same bound the
+    * oracle's macro-expanded full relaxation computes; equality is the
+    * classic queue-based-BF invariant — a node propagates in the round
+    * after each improvement, so every ≤r-edge path is covered). */
+  def ssspWeighted(s: SparkSession, d: String): DataFrame = {
+    val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
+    val canon = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 10 === 0)
+      .crossJoin(broadcast(nSupp))
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % col("n_supp")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .withColumn("w", lit(1L) + (col("a") * 31 + col("b")) % 9)
+    val e = canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = s
+    import spark.implicits._
+    var dist = Seq((1L, 0L)).toDF("node", "dist")
+    var frontier = dist
+    for (r <- 1 to SsspRounds) {
+      val relax = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+      val upd = dist.join(relax, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("d2"),
+          (col("dist").isNull || col("nd") < col("dist")).as("improved"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = upd.filter(col("improved")).select(col("node"), col("d2").as("dist"))
+      dist = upd.select(col("node"), col("d2").as("dist"))
+      // superstep lineage truncation, the pagerank/bfs discipline
+      if (r % 2 == 0) dist = dist.localCheckpoint(false)
+    }
+    dist
+  }
+
+  private val ssspWeightedSql: String = {
+    val sb = new StringBuilder
+    sb ++= """
+WITH raw AS (
+  SELECT l_suppkey AS x,
+         l_partkey % (SELECT count(*) FROM supplier) AS y
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0
+    AND l_suppkey <> l_partkey % (SELECT count(*) FROM supplier)
+), e AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw
+), ew AS (
+  SELECT a AS src, b AS dst, 1 + (a * 31 + b) % 9 AS w FROM e
+  UNION ALL
+  SELECT b AS src, a AS dst, 1 + (a * 31 + b) % 9 AS w FROM e
+), d0 AS (
+  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+)"""
+    for (r <- 1 to SsspRounds) {
+      sb ++= s""",
+d$r AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d${r - 1}
+    UNION ALL
+    SELECT ew.dst AS node, p.dist + ew.w AS dist
+    FROM d${r - 1} p JOIN ew ON ew.src = p.node
+  ) GROUP BY node
+)"""
+    }
+    sb.toString + s"\nSELECT node, dist FROM d$SsspRounds"
+  }
+
   private val LpRounds = 3
 
   /** Semi-supervised LABEL PROPAGATION over the shared supplier graph —
@@ -253,7 +335,8 @@ l$t AS (
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs_hops"          -> ((s, d) => bfsHops(s, d)),
     "link_prediction"   -> ((s, d) => linkPrediction(s, d)),
-    "label_propagation" -> ((s, d) => labelPropagation(s, d))
+    "label_propagation" -> ((s, d) => labelPropagation(s, d)),
+    "sssp_weighted"     -> ((s, d) => ssspWeighted(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -283,6 +366,7 @@ WITH RECURSIVE raw AS (
 SELECT node, CAST(min(d) AS INT) AS hops FROM walk GROUP BY node""",
 
     "link_prediction" -> linkPredictionSql,
-    "label_propagation" -> labelPropagationSql
+    "label_propagation" -> labelPropagationSql,
+    "sssp_weighted" -> ssspWeightedSql
   )
 }

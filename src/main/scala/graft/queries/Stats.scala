@@ -490,6 +490,64 @@ FROM per_lag, t"""
       .select(col("n"), col("k"), (col("q").cast("double") / 1e6).as("median"))
   }
 
+  // ----------------------------------------------- grouped_median_twopass
+
+  /** The per-GROUP form of [[exactMedianTwoPass]]: exact lower median of
+    * `value` for every event_type, with NO per-group sort — the shape
+    * `percentile_disc(...) OVER/GROUP BY` cannot take at 100 TB (it sorts
+    * each group). Same two grouped scans: pass 1 counts per (group,
+    * coarse-bin) and a window PARTITIONED BY GROUP over the bin table
+    * (rows bounded by groups × domain/65536, never the corpus) locates
+    * each group's rank-k bin; pass 2 counts per (group, distinct value)
+    * inside the ≤65536-value target bins and the same prefix logic picks
+    * each group's value. Both shuffles are plain hash partitions on the
+    * group key — the aggregation-only plan that scales with executors. */
+  def groupedMedianTwoPass(s: SparkSession, d: String): DataFrame = {
+    val W = 65536L
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        round(col("value") * 1e6, 0).cast("long").as("q"))
+    val tot = ev.groupBy("g").agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"), expr("(n + 1) div 2").as("k"))
+    val hist = ev.groupBy(col("g"), expr(s"q div $W").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = hist
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("prev", col("cum") - col("c"))
+      .join(tot, Seq("g"))
+      .filter(col("cum") >= col("k") && col("prev") < col("k"))
+      .select(col("g").as("cg"), col("bin"), (col("k") - col("prev")).as("k_in_bin"),
+        col("n"), col("k"))
+    val inBin = ev
+      .join(cand, col("g") === col("cg") && expr(s"q div $W") === col("bin"))
+      .groupBy("g", "q", "k_in_bin", "n", "k")
+      .agg(count(lit(1)).as("cq"))
+    val wq = Window.partitionBy("g").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBin
+      .withColumn("cumq", sum(col("cq")).over(wq))
+      .filter(col("cumq") >= col("k_in_bin") &&
+        col("cumq") - col("cq") < col("k_in_bin"))
+      .select(col("g").as("event_type"), col("n"), col("k"),
+        (col("q").cast("double") / 1e6).as("median"))
+  }
+
+  private val groupedMedianSql: String = """
+WITH q AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST((count(*) + 1) // 2 AS BIGINT) AS k
+  FROM q GROUP BY g
+)
+SELECT t.g AS event_type, t.n, t.k, CAST(s.q AS DOUBLE) / 1e6 AS median
+FROM t JOIN (
+  SELECT g, q, row_number() OVER (PARTITION BY g ORDER BY q) AS rn FROM q
+) s ON s.g = t.g AND s.rn = t.k"""
+
   private val exactMedianSql: String = """
 WITH q AS (
   SELECT CAST(round(value * 1e6) AS BIGINT) AS q
@@ -506,6 +564,7 @@ FROM t JOIN (
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_median_twopass" -> ((s, d) => exactMedianTwoPass(s, d)),
+    "grouped_median_twopass" -> ((s, d) => groupedMedianTwoPass(s, d)),
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
     "spearman_rho"  -> ((s, d) => spearmanRho(s, d)),
@@ -516,6 +575,7 @@ FROM t JOIN (
 
   def oracles: Map[String, String] = Map(
     "exact_median_twopass" -> exactMedianSql,
+    "grouped_median_twopass" -> groupedMedianSql,
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,
     "spearman_rho"  -> spearmanSql,

@@ -9,6 +9,42 @@ import graft.{SparkSpec, Tables}
   * introduces no drift vs the declarative plan. */
 class MultimodalSpec extends SparkSpec {
 
+  test("image dhash banding finds exactly the brute-force Hamming<=3 signature pairs") {
+    val sigs = Multimodal.queries("image_dhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sigs.nonEmpty)
+    // signatures are 56-bit by construction (sign-safe long)
+    assert(sigs.forall { case (_, h) => h >= 0L && h < (1L << 56) })
+    val out = Multimodal.queries("image_dhash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val reps = sigs.groupBy(_._2).toSeq
+      .map { case (h, g) => (h, g.map(_._1).min, g.size.toLong) }
+    val brute = (for {
+      Seq((ha, ra, na), (hb, rb, nb)) <- reps.combinations(2)
+      hamming = java.lang.Long.bitCount(ha ^ hb)
+      if hamming <= 3
+    } yield {
+      if (ra < rb) (ha, hb, hamming, na, nb) else (hb, ha, hamming, nb, na)
+    }).toSet ++
+      reps.collect { case (h, _, n) if n > 1 => (h, h, 0, n, n) }.toSet
+    // banding must equal brute force exactly: full recall is the 4-band
+    // pigeonhole guarantee, precision is the bit_count post-filter
+    assert(out === brute)
+  }
+
+  test("dhash kernel sets exactly the decreasing row gradients on a crafted raster") {
+    // 8x16 raster: rows 0..7 bright (200), rows 8..15 dark (10) — the only
+    // decreasing sampled gradient is row 3 -> row 4 (y=6 -> y=8), all 8
+    // columns, i.e. bits 24..31 and nothing else
+    val w = 8; val h = 16
+    val raster = Array.tabulate(w * h * 3) { j =>
+      val y = j / (w * 3)
+      (if (y < 8) 200 else 10).toByte
+    }
+    assert(Multimodal.dHash56(w, h, raster) === 0xFF000000L)
+  }
+
   test("stub decode features match column-expression ground truth") {
     val feats = Multimodal.queries("multimodal_features")(spark, sf)
     val truth = Tables.documents(spark, sf).select(

@@ -10,6 +10,33 @@ import graft.SparkSpec
   * fraction of the full norm. */
 class TrainPrepSpec extends SparkSpec {
 
+  test("rag_chunk_overlap: chunks tile every tokenized doc at stride 48") {
+    val out = TrainPrep.queries("rag_chunk_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every doc with tokens chunks; empty docs emit nothing
+    assert(byDoc.keySet === docs.filter(_._2.nonEmpty).keys.toSet)
+    for ((id, chunks) <- byDoc) {
+      val toks = docs(id)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      for ((_, idx, start, nck, text) <- sorted) {
+        assert(start === idx * 48)
+        val exp = toks.slice(start.toInt, start.toInt + 64)
+        assert(nck === exp.length.toLong)
+        assert(text === exp.mkString(" "))
+      }
+      // coverage: the final window reaches the end of the token stream
+      val last = sorted.last
+      assert(last._3 + last._4 >= toks.length.toLong)
+    }
+    // overlap is real somewhere: at least one doc has >1 chunk
+    assert(byDoc.values.exists(_.length > 1))
+  }
+
   test("hash_split is deterministic and roughly 80/10/10") {
     val a = TrainPrep.queries("hash_split")(spark, sf).collect()
     val b = TrainPrep.queries("hash_split")(spark, sf).collect()

@@ -7,6 +7,46 @@ import graft.SparkSpec
 /** Semantics checks for the enrichment family (Enrich.scala). */
 class EnrichSpec extends SparkSpec {
 
+  test("entity_match_blocked equals a driver replay of collapse + block + verify") {
+    val out = Enrich.queries("entity_match_blocked")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val names = graft.Tables.part(spark, sf)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val keyed = names.keys.toSeq.flatMap { n =>
+      val w = n.split(" ")
+      Seq(("f:" + w.head, n), ("l:" + w.last, n))
+    }
+    val cand = keyed.groupBy(_._1).values.flatMap { g =>
+      val items = g.map(_._2).sorted.take(1000)
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        yield (items(i), items(j))
+    }.groupBy(identity).map { case ((a, b), occ) => (a, b, occ.size.toLong) }
+    val brute = cand.collect {
+      case (a, b, nk) if lev(a, b) <= 3 =>
+        (a, b, lev(a, b), nk, names(a), names(b))
+    }.toSet
+    assert(out === brute)
+    assert(out.nonEmpty)
+    // multi-key blocking earns its keep: some match shares BOTH keys'
+    // nouns/adjectives split (n_shared_keys covers 1 and only 1 or 2)
+    assert(out.forall(m => m._4 == 1L || m._4 == 2L))
+  }
+
   test("transition_matrix: probabilities row-normalize to 1") {
     val sums = Enrich.transitionMatrix(spark, sf)
       .groupBy("from_type").agg(sum(col("p")).as("ps")).collect()

@@ -10,6 +10,37 @@ import graft.{SparkSpec, Tables}
   * discipline as PerceptronSpec/PcaSpec for the other superstep operators. */
 class GraphSpec extends SparkSpec {
 
+  test("sssp_weighted matches a driver-side Bellman-Ford replay") {
+    val out = Graph.queries("sssp_weighted")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out(1L) === 0L)
+    val nSupp = Tables.supplier(spark, sf).count()
+    val canon = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % nSupp).as("y"))
+      .filter(col("x") =!= col("y"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val adj = canon.flatMap { case (a, b) =>
+      val w = 1L + (a * 31 + b) % 9
+      Seq((a, b, w), (b, a, w))
+    }
+    // full Bellman-Ford relaxation, 4 rounds — min over <=4-edge paths,
+    // the bound the frontier-delta engine loop must reproduce exactly
+    var dist = Map(1L -> 0L)
+    for (_ <- 1 to 4) {
+      val offers = adj.flatMap { case (u, v, w) => dist.get(u).map(du => (v, du + w)) }
+      dist = (dist.toSeq ++ offers).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(out === dist)
+    // weights must actually matter: some node's weighted distance exceeds
+    // its unit-weight hop count (else this test degenerates to BFS)
+    assert(dist.values.max > 4L)
+  }
+
   test("label_propagation matches a driver-side superstep replay") {
     val out = Graph.queries("label_propagation")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

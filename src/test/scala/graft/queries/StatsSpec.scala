@@ -9,6 +9,25 @@ import graft.SparkSpec
   * recomputation at test scale. */
 class StatsSpec extends SparkSpec {
 
+  test("grouped_median_twopass matches per-group brute-force order statistics") {
+    val out = Stats.queries("grouped_median_twopass")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val vals = graft.Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 1e6, 0).cast("long").as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    assert(out.keySet === vals.keySet)
+    for ((g, rows) <- vals) {
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      val k = (n + 1) / 2
+      assert(out(g) === ((n, k, sorted((k - 1).toInt).toDouble / 1e6)),
+        s"group $g: two-pass median disagrees with the full sort")
+    }
+  }
+
   test("ks_statistic matches the brute-force two-sample KS") {
     val row = Stats.ksStatistic(spark, sf).collect().head
     val ev = graft.Tables.events(spark, sf)
