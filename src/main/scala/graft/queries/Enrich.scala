@@ -817,9 +817,114 @@ JOIN reps ra ON ra.name = cand.name_a
 JOIN reps rb ON rb.name = cand.name_b
 WHERE levenshtein(name_a, name_b) <= 3"""
 
+  // ------------------------------------------------- cohort_retention --
+
+  /** Weekly cohort retention matrix — the product-analytics staple: users
+    * cohorted by FIRST active ISO week, the (cohort, week-offset) cell
+    * counts users active that many weeks later, as a share of cohort
+    * size. Three aggregations and two joins, every one of them keyed on
+    * user_id or the tiny (cohort, offset) pair — one partitioning reused
+    * across the chain, no windows, no per-user sequences materialized.
+    * Week truncation (Monday) and day arithmetic agree across engines;
+    * offsets are exact integers (both endpoints are week-truncated, so
+    * the day diff is always a multiple of 7). */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"),
+        expr("datediff(wk, cohort_wk) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk").cast("date").as("cohort_week"),
+        col("week_offset").cast("long").as("week_offset"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
+
+  val cohortRetentionSql: String = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+), sizes AS (
+  SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY 1
+), cells AS (
+  SELECT c.cohort_wk,
+    CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(cells.cohort_wk AS DATE) AS cohort_week, week_offset,
+  n_active, n_cohort,
+  CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+FROM cells JOIN sizes ON cells.cohort_wk = sizes.cohort_wk"""
+
+  // ------------------------------------------------ funnel_within_hour --
+
+  /** Time-windowed conversion funnel: each user's FIRST view, the first
+    * click within ONE HOUR after that view, and the first purchase within
+    * one hour after that click — the ordered-steps-with-deadline shape
+    * `event_pattern_match`'s regex cannot express (it has no clock).
+    * Three filtered aggregations chained by equi-joins, all keyed on
+    * user_id — the per-user event sequence is never materialized or
+    * sorted, so a power user with 10⁶ events costs three grouped scans,
+    * not a window. Timestamp arithmetic is exact micros on both
+    * engines. */
+  def funnelWithinHour(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("view_ts") &&
+        col("ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("click_ts") &&
+        col("ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+          + when(col("purchase_ts").isNotNull, 1).otherwise(0))
+          .cast("int").as("stage"))
+  }
+
+  val funnelSql: String = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+  CAST(1 + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id"""
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention"           -> ((s, d) => cohortRetention(s, d)),
+    "funnel_within_hour"         -> ((s, d) => funnelWithinHour(s, d)),
     "entity_match_blocked"       -> ((s, d) => entityMatchBlocked(s, d)),
     "transition_matrix"          -> ((s, d) => transitionMatrix(s, d)),
     "cdc_apply"                  -> ((s, d) => cdcApply(s, d)),
@@ -838,6 +943,8 @@ WHERE levenshtein(name_a, name_b) <= 3"""
   )
 
   def oracles: Map[String, String] = Map(
+    "cohort_retention"           -> cohortRetentionSql,
+    "funnel_within_hour"         -> funnelSql,
     "entity_match_blocked"       -> entityMatchSql,
     "transition_matrix"          -> transitionSql,
     "cdc_apply"                  -> cdcSql,

@@ -47,6 +47,61 @@ class EnrichSpec extends SparkSpec {
     assert(out.forall(m => m._4 == 1L || m._4 == 2L))
   }
 
+  test("funnel_within_hour matches a driver-side per-user replay") {
+    val out = Enrich.queries("funnel_within_hour")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val hour = 3600L * 1000000L
+    val expect = ev.flatMap { case (u, rows) =>
+      val byType = rows.groupBy(_._2)
+      byType.get("view").map(_.map(_._3).min).map { vt =>
+        val ct = byType.getOrElse("click", Seq.empty)
+          .map(_._3).filter(t => t > vt && t <= vt + hour)
+          .sorted.headOption
+        val pt = ct.flatMap(c => byType.getOrElse("purchase", Seq.empty)
+          .map(_._3).filter(t => t > c && t <= c + hour)
+          .sorted.headOption)
+        u -> ((vt, ct, pt, 1 + ct.size + pt.size))
+      }
+    }
+    assert(out.keySet === expect.keySet)
+    for ((u, (vt, ct, pt, stage)) <- expect) {
+      val (ovt, oct, opt, ostage) = out(u)
+      def micros(o: Option[Any]): Option[Long] =
+        o.map(_.asInstanceOf[java.sql.Timestamp])
+          .map(t => Math.multiplyExact(t.getTime / 1000, 1000000L) +
+            (t.getNanos / 1000) % 1000000)
+      assert(micros(ovt) === Some(vt) && micros(oct) === ct &&
+        micros(opt) === pt && ostage === stage, s"user $u funnel disagrees")
+    }
+    // the windowed chain must fire somewhere (stage >= 2), else the replay
+    // degenerates to min(view); stage 3 is data-dependent at this SF
+    assert(expect.values.exists(_._4 >= 2))
+  }
+
+  test("cohort_retention: offset-0 is the full cohort and cells stay inside it") {
+    val rows = Enrich.queries("cohort_retention")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // every user is active in their own cohort week: offset 0 == cohort size
+    val zero = rows.filter(_._2 == 0L)
+    assert(zero.map(_._1).toSet === rows.map(_._1).toSet)
+    assert(zero.forall(r => r._3 == r._4 && r._5 == 1.0))
+    for ((_, off, active, size, ret) <- rows) {
+      assert(off >= 0L && active >= 1L && active <= size)
+      assert(ret === active.toDouble / size.toDouble)
+    }
+    // cohort sizes sum to the distinct-user count
+    val users = graft.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(zero.map(_._4).sum === users)
+  }
+
   test("transition_matrix: probabilities row-normalize to 1") {
     val sums = Enrich.transitionMatrix(spark, sf)
       .groupBy("from_type").agg(sum(col("p")).as("ps")).collect()
