@@ -187,6 +187,37 @@ object CorpusQuality {
           col("line_no") === col("_fo.line_no")).as("keep"))
     }),
 
+    // Document-level boilerplate scoring — the cleaning SIGNAL on top of
+    // line_dedup's removal policy (RefinedWeb/C4 report boilerplate share
+    // per doc before deciding to drop or strip): each line's corpus-wide
+    // DOCUMENT frequency (distinct per doc first, so in-doc repetition
+    // doesn't inflate it) marks lines appearing in ≥ 5 docs as
+    // boilerplate; each doc reports its boilerplate line share and a
+    // ≥ 1/3 flag (exact integer cross-multiply, no float threshold).
+    // Shape: one shuffle clustered on line text for the DF count, one
+    // join back, one per-doc aggregate — the line_dedup plan plus one
+    // grouped count, nothing all-pairs.
+    "boilerplate_share" -> ((s, d) => {
+      val toks = T
+      val lines = array(
+        array_join(slice(toks, 1, 5), " "),
+        array_join(slice(toks, 6, 5), " "),
+        when(col("doc_id") % 3 === 0, lit(BoilerplateLine))
+          .otherwise(array_join(slice(toks, 11, 5), " ")))
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(lines).as(Seq("line_no", "line")))
+      val df = exploded.select("doc_id", "line").distinct()
+        .groupBy("line").agg(count(lit(1)).as("n_docs_line"))
+      exploded.join(df, "line")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("n_docs_line") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_lines").cast("double"))
+            .as("boiler_share"),
+          (col("n_boiler") * 3 >= col("n_lines")).as("flag_boilerplate"))
+    }),
+
     // Paragraph-granularity dedup + document reassembly, the full C4-style
     // round trip in one query: split each document into fixed 10-token
     // paragraphs (this corpus has no punctuation marker, so the paragraph
@@ -382,6 +413,34 @@ l AS (
 SELECT doc_id, u.no AS line_no, u.ln AS line,
   (row_number() OVER (PARTITION BY u.ln ORDER BY doc_id, u.no)) = 1 AS keep
 FROM l""",
+
+    // Mirrors `boilerplate_share`: same line construction as line_dedup,
+    // same distinct-per-doc DF, same integer cross-multiplied flag.
+    "boilerplate_share" -> s"""
+WITH base AS (SELECT doc_id, $TS AS w FROM documents),
+l AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      [COALESCE(array_to_string(w[1:5], ' '), ''),
+       COALESCE(array_to_string(w[6:10], ' '), ''),
+       CASE WHEN doc_id % 3 = 0 THEN '$BoilerplateLine'
+            ELSE COALESCE(array_to_string(w[11:15], ' '), '') END],
+      (ln, i) -> {'no': CAST(i - 1 AS INT), 'ln': ln})) AS u
+  FROM base
+), e AS (
+  SELECT doc_id, u.no AS line_no, u.ln AS line FROM l
+), df AS (
+  SELECT line, CAST(count(*) AS BIGINT) AS n_docs_line
+  FROM (SELECT DISTINCT doc_id, line FROM e) GROUP BY 1
+), per AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN df.n_docs_line >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM e JOIN df ON e.line = df.line GROUP BY 1
+)
+SELECT doc_id, n_lines, n_boiler,
+  CAST(n_boiler AS DOUBLE) / CAST(n_lines AS DOUBLE) AS boiler_share,
+  n_boiler * 3 >= n_lines AS flag_boilerplate
+FROM per""",
 
     // Mirrors `paragraph_dedup`: same positional 10-token split, same
     // first-occurrence window, same order-preserving reassembly (the

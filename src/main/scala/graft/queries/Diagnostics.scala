@@ -353,6 +353,38 @@ FROM customer"""
           col("rows_below_k").cast("double") / col("n_rows").cast("double"))
     }),
 
+    // l-diversity audit — k-anonymity's sibling on the SENSITIVE
+    // attribute: a QI group can be large (k-safe) yet expose everyone in
+    // it when all members share one sensitive value. Per QI group
+    // (nationkey × balance band) count rows AND distinct sensitive values
+    // (market segment); the audit reports, for l ∈ {2,3,5}, how many
+    // groups/rows sit below that diversity. Same scale shape as
+    // k_anonymity_audit: one grouped count (shuffle on the QI key,
+    // distinct-aggregate expansion map-side combinable), then a single
+    // aggregate over the QI-cardinality-bounded group table.
+    "l_diversity_audit" -> ((s, d) => {
+      val groups = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("gsz"),
+          countDistinct(col("c_mktsegment")).as("l"))
+      def below(l: Int) = Seq(
+        sum(when(col("l") < l, 1L).otherwise(0L)).as(s"g$l"),
+        sum(when(col("l") < l, col("gsz")).otherwise(0L)).as(s"r$l"))
+      val aggs = Seq(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"),
+        min(col("l")).as("min_l")) ++ below(2) ++ below(3) ++ below(5)
+      groups
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          """stack(3,
+               2, g2, r2,
+               3, g3, r3,
+               5, g5, r5) AS (l, groups_below_l, rows_below_l)""",
+          "n_groups", "n_rows", "min_l")
+        .withColumn("risk_frac",
+          col("rows_below_l").cast("double") / col("n_rows").cast("double"))
+    }),
+
     // Benford's-law first-digit profile of order totals: exact per-digit
     // counts, observed fraction, and the quantized deviation from the
     // Benford expectation — the classic fraud/drift screen. The aggregate
@@ -576,6 +608,35 @@ FROM (
   SELECT 2 AS k, g2 AS groups_below_k, r2 AS rows_below_k, n_groups, n_rows, min_group_size FROM a
   UNION ALL SELECT 5, g5, r5, n_groups, n_rows, min_group_size FROM a
   UNION ALL SELECT 10, g10, r10, n_groups, n_rows, min_group_size FROM a
+)""",
+
+    // Mirrors the Spark audit: same QI grouping, same distinct-count of
+    // the sensitive attribute, same ELSE-0 sums and single division.
+    "l_diversity_audit" -> """
+WITH groups AS (
+  SELECT c_nationkey,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+    CAST(count(*) AS BIGINT) AS gsz,
+    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM customer GROUP BY 1, 2
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(sum(gsz) AS BIGINT) AS n_rows,
+    CAST(min(l) AS BIGINT) AS min_l,
+    CAST(sum(CASE WHEN l < 2 THEN 1   ELSE 0 END) AS BIGINT) AS g2,
+    CAST(sum(CASE WHEN l < 2 THEN gsz ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN l < 3 THEN 1   ELSE 0 END) AS BIGINT) AS g3,
+    CAST(sum(CASE WHEN l < 3 THEN gsz ELSE 0 END) AS BIGINT) AS r3,
+    CAST(sum(CASE WHEN l < 5 THEN 1   ELSE 0 END) AS BIGINT) AS g5,
+    CAST(sum(CASE WHEN l < 5 THEN gsz ELSE 0 END) AS BIGINT) AS r5
+  FROM groups
+)
+SELECT l, groups_below_l, rows_below_l, n_groups, n_rows, min_l,
+  CAST(rows_below_l AS DOUBLE) / CAST(n_rows AS DOUBLE) AS risk_frac
+FROM (
+  SELECT 2 AS l, g2 AS groups_below_l, r2 AS rows_below_l, n_groups, n_rows, min_l FROM a
+  UNION ALL SELECT 3, g3, r3, n_groups, n_rows, min_l FROM a
+  UNION ALL SELECT 5, g5, r5, n_groups, n_rows, min_l FROM a
 )""",
 
     "pipeline_report" -> """

@@ -164,6 +164,89 @@ SELECT CAST(rnk AS INT) AS rnk, p1, p2, n_orders FROM (
   SELECT *, row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rnk FROM pairs
 ) WHERE rnk <= 20"""
 
+  // ------------------------------------------------ association_rules --
+
+  /** Directed association rules — the market-basket SCORING layer on top
+    * of [[copurchasePairs]]' co-occurrence counts: every supported pair
+    * (≥ 3 shared orders) yields both rules A→B and B→A with exact
+    * support, confidence = n_pair / n_orders(A), and lift =
+    * n_pair · N / (n_orders(A) · n_orders(B)). All counts are integers;
+    * confidence/lift are single divisions over integer products in
+    * lock-step operand order, and the top-50 cut orders by the exact
+    * integer quantization (n_pair · 10⁶ div n_ant) — no float ties. The
+    * pair explosion rides the shared degree-bounded pair join; per-part
+    * order counts are one grouped count; the corpus total is a broadcast
+    * 1-row frame. */
+  def associationRules(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val partN = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val tot = op.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
+    val pairs = graft.operators.Pairs.pairJoin(
+        op, Seq("l_orderkey"), "l_partkey", "p1", "p2", "n_pair")
+      .filter(col("n_pair") >= 3)
+    val directed = pairs.select(explode(array(
+        struct(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_pair")),
+        struct(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_pair"))))
+        .as("r"))
+      .select("r.antecedent", "r.consequent", "r.n_pair")
+    directed
+      .join(partN.select(col("l_partkey").as("antecedent"), col("n_part").as("n_ant")),
+        "antecedent")
+      .join(partN.select(col("l_partkey").as("consequent"), col("n_part").as("n_cons")),
+        "consequent")
+      .crossJoin(broadcast(tot))
+      .withColumn("confidence",
+        col("n_pair").cast("double") / col("n_ant").cast("double"))
+      .withColumn("lift",
+        (col("n_pair") * col("n_orders_total")).cast("double") /
+          (col("n_ant") * col("n_cons")).cast("double"))
+      .withColumn("cq", expr("(n_pair * 1000000) div n_ant"))
+      // TakeOrderedAndProject for the cut (a global row_number window
+      // would serialize the whole scored-pair stream into one task —
+      // measured 16 s vs 4 s at sf1); the rank window then runs over the
+      // 50 surviving rows only
+      .orderBy(col("cq").desc, col("antecedent"), col("consequent"))
+      .limit(50)
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("cq").desc, col("antecedent"), col("consequent"))))
+      .select(col("rnk").cast("int").as("rnk"), col("antecedent"), col("consequent"),
+        col("n_pair"), col("n_ant"), col("n_cons"), col("n_orders_total"),
+        col("confidence"), col("lift"))
+  }
+
+  val associationRulesSql: String = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pn AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM op GROUP BY 1
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total FROM op
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), directed AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT p2 AS antecedent, p1 AS consequent, n_pair FROM pairs
+), scored AS (
+  SELECT antecedent, consequent, n_pair,
+    a.n_part AS n_ant, c.n_part AS n_cons, n_orders_total,
+    CAST(n_pair AS DOUBLE) / CAST(a.n_part AS DOUBLE) AS confidence,
+    CAST(n_pair * n_orders_total AS DOUBLE)
+      / CAST(a.n_part * c.n_part AS DOUBLE) AS lift,
+    (n_pair * 1000000) // a.n_part AS cq
+  FROM directed
+  JOIN pn a ON a.l_partkey = directed.antecedent
+  JOIN pn c ON c.l_partkey = directed.consequent, tot
+)
+SELECT CAST(rnk AS INT) AS rnk, antecedent, consequent, n_pair, n_ant,
+  n_cons, n_orders_total, confidence, lift
+FROM (
+  SELECT *, row_number() OVER (ORDER BY cq DESC, antecedent, consequent) AS rnk
+  FROM scored
+) WHERE rnk <= 50"""
+
   // ------------------------------------------------ rendezvous_shards --
 
   /** Rendezvous (highest-random-weight) shard assignment and the 8→9
@@ -226,6 +309,7 @@ FROM asg GROUP BY 1"""
     "compaction_bins"      -> ((s, d) => compactionBins(s, d)),
     "salted_skew_join"     -> ((s, d) => saltedSkewJoin(s, d)),
     "copurchase_pairs"     -> ((s, d) => copurchasePairs(s, d)),
+    "association_rules"    -> ((s, d) => associationRules(s, d)),
     "rendezvous_shards"    -> ((s, d) => rendezvousShards(s, d))
   )
 
@@ -234,6 +318,7 @@ FROM asg GROUP BY 1"""
     "compaction_bins"      -> compactionSql,
     "salted_skew_join"     -> saltedSql,
     "copurchase_pairs"     -> copurchaseSql,
+    "association_rules"    -> associationRulesSql,
     "rendezvous_shards"    -> rendezvousSql
   )
 }

@@ -9,6 +9,22 @@ import graft.SparkSpec
   * counts, and line dedup keeps exactly one copy of each distinct line. */
 class CorpusQualitySpec extends SparkSpec {
 
+  test("boilerplate_share flags exactly the docs dominated by corpus-wide lines") {
+    val rows = CorpusQuality.queries("boilerplate_share")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    for ((_, nl, nb, share, flag) <- rows) {
+      assert(nl === 3L && nb >= 0L && nb <= nl)
+      assert(share === nb.toDouble / nl.toDouble)
+      assert(flag === (nb * 3 >= nl))
+    }
+    // the planted boilerplate line makes every doc_id % 3 == 0 flagged
+    assert(rows.filter(_._1 % 3 == 0).forall(_._5))
+    // and some doc is NOT flagged, else the threshold is untested
+    assert(rows.exists(!_._5))
+  }
+
   test("quality rules are non-degenerate: each rule passes AND fails") {
     val df = CorpusQuality.queries("doc_quality_rules")(spark, sf)
     for (rule <- Seq("r_wordcount", "r_meanlen", "r_diversity", "r_stopwords", "quality_keep")) {

@@ -13,6 +13,28 @@ import graft.llm.Text
   * algebra invariants. */
 class DiagnosticsSpec extends SparkSpec {
 
+  test("l_diversity_audit matches a driver recount and is monotone in l") {
+    val rows = Diagnostics.queries("l_diversity_audit")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(rows.keySet === Set(2, 3, 5))
+    // independent group recount on the driver
+    val groups = graft.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("b"), col("c_mktsegment"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+      .groupBy(_._1).toSeq.map { case (_, g) => (g.size.toLong, g.map(_._2).distinct.size) }
+    for ((l, (gb, rb, ng, nr, minL, risk)) <- rows) {
+      assert(gb === groups.count(_._2 < l).toLong)
+      assert(rb === groups.filter(_._2 < l).map(_._1).sum)
+      assert(ng === groups.size.toLong && nr === groups.map(_._1).sum)
+      assert(minL === groups.map(_._2).min.toLong)
+      assert(risk === rb.toDouble / nr.toDouble)
+    }
+    // monotone: raising l can only add exposed groups
+    assert(rows(2)._1 <= rows(3)._1 && rows(3)._1 <= rows(5)._1)
+  }
+
   test("benford_digits: fractions sum to 1 and digits are 1..9") {
     val rows: Seq[Row] =
       Diagnostics.queries("benford_digits")(spark, sf).collect().toSeq

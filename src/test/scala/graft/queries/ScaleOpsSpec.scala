@@ -43,6 +43,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("association_rules: confidence and lift recompute from their counts") {
+    val rows = ScaleOps.queries("association_rules")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    for ((rnk, _, _, nPair, nAnt, nCons, nTot, conf, lift) <- rows) {
+      assert(rnk >= 1 && nPair >= 3L && nPair <= math.min(nAnt, nCons))
+      assert(conf === nPair.toDouble / nAnt.toDouble && conf > 0.0 && conf <= 1.0)
+      assert(lift === (nPair * nTot).toDouble / (nAnt * nCons).toDouble)
+    }
+    // ranking follows the exact integer quantization of confidence
+    val cq = rows.sortBy(_._1).map(r => r._4 * 1000000L / r._5)
+    assert(cq === cq.sorted.reverse)
+  }
+
   test("copurchase_pairs matches brute-force per-order pair counting") {
     val fast = ScaleOps.copurchasePairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) -> r.getAs[Long]("n_orders")).toMap
