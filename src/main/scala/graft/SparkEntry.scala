@@ -30,21 +30,17 @@ object SparkEntry {
     * summary queries reuse one computed mart instead of re-running
     * dedup+stats+joins each. Layer row counts are bounded by the events
     * table — safe to MEMORY_AND_DISK at any tested SF. */
-  private val layerCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   // Build cost is recorded in LayerMetrics (VERDICT r10 #3) with an eager
   // count() so the layer's materialization — the thing the bench's
   // first_run/warm gap is made of — is charged to the named layer at build
   // time, not smeared over whichever consumer's action fires first.
+  // Backed by SessionCache: entries evict with the session's context
+  // (ADVICE r12).
   private def cached(key: String, s: SparkSession, dir: String)(mk: => DataFrame): DataFrame =
-    layerCache.get((s, key, dir)) match {
-      case Some(df) => LayerMetrics.reuse(key); df
-      case None => layerCache.getOrElseUpdate((s, key, dir),
-        LayerMetrics.build(key) {
-          val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        })
+    SessionCache.layer(key, s, dir) {
+      val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
     }
 
   // staging IS persisted even though it is a narrow projection: the layer
@@ -95,9 +91,17 @@ object SparkEntry {
       val q = Tables.eventsStream(s, d).writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(raw)
-          MartReadings.fromStaging(Staging.fromEvents(s.read.parquet(raw)))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // idempotent raw append: each micro-batch lands in a
+          // batchId-named subdirectory, skipped when it already exists —
+          // a re-delivered batch (driver recovery/retry) can no longer
+          // double-append into the raw layer and silently diverge the
+          // mart from the batch oracle (ADVICE r12)
+          val dst = new org.apache.hadoop.fs.Path(s"$raw/batch_id=$batchId")
+          val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(dst)) batch.write.mode("append").parquet(dst.toString)
+          MartReadings.fromStaging(Staging.fromEvents(
+              s.read.option("basePath", raw).parquet(raw).drop("batch_id")))
             .write.mode("overwrite").parquet(mart)
           ()
         }

@@ -24,8 +24,16 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Readers are memoized per (session, dir, table): `spark.read.parquet`
+    * re-runs file listing + footer schema inference on every call — one
+    * stray driver job per query construction, ~310 of them per bench
+    * sweep. The cached value is a PLAN (scan + inferred schema), not
+    * data; filters/pruning still push per-query. Evicted with the
+    * session (SessionCache). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    SessionCache.getOrElseUpdate(spark, ("graft.table", sfDir, name)) {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Tables whose pipelines are per-row-compute heavy (staging string
     * derivations over events; tokenize/shingle/hash over documents; vector
@@ -34,7 +42,9 @@ object Tables {
     * do NOT: the row exchange costs more than the single-task scan saves
     * (measured +1s on q1_pricing at sf0.1). */
   private def spreadTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spread(spark, table(spark, sfDir, name))
+    SessionCache.getOrElseUpdate(spark, ("graft.spreadTable", sfDir, name)) {
+      spread(spark, table(spark, sfDir, name))
+    }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
@@ -115,7 +125,20 @@ object Tables {
     // directory-per-table layout (ADVICE r11)
     val target = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(target).isDirectory) r.parquet(target.toString)
+    // fail-fast is intended when NEITHER layout exists (the r11 empty-
+    // stream-masquerading bug is worse than an error), but name the
+    // expected layouts instead of surfacing a bare FileNotFoundException
+    // (ADVICE r12)
+    val status =
+      try fs.getFileStatus(target)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new java.io.FileNotFoundException(
+            s"stream source for table '$name': expected either a parquet FILE " +
+              s"or a DIRECTORY of part files at $target — neither exists " +
+              s"(${e.getMessage})")
+      }
+    if (status.isDirectory) r.parquet(target.toString)
     else r.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
 

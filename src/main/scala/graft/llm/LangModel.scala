@@ -333,15 +333,11 @@ SELECT CAST($i AS INTEGER) AS iteration, l AS left_sym, r AS right_sym,
     * re-deriving the whole fold chain (the chain is interpreted
     * higher-order `aggregate`, whose O(K²) re-derivation cost dominated
     * the unchecked 6-superstep route — measured 9.3 s vs ~2 s at sf0.1). */
-  private val learnCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  // memoized via SessionCache — entries evict with the session's context
+  // (ADVICE r12)
   private def bpeLearned(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    learnCache.get((s, d)) match {
-      case Some(t) => graft.LayerMetrics.reuse("bpe_vocab"); t
-      case None => learnCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("bpe_vocab") {
-          bpeLearnBatched(s, d, supersteps = 6, topC = 1, checkpoint = true)
-        })
+    graft.SessionCache.layer("bpe_vocab", s, d) {
+      bpeLearnBatched(s, d, supersteps = 6, topC = 1, checkpoint = true)
     }
 
   /** The batched trainer macro-expanded to `supersteps` CTE stages — same

@@ -10,16 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * once and fans out. Frames cached here must be bounded (Q·k rows for
   * the ANN family), never corpus-sized. */
 private[llm] object LayerCache {
-  private val m = scala.collection.concurrent.TrieMap
-    .empty[(String, SparkSession, String), DataFrame]
+  // backed by SessionCache so entries evict with the session's context
+  // (ADVICE r12)
   def of(name: String, s: SparkSession, d: String)(mk: => DataFrame): DataFrame =
-    m.get((name, s, d)) match {
-      case Some(df) => graft.LayerMetrics.reuse(name); df
-      case None => m.getOrElseUpdate((name, s, d),
-        graft.LayerMetrics.build(name) {
-          val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        })
+    graft.SessionCache.layer(name, s, d) {
+      val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
     }
 }

@@ -75,27 +75,20 @@ object Pca {
       .agg(ga(col("eq")).as("g")))
   }
 
-  private val gramCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  // memoized via SessionCache (ADVICE r12: session-keyed TrieMaps pinned
+  // checkpointed frames for the JVM lifetime; entries now evict with the
+  // session's context)
   private def gram(s: SparkSession, d: String): DataFrame =
-    gramCache.get((s, d)) match {
-      case Some(g) => graft.LayerMetrics.reuse("pca_gram"); g
-      case None => gramCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("pca_gram") {
-          gramFrame(s, d).localCheckpoint()
-        })
+    graft.SessionCache.layer("pca_gram", s, d) {
+      gramFrame(s, d).localCheckpoint()
     }
 
   /** Six power-iteration supersteps from v₀ = VScale·1: per-step
     * (step, i, u, v_q) plus the final component frame (layer `pca_power`,
     * shared by `pca_power_component` and `embed_pca_project`). */
-  private val powerCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def power(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    powerCache.get((s, d)) match {
-      case Some(t) => graft.LayerMetrics.reuse("pca_power"); t
-      case None => powerCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("pca_power") {
+    graft.SessionCache.layer("pca_power", s, d) {
+      locally {
           val g = gram(s, d)
           // symmetric expansion: integer Gramian is exactly symmetric, so
           // mirroring the strict upper triangle reproduces the full matrix
@@ -122,7 +115,7 @@ object Pca {
             v = st.select(col("i"), col("v")).localCheckpoint()
           }
           (outs.reduce(_ unionByName _), v)
-        })
+      }
     }
 
   /** Unpack the aggregated d²-long array to (i, j, g_q) upper-triangle

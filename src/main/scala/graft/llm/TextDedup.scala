@@ -43,18 +43,12 @@ object TextDedup {
     * `dedup_minhash`, `corpus_clean`) — persist once per (session, dir) so
     * each bench/verify pass tokenizes the corpus once, like the layer cache
     * in [[graft.SparkEntry]]. */
-  private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[llm] def gramSets(s: SparkSession, d: String): DataFrame =
-    gramCache.get((s, d)) match {
-      case Some(df) => graft.LayerMetrics.reuse("grams"); df
-      case None => gramCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("grams") {
-          val df = gramSetsUncached(s, d)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        })
+    graft.SessionCache.layer("grams", s, d) {
+      val df = gramSetsUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
     }
 
   /** (doc_id, grams) table. Gram extraction runs as primitive string ops in
@@ -252,17 +246,11 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * the exact inverted-index baseline, collapse stats) reuse ONE
     * materialization instead of re-collapsing per query — the same
     * compute-the-layer-once posture as [[gramSets]]. */
-  private val collapseCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
   private[llm] def collapsedOf(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    collapseCache.get((s, d)) match {
-      case Some(t) => graft.LayerMetrics.reuse("collapse"); t
-      case None => collapseCache.getOrElseUpdate((s, d),
-        // reps is localCheckpoint-materialized inside collapse (eager);
-        // members is a narrow projection of the gram layer — nothing to
-        // materialize, so the timing wraps the checkpoint job itself
-        graft.LayerMetrics.build("collapse")(collapse(gramSets(s, d))))
-    }
+    // reps is localCheckpoint-materialized inside collapse (eager);
+    // members is a narrow projection of the gram layer — nothing to
+    // materialize, so the timing wraps the checkpoint job itself
+    graft.SessionCache.layer("collapse", s, d)(collapse(gramSets(s, d)))
 
   /** Adaptive-collapse gate (round 10): the exact-collapse tier buys its
     * (1+r)-to-(1+r)² shuffle reduction only when the duplication rate r is
@@ -425,19 +413,13 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * dedup pairs once and fans consumers out from the table. The frame is
     * pair-count-sized (bounded by true near-dup volume), far smaller than
     * its build inputs. */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.get((s, d)) match {
-      case Some(df) => graft.LayerMetrics.reuse("near_dup_pairs"); df
-      case None => pairCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("near_dup_pairs") {
-          val (members, reps, repPairs) = collapsedRepPairs(s, d)
-          val df = expandPairs(repPairs, members, reps)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        })
+    graft.SessionCache.layer("near_dup_pairs", s, d) {
+      val (members, reps, repPairs) = collapsedRepPairs(s, d)
+      val df = expandPairs(repPairs, members, reps)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
     }
 
   /** Cluster assignments (doc_id, cluster_rep, is_kept), cached per
@@ -445,19 +427,13 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * `dedup_keep_best` differ only in what they aggregate AFTER the
     * label-propagation fixpoint, so the superstep loop runs once. The
     * frame is one row per clustered doc — cheap to keep. */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[llm] def clustersOf(s: SparkSession, d: String): DataFrame =
-    clusterCache.get((s, d)) match {
-      case Some(df) => graft.LayerMetrics.reuse("clusters"); df
-      case None => clusterCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("clusters") {
-          val (members, reps, repPairs) = collapsedRepPairs(s, d)
-          val df = clusterAssignmentsFrom(members, reps, repPairs)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        })
+    graft.SessionCache.layer("clusters", s, d) {
+      val (members, reps, repPairs) = collapsedRepPairs(s, d)
+      val df = clusterAssignmentsFrom(members, reps, repPairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
     }
 
   /** The REP-level tier under [[nearDupPairs]] and `dedup_clusters`:
@@ -465,21 +441,15 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     * (session, dir) so the clustering query and the pair consumers share
     * one build of the verified rep-pair graph (they differ only in what
     * they do AFTER verification — expansion vs label propagation). */
-  private val repTierCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   private def collapsedRepPairs(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    repTierCache.get((s, d)) match {
-      case Some(t) => graft.LayerMetrics.reuse("rep_pairs"); t
-      case None => repTierCache.getOrElseUpdate((s, d),
-        graft.LayerMetrics.build("rep_pairs") {
-          val (members, reps) = collapsedOf(s, d)
-          val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
-          val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          repPairs.count()
-          (members, reps, repPairs)
-        })
+    graft.SessionCache.layer("rep_pairs", s, d) {
+      val (members, reps) = collapsedOf(s, d)
+      val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
+      val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      repPairs.count()
+      (members, reps, repPairs)
     }
 
   private[llm] def nearDupPairsFromGrams(grams: DataFrame): DataFrame = {

@@ -37,6 +37,144 @@ object TrainPrep {
     (id * 1103515245L + 12345L) % 2147483647L
   private def hashSql(e: String) = s"(($e * 1103515245 + 12345) % 2147483647)"
 
+  // ------------------------------------------------------ train_export --
+
+  /** THE north-star chain as ONE query (VERDICT r12 #7 — the LLM-side twin
+    * of `stream_exec_iot_chain`): quality + classifier filter and exact +
+    * near dedup ([[CorpusClean.clean]], stages 1-4 of the curation stack)
+    * → token-budget selection (half the cleaned corpus's token mass,
+    * greedy by quality — the `corpus_budget_select` shape over the CLEANED
+    * set) → deterministic hash split (the export ships the TRAIN slice) →
+    * per-source-shard sequence packing (`seq_packing`) → 2-epoch seeded
+    * shuffle (`epoch_shuffle`'s hash/shard/pos, over the export set).
+    *
+    * Scale posture inherits from the verified stages: dedup is
+    * banded-over-representatives, the global budget prefix sum is the
+    * distributed two-pass [[graft.operators.Ranks.globalRunningSum]], the
+    * packing window partitions by source shard, and the epoch permutation
+    * is [[graft.operators.Ranks.groupedRowNumber]] — no corpus-wide
+    * single-task operator anywhere in the chain.
+    *
+    * Returns (cleaned, selected, train, export): each stage's frame, so
+    * the export query and its yield funnel cannot drift apart. */
+  private def trainExportStages(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cleaned = CorpusClean.clean(s, d)
+      .select("doc_id", "n_tokens", "quality_score")
+    val ranked = graft.operators.Ranks.globalRunningSum(
+      cleaned, Seq(col("quality_score").desc, col("doc_id")),
+      col("n_tokens"), "cum_tokens")
+    val budget = cleaned.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val selected = ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "n_tokens", "quality_score")
+    val train = selected.filter(hashOf(col("doc_id")) % 100L < 80L)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ctx = 512L
+    val packed = train
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_bin",
+        ((col("cum") - col("n_tokens")) / ctx).cast("long"))
+      .withColumn("pack_offset",
+        col("cum") - col("n_tokens") - col("pack_bin") * ctx)
+    // epoch_shuffle's exact hash family (BatchPrep): 2 epochs, 8 shards
+    val byEpoch = packed
+      .withColumn("epoch", explode(array(lit(1), lit(2))))
+      .withColumn("h",
+        ((col("doc_id") * 7919L + col("epoch")) * 1103515245L + 12345L)
+          % 2147483647L)
+      .withColumn("shard", col("h") % 8L)
+    val export = graft.operators.Ranks.groupedRowNumber(
+        byEpoch, Seq("epoch", "shard"), Seq(col("h"), col("doc_id")), "pos")
+      .select(col("epoch"), col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("pack_bin"), col("pack_offset"),
+        col("shard"), col("pos"))
+    (cleaned, selected, train, export)
+  }
+
+  def trainExport(s: SparkSession, d: String): DataFrame =
+    trainExportStages(s, d)._4
+
+  /** Per-stage survivor counts of [[trainExport]] — the same observability
+    * contract as `corpus_yield_funnel` (stage counts ARE the operating
+    * metric of a training-data export). Five 1-row aggregates crossed
+    * (all broadcast) + one stack. */
+  def trainExportFunnel(s: SparkSession, d: String): DataFrame = {
+    val (cleaned, selected, train, export) = trainExportStages(s, d)
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    n(Tables.documents(s, d), "n0")
+      .crossJoin(broadcast(n(cleaned, "n1")))
+      .crossJoin(broadcast(n(selected, "n2")))
+      .crossJoin(broadcast(n(train, "n3")))
+      .crossJoin(broadcast(n(export, "n4")))
+      .selectExpr(
+        """stack(5,
+             0, 'raw',            n0,
+             1, 'cleaned',        n1,
+             2, 'budget_select',  n2,
+             3, 'train_split',    n3,
+             4, 'export_rows',    n4) AS (stage, stage_name, n_docs)""")
+  }
+
+  private def trainExportCtes: String = s"""
+cleaned AS (
+  SELECT doc_id, n_tokens, quality_score
+  FROM (${CorpusClean.oracles("corpus_clean")})
+),
+texp_r AS (
+  SELECT doc_id, n_tokens, quality_score,
+    SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM cleaned
+),
+texp_b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM cleaned),
+texp_sel AS (
+  SELECT doc_id, n_tokens, quality_score
+  FROM texp_r, texp_b WHERE cum_tokens <= budget
+),
+texp_train AS (
+  SELECT * FROM texp_sel WHERE ${hashSql("doc_id")} % 100 < 80
+),
+texp_pk AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+    CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_bin,
+    CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT) AS pack_offset
+  FROM (
+    SELECT t.doc_id, d.source, t.n_tokens, t.quality_score,
+      SUM(t.n_tokens) OVER (PARTITION BY d.source ORDER BY t.doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM texp_train t JOIN documents d USING (doc_id)
+  )
+),
+texp AS (
+  SELECT CAST(epoch AS INT) AS epoch, doc_id, source, n_tokens, quality_score,
+    pack_bin, pack_offset,
+    ((doc_id * 7919 + epoch) * 1103515245 + 12345) % 2147483647 % 8 AS shard,
+    CAST(row_number() OVER (
+      PARTITION BY epoch,
+        ((doc_id * 7919 + epoch) * 1103515245 + 12345) % 2147483647 % 8
+      ORDER BY ((doc_id * 7919 + epoch) * 1103515245 + 12345) % 2147483647,
+        doc_id) AS BIGINT) AS pos
+  FROM texp_pk, (SELECT unnest(generate_series(1, 2)) AS epoch)
+)"""
+
+  private def trainExportSql: String = s"""
+WITH $trainExportCtes
+SELECT epoch, doc_id, source, n_tokens, quality_score,
+  pack_bin, pack_offset, shard, pos
+FROM texp"""
+
+  private def trainExportFunnelSql: String = s"""
+WITH $trainExportCtes
+SELECT 0 AS stage, 'raw' AS stage_name,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'cleaned', (SELECT CAST(count(*) AS BIGINT) FROM cleaned)
+UNION ALL SELECT 2, 'budget_select', (SELECT CAST(count(*) AS BIGINT) FROM texp_sel)
+UNION ALL SELECT 3, 'train_split', (SELECT CAST(count(*) AS BIGINT) FROM texp_train)
+UNION ALL SELECT 4, 'export_rows', (SELECT CAST(count(*) AS BIGINT) FROM texp)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic negative sampling for contrastive training: each doc
     // gets 3 pseudo-random partner docs via an arithmetic hash of
@@ -184,6 +322,9 @@ object TrainPrep {
           (q / p).as("upsample"))
     }),
 
+    "train_export"        -> ((s, d) => trainExport(s, d)),
+    "train_export_funnel" -> ((s, d) => trainExportFunnel(s, d)),
+
     "embed_slice_norm" -> ((s, d) => {
       def sq(v: org.apache.spark.sql.Column) = {
         val x = v.cast("double"); x * x
@@ -311,6 +452,9 @@ SELECT lang, n_tokens,
   (sqrt(CAST(n_tokens AS DOUBLE)) / z)
     / (CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE)) AS upsample
 FROM per, t""",
+
+      "train_export"        -> trainExportSql,
+      "train_export_funnel" -> trainExportFunnelSql,
 
       "embed_slice_norm" -> """
 WITH m AS (

@@ -270,7 +270,9 @@ FROM customer"""
     // multi-file landing zone this reports per file with zero extra I/O;
     // the grouped agg is one shuffle over (file, tiny payload).
     "pipeline_report" -> ((s, d) => {
-      Tables.normalizeTs(s.read.parquet(s"$d/events.parquet"))
+      // the memoized reader serves _metadata too (it's a pseudo-column of
+      // the file relation, not a projection baked at read time)
+      Tables.normalizeTs(Tables.table(s, d, "events"))
         .select(
           col("_metadata.file_name").as("file_name"),
           col("ts"),

@@ -132,4 +132,35 @@ class TrainPrepSpec extends SparkSpec {
     if (nextIdx < ordered.length)
       assert(expected.values.max + ordered(nextIdx)._2 > budget)
   }
+
+  test("train_export: chain invariants hold (funnel, packing, shuffle positions)") {
+    val funnel = TrainPrep.queries("train_export_funnel")(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val export = TrainPrep.queries("train_export")(spark, sf).collect()
+    // funnel is monotone: each stage only drops documents, and the export
+    // carries every train doc exactly once per epoch
+    assert(funnel("raw") >= funnel("cleaned"))
+    assert(funnel("cleaned") >= funnel("budget_select"))
+    assert(funnel("budget_select") >= funnel("train_split"))
+    assert(funnel("export_rows") === funnel("train_split") * 2)
+    assert(export.length.toLong === funnel("export_rows"))
+    assert(funnel("train_split") > 0, "empty export — chain broke upstream")
+    // schema: epoch, doc_id, source, n_tokens, quality_score, pack_bin,
+    //         pack_offset, shard, pos
+    val rows = export.map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+      r.getInt(3), r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8)))
+    // every exported doc survives the cleaned pipeline's quality gate
+    assert(rows.forall(_._5 >= CorpusClean.QualityThreshold))
+    // packing: offsets live inside the context window
+    assert(rows.forall(r => r._7 >= 0 && r._7 < 512))
+    // per-epoch: the two epochs export the SAME doc set under DIFFERENT
+    // permutations (that's what folding the epoch into the hash buys)
+    val e1 = rows.filter(_._1 == 1); val e2 = rows.filter(_._1 == 2)
+    assert(e1.map(_._2).sorted.toSeq === e2.map(_._2).sorted.toSeq)
+    assert(e1.map(r => (r._2, r._8, r._9)).toSet !== e2.map(r => (r._2, r._8, r._9)).toSet)
+    // shuffle positions are contiguous 1..n per (epoch, shard)
+    for (((_, _), grp) <- rows.groupBy(r => (r._1, r._8)))
+      assert(grp.map(_._9).sorted.toSeq === (1L to grp.length).toSeq)
+  }
 }
