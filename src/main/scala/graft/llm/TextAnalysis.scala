@@ -190,20 +190,44 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
     // distinct 3-grams with a held-out benchmark doc (every 100th doc)?
     // Inverted-index shuffle join on the gram — the same no-all-pairs
     // shape as the Jaccard dedup, but asymmetric (benchmark vs corpus).
+    //
+    // Round 13: the join runs over the COLLAPSE TIER (TextDedup
+    // .collapsedOf) — identical documents have identical distinct-gram
+    // sets, so shared-gram counting happens once per distinct content
+    // pair and doc-level (bench, corpus) pairs are a membership
+    // expansion. The doc-level join was the round-13 sf5 sweep's one real
+    // knee (12.9x at 2.5x data on a duplicate-heavy corpus: every gram
+    // bucket carries each copy, so join volume rides F^2); the rep join
+    // is scale-invariant under duplication and the F^2 growth moves to
+    // the expansion — the query's own output floor. Same pair set, same
+    // oracle.
     "contamination_overlap" -> ((s, d) => {
-      // reuse the cached mapPartitions gram sets shared with the dedup
-      // queries (identical distinct-3-gram semantics; the HOF ngrams
-      // builder is interpreted per element and ~1ms/doc)
-      val grams = TextDedup.gramSets(s, d)
-        .select(col("doc_id"), explode(col("grams")).as("g"))
-      val bench = grams.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("bench_id"), col("g"))
-      val corpus = grams.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id").as("corpus_id"), col("g"))
-      bench.join(corpus, "g")
-        .groupBy("bench_id", "corpus_id")
-        .agg(count(lit(1)).cast("int").as("shared_grams"))
+      val (members, reps) = TextDedup.collapsedOf(s, d)
+      val bench = members.filter(col("doc_id") % 100 === 0)
+        .select(col("fp"), col("doc_id").as("bench_id"))
+      val corpus = members.filter(col("doc_id") % 100 =!= 0)
+        .select(col("fp"), col("doc_id").as("corpus_id"))
+      val repGrams = reps.select(col("fp"), explode(col("grams")).as("g"))
+      // distinct-content pairs sharing >= 2 grams (unordered at the join,
+      // both directions at the expansion — membership is side-specific)
+      val shared = repGrams.select(col("fp").as("f1"), col("g"))
+        .join(repGrams.select(col("fp").as("f2"), col("g")), "g")
+        .filter(col("f1") < col("f2"))
+        .groupBy("f1", "f2").agg(count(lit(1)).cast("int").as("shared_grams"))
         .filter(col("shared_grams") >= 2)
+      // same-content pairs: the intersection is the group's own gram count
+      val self = reps
+        .select(col("fp"), size(col("grams")).cast("int").as("shared_grams"))
+        .filter(col("shared_grams") >= 2)
+        .select(col("fp").as("f1"), col("fp").as("f2"), col("shared_grams"))
+      val directed = shared
+        .unionByName(shared.select(col("f2").as("f1"), col("f1").as("f2"),
+          col("shared_grams")))
+        .unionByName(self)
+      directed
+        .join(bench.select(col("fp").as("f1"), col("bench_id")), "f1")
+        .join(corpus.select(col("fp").as("f2"), col("corpus_id")), "f2")
+        .select("bench_id", "corpus_id", "shared_grams")
     }),
 
     // TF/DF statistics (the integer-exact core of TF-IDF; the log-scoring

@@ -56,43 +56,52 @@ object TrainPrep {
     * single-task operator anywhere in the chain.
     *
     * Returns (cleaned, selected, train, export): each stage's frame, so
-    * the export query and its yield funnel cannot drift apart. */
+    * the export query and its yield funnel cannot drift apart. Built ONCE
+    * per (session, dir) with each stage localCheckpoint-materialized (the
+    * mart/ANN/pair layer-cache posture): the `cleaned` subtree feeds the
+    * budget aggregate, both phases of the distributed prefix sum, and the
+    * funnel — without the leaf it re-evaluates the whole 5-stage clean
+    * per consumer (measured 20 s vs ~1 s warm at sf0.1). */
   private def trainExportStages(
-      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cleaned = CorpusClean.clean(s, d)
-      .select("doc_id", "n_tokens", "quality_score")
-    val ranked = graft.operators.Ranks.globalRunningSum(
-      cleaned, Seq(col("quality_score").desc, col("doc_id")),
-      col("n_tokens"), "cum_tokens")
-    val budget = cleaned.agg(expr("sum(n_tokens) div 2").as("budget"))
-    val selected = ranked.crossJoin(broadcast(budget))
-      .filter(col("cum_tokens") <= col("budget"))
-      .select("doc_id", "n_tokens", "quality_score")
-    val train = selected.filter(hashOf(col("doc_id")) % 100L < 80L)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ctx = 512L
-    val packed = train
-      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_bin",
-        ((col("cum") - col("n_tokens")) / ctx).cast("long"))
-      .withColumn("pack_offset",
-        col("cum") - col("n_tokens") - col("pack_bin") * ctx)
-    // epoch_shuffle's exact hash family (BatchPrep): 2 epochs, 8 shards
-    val byEpoch = packed
-      .withColumn("epoch", explode(array(lit(1), lit(2))))
-      .withColumn("h",
-        ((col("doc_id") * 7919L + col("epoch")) * 1103515245L + 12345L)
-          % 2147483647L)
-      .withColumn("shard", col("h") % 8L)
-    val export = graft.operators.Ranks.groupedRowNumber(
-        byEpoch, Seq("epoch", "shard"), Seq(col("h"), col("doc_id")), "pos")
-      .select(col("epoch"), col("doc_id"), col("source"), col("n_tokens"),
-        col("quality_score"), col("pack_bin"), col("pack_offset"),
-        col("shard"), col("pos"))
-    (cleaned, selected, train, export)
-  }
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.SessionCache.layer("train_export", s, d) {
+      val cleaned = CorpusClean.clean(s, d)
+        .select("doc_id", "n_tokens", "quality_score")
+        .localCheckpoint()
+      val ranked = graft.operators.Ranks.globalRunningSum(
+        cleaned, Seq(col("quality_score").desc, col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      val budget = cleaned.agg(expr("sum(n_tokens) div 2").as("budget"))
+      val selected = ranked.crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select("doc_id", "n_tokens", "quality_score")
+        .localCheckpoint()
+      val train = selected.filter(hashOf(col("doc_id")) % 100L < 80L)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ctx = 512L
+      val packed = train
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_bin",
+          ((col("cum") - col("n_tokens")) / ctx).cast("long"))
+        .withColumn("pack_offset",
+          col("cum") - col("n_tokens") - col("pack_bin") * ctx)
+      // epoch_shuffle's exact hash family (BatchPrep): 2 epochs, 8 shards
+      val byEpoch = packed
+        .withColumn("epoch", explode(array(lit(1), lit(2))))
+        .withColumn("h",
+          ((col("doc_id") * 7919L + col("epoch")) * 1103515245L + 12345L)
+            % 2147483647L)
+        .withColumn("shard", col("h") % 8L)
+      val export = graft.operators.Ranks.groupedRowNumber(
+          byEpoch, Seq("epoch", "shard"), Seq(col("h"), col("doc_id")), "pos")
+        .select(col("epoch"), col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_score"), col("pack_bin"), col("pack_offset"),
+          col("shard"), col("pos"))
+        .localCheckpoint()
+      (cleaned, selected, train, export)
+    }
 
   def trainExport(s: SparkSession, d: String): DataFrame =
     trainExportStages(s, d)._4
