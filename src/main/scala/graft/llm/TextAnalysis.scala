@@ -412,12 +412,217 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
           max(col("n_tokens")).as("max_tokens"),
           countDistinct(col("lang")).as("langs")
         )
+    }),
+
+    // Vocabulary growth curve (Heaps'-law profile): distinct token types
+    // vs running token count after the first 1/8, 1/4, 1/2, and all of the
+    // corpus in doc_id order. Two row-scale reductions cover every prefix
+    // at once — each type's FIRST document (min per token) and each doc's
+    // token count — then the four prefix cells are conditional sums over
+    // those aggregates against in-plan thresholds (broadcast 1-row max,
+    // the drift_tvd pattern). No per-prefix rescans, no windows: the
+    // 100 TB cost is one token shuffle regardless of how many curve points
+    // are reported.
+    "vocab_growth_curve" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T).as("tok"))
+      val first = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      def cut(k: Int) = floor(col("mx") * k / 8.0).cast("long")
+      val vAgg = first.crossJoin(broadcast(mx)).agg(
+        max(col("mx")).as("mx"),
+        sum(when(col("fd") <= cut(1), 1L).otherwise(0L)).as("v1"),
+        sum(when(col("fd") <= cut(2), 1L).otherwise(0L)).as("v2"),
+        sum(when(col("fd") <= cut(4), 1L).otherwise(0L)).as("v4"),
+        sum(when(col("fd") <= cut(8), 1L).otherwise(0L)).as("v8"))
+      val nAgg = perDoc.crossJoin(broadcast(mx)).agg(
+        sum(when(col("doc_id") <= cut(1), col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("doc_id") <= cut(2), col("n")).otherwise(0L)).as("n2"),
+        sum(when(col("doc_id") <= cut(4), col("n")).otherwise(0L)).as("n4"),
+        sum(when(col("doc_id") <= cut(8), col("n")).otherwise(0L)).as("n8"))
+      vAgg.crossJoin(broadcast(nAgg))
+        .selectExpr(
+          """stack(4,
+               1, CAST(floor(mx * 1 / 8.0) AS BIGINT), n1, v1,
+               2, CAST(floor(mx * 2 / 8.0) AS BIGINT), n2, v2,
+               4, CAST(floor(mx * 4 / 8.0) AS BIGINT), n4, v4,
+               8, CAST(floor(mx * 8 / 8.0) AS BIGINT), n8, v8)
+             AS (eighths, prefix_docs, n_tokens, vocab)""")
+        .withColumn("type_token_ratio",
+          col("vocab").cast("double") / col("n_tokens").cast("double"))
+    }),
+
+    // N-gram novelty curve — the freshness counterpart of
+    // vocab_growth_curve at the TRIGRAM level (the unit near-dup and
+    // contamination work on): split the corpus into eighths by doc id and
+    // report, per eighth, how many of its distinct (doc, trigram) pairs
+    // use a trigram first seen in that eighth. A collapsing novelty rate
+    // is the measurable "new data stopped adding information" signal that
+    // data-acquisition loops watch. Cost: one trigram shuffle for the
+    // min-first-doc reduction + one bucket aggregate — both partial-
+    // aggregable; the eighth boundaries ride in-plan (broadcast 1-row max).
+    "ngram_novelty" -> ((s, d) => {
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      def bucket(doc: Column): Column = {
+        (1 to 7).foldRight(lit(8): Column) { (k, rest) =>
+          when(doc <= floor(col("mx") * k / 8.0).cast("long"), k).otherwise(rest)
+        }
+      }
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.ngrams(T, 3)).as("gram"))
+      val newPerEighth = pairs.groupBy("gram").agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(mx))
+        .groupBy(bucket(col("fd")).as("eighth"))
+        .agg(count(lit(1)).as("new_grams"))
+      val occPerEighth = pairs.crossJoin(broadcast(mx))
+        .groupBy(bucket(col("doc_id")).as("eighth"))
+        .agg(count(lit(1)).as("gram_occurrences"))
+      occPerEighth.join(newPerEighth, Seq("eighth"), "left")
+        .select(col("eighth"), coalesce(col("new_grams"), lit(0L)).as("new_grams"),
+          col("gram_occurrences"))
+        .withColumn("novelty_rate",
+          col("new_grams").cast("double") / col("gram_occurrences").cast("double"))
+    }),
+
+    // Decile-lift table for the quality score against a repetition label —
+    // the standard "does the model's score actually rank the outcome"
+    // evaluation (gains chart). Docs sort into EXACT score deciles with
+    // the distributed ntile (range-sort + offsets — never a single-task
+    // global window; (score desc, doc_id) is a total order so the cut is
+    // deterministic on both engines); the label — the doc repeats a
+    // trigram — is per-row inside codegen, no join; lift = decile
+    // rep-rate / corpus rep-rate, both divisions after the final
+    // reduction. A sloping lift column is the curation signal that
+    // low-quality text repeats itself.
+    "score_decile_lift" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", T)
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("nd", size(array_distinct(col("toks"))))
+        .withColumn("sw", size(filter(col("toks"), t => t.isin(Stopwords: _*))))
+        .select(col("doc_id"),
+          qualityExpr(col("n_tokens"), col("nd"), col("sw")).as("quality_score"),
+          when(size(Text.ngramsAll(col("toks"), 3)) > size(Text.ngrams(col("toks"), 3)),
+            1L).otherwise(0L).as("is_rep"))
+      val dec = graft.operators.Ranks.globalNtile(
+        scored, Seq(col("quality_score").desc, col("doc_id")), 10, "decile")
+      val overall = dec.agg(
+        sum(col("is_rep")).as("rep_all"), count(lit(1)).as("n_all"))
+      dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_rep")).as("n_rep"))
+        .crossJoin(broadcast(overall))
+        .withColumn("rep_rate",
+          col("n_rep").cast("double") / col("n_docs").cast("double"))
+        .withColumn("lift", col("rep_rate")
+          / (col("rep_all").cast("double") / col("n_all").cast("double")))
+        .select("decile", "n_docs", "n_rep", "rep_rate", "lift")
     })
   )
 
   def oracles: Map[String, String] = {
     val stopSql = s"list_filter(toks, t -> t IN ($StopwordsSqlIn))"
     Map(
+      // Mirrors the Spark plan: same min-first-doc / per-doc-count
+      // reductions, same floor(mx·k/8) thresholds, same conditional sums,
+      // one division per curve point.
+      "vocab_growth_curve" -> s"""
+WITH toks AS (
+  SELECT doc_id, unnest($TS) AS tok FROM documents
+), first AS (
+  SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok
+), perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
+), mx AS (
+  SELECT max(doc_id) AS mx FROM documents
+), v AS (
+  SELECT
+    CAST(sum(CASE WHEN fd <= floor(mx * 1 / 8.0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN fd <= floor(mx * 2 / 8.0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN fd <= floor(mx * 4 / 8.0) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(sum(CASE WHEN fd <= floor(mx * 8 / 8.0) THEN 1 ELSE 0 END) AS BIGINT) AS v8
+  FROM first CROSS JOIN mx
+), nn AS (
+  SELECT
+    CAST(sum(CASE WHEN doc_id <= floor(mx * 1 / 8.0) THEN n ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN doc_id <= floor(mx * 2 / 8.0) THEN n ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN doc_id <= floor(mx * 4 / 8.0) THEN n ELSE 0 END) AS BIGINT) AS n4,
+    CAST(sum(CASE WHEN doc_id <= floor(mx * 8 / 8.0) THEN n ELSE 0 END) AS BIGINT) AS n8
+  FROM perdoc CROSS JOIN mx
+), rows_ AS (
+  SELECT 1 AS eighths, CAST(floor(mx * 1 / 8.0) AS BIGINT) AS prefix_docs, n1 AS n_tokens, v1 AS vocab FROM v, nn, mx
+  UNION ALL
+  SELECT 2, CAST(floor(mx * 2 / 8.0) AS BIGINT), n2, v2 FROM v, nn, mx
+  UNION ALL
+  SELECT 4, CAST(floor(mx * 4 / 8.0) AS BIGINT), n4, v4 FROM v, nn, mx
+  UNION ALL
+  SELECT 8, CAST(floor(mx * 8 / 8.0) AS BIGINT), n8, v8 FROM v, nn, mx
+)
+SELECT eighths, prefix_docs, n_tokens, vocab,
+  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+FROM rows_""",
+
+      // Mirrors the Spark plan: same distinct-per-doc trigrams, same
+      // min-first-doc reduction, same floor(mx·k/8) bucket CASE chain.
+      "ngram_novelty" -> {
+        def bucketSql(c: String) =
+          (1 to 7).map(k =>
+            s"WHEN $c <= CAST(floor(mx * $k / 8.0) AS BIGINT) THEN $k")
+            .mkString("CASE ", " ", " ELSE 8 END")
+        s"""
+WITH mx AS (
+  SELECT max(doc_id) AS mx FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(${Text.ngramsSql(TS, 3)}) AS gram FROM documents
+), firstdoc AS (
+  SELECT gram, min(doc_id) AS fd FROM pairs GROUP BY gram
+), ne AS (
+  SELECT ${bucketSql("fd")} AS eighth, CAST(count(*) AS BIGINT) AS new_grams
+  FROM firstdoc CROSS JOIN mx GROUP BY 1
+), oc AS (
+  SELECT ${bucketSql("doc_id")} AS eighth,
+    CAST(count(*) AS BIGINT) AS gram_occurrences
+  FROM pairs CROSS JOIN mx GROUP BY 1
+)
+SELECT oc.eighth, coalesce(ne.new_grams, 0) AS new_grams, oc.gram_occurrences,
+  CAST(coalesce(ne.new_grams, 0) AS DOUBLE) / CAST(oc.gram_occurrences AS DOUBLE)
+    AS novelty_rate
+FROM oc LEFT JOIN ne ON oc.eighth = ne.eighth"""
+      },
+
+      // Mirrors the Spark plan: same quality score, same trigram-repetition
+      // label (total vs distinct trigram list lengths), ntile(10) over the
+      // same (score desc, doc_id) total order (the distributed ntile is
+      // pinned bit-identical to the window function), same post-reduction
+      // divisions.
+      "score_decile_lift" -> s"""
+WITH scored AS (
+  SELECT doc_id,
+    ${qualityExprSql(
+        "CAST(len(toks) AS INT)",
+        "CAST(len(list_distinct(toks)) AS INT)",
+        s"CAST(len(list_filter(toks, t -> t IN ($StopwordsSqlIn))) AS INT)")}
+      AS quality_score,
+    CASE WHEN len(${Text.ngramsAllSql("toks", 3)})
+           > len(${Text.ngramsSql("toks", 3)}) THEN 1 ELSE 0 END AS is_rep
+  FROM (SELECT doc_id, $TS AS toks FROM documents)
+), dec AS (
+  SELECT doc_id, quality_score, is_rep,
+    CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INTEGER)
+      AS decile
+  FROM scored
+), overall AS (
+  SELECT CAST(sum(is_rep) AS BIGINT) AS rep_all,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM dec
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_rep) AS BIGINT) AS n_rep,
+  CAST(sum(is_rep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_rate,
+  (CAST(sum(is_rep) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+    / (CAST((SELECT rep_all FROM overall) AS DOUBLE)
+       / CAST((SELECT n_all FROM overall) AS DOUBLE)) AS lift
+FROM dec GROUP BY decile""",
       "doc_stats" -> s"""
 WITH base AS (
   SELECT doc_id, text, $TS AS toks FROM documents

@@ -387,6 +387,49 @@ FROM customer"""
           col("rows_below_l").cast("double") / col("n_rows").cast("double"))
     }),
 
+    // t-closeness audit — the third privacy sibling: a QI group passes
+    // k-anonymity and l-diversity yet still leaks when its sensitive-value
+    // DISTRIBUTION deviates from the global one. For the ORDERED sensitive
+    // attribute (balance band) the t-closeness distance is the Earth
+    // Mover's Distance = (1/(m−1))·Σᵢ |CumP(i) − CumQ(i)| over the m-value
+    // ordered domain; everything stays exact integers by scaling: per
+    // group g, emd_num = Σ_band |cum_g·N − cum_all·n_g| with denominator
+    // n_g·N·(m−1) (the last band's term is identically 0, so summing all m
+    // bands equals the textbook m−1 terms). Shape: one grouped count on
+    // (QI, band) — the only row-scale shuffle — then everything runs on
+    // the QI-cardinality × domain-cardinality grid (bounded by the QI
+    // design, NOT the row count): the grid is a broadcast cross join of
+    // two aggregate-bounded dims, cum_g is a window partitioned per group
+    // over ≤m rows, and cum_all = Σ_g cum_g is a grouped sum over the grid
+    // — no global window anywhere.
+    "t_closeness_audit" -> ((s, d) => {
+      val cnt = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").cast("long").as("g"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+        .agg(count(lit(1)).as("c"))
+      val groups = cnt.groupBy("g").agg(sum(col("c")).as("n_g"))
+      val bands  = cnt.select("band").distinct()
+      val m = bands.agg(count(lit(1)).as("m"))
+      val total = cnt.agg(sum(col("c")).as("n_all"))
+      val grid = groups.crossJoin(broadcast(bands))
+        .join(cnt, Seq("g", "band"), "left")
+        .select(col("g"), col("band"), col("n_g"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wg = Window.partitionBy("g").orderBy("band")
+      val cum = grid.withColumn("cum_g", sum(col("c")).over(wg))
+      val cumAll = cum.groupBy("band").agg(sum(col("cum_g")).as("cum_all"))
+      cum.join(cumAll, "band")
+        .crossJoin(broadcast(total))
+        .groupBy(col("g").as("c_nationkey"), col("n_g"), col("n_all"))
+        .agg(sum(abs(col("cum_g") * col("n_all") - col("cum_all") * col("n_g")))
+          .as("emd_num"))
+        .crossJoin(broadcast(m))
+        .select(col("c_nationkey"), col("n_g").as("n_rows"), col("emd_num"),
+          (col("n_g") * col("n_all") * (col("m") - 1)).as("emd_den"))
+        .withColumn("emd",
+          col("emd_num").cast("double") / col("emd_den").cast("double"))
+    }),
+
     // Benford's-law first-digit profile of order totals: exact per-digit
     // counts, observed fraction, and the quantized deviation from the
     // Benford expectation — the classic fraud/drift screen. The aggregate
@@ -640,6 +683,47 @@ FROM (
   UNION ALL SELECT 3, g3, r3, n_groups, n_rows, min_l FROM a
   UNION ALL SELECT 5, g5, r5, n_groups, n_rows, min_l FROM a
 )""",
+
+    // Mirrors the Spark audit exactly: same (QI, band) count, same grid
+    // completion with 0-filled missing cells, same per-group cumulative,
+    // cum_all derived as Σ_g cum_g, same integer-scaled EMD numerator and
+    // n_g·N·(m−1) denominator, one final division.
+    "t_closeness_audit" -> """
+WITH cnt AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS g,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+    CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2
+), groups AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cnt GROUP BY g
+), bands AS (
+  SELECT DISTINCT band FROM cnt
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM bands
+), total AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cnt
+), grid AS (
+  SELECT groups.g, bands.band, groups.n_g, coalesce(cnt.c, 0) AS c
+  FROM groups CROSS JOIN bands
+  LEFT JOIN cnt ON cnt.g = groups.g AND cnt.band = bands.band
+), cum AS (
+  SELECT g, band, n_g,
+    CAST(sum(c) OVER (PARTITION BY g ORDER BY band) AS BIGINT) AS cum_g
+  FROM grid
+), cum_all AS (
+  SELECT band, CAST(sum(cum_g) AS BIGINT) AS cum_all FROM cum GROUP BY band
+), e AS (
+  SELECT cum.g AS c_nationkey, cum.n_g, total.n_all,
+    CAST(sum(abs(cum.cum_g * total.n_all - cum_all.cum_all * cum.n_g)) AS BIGINT)
+      AS emd_num
+  FROM cum JOIN cum_all ON cum.band = cum_all.band CROSS JOIN total
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, n_g AS n_rows, emd_num,
+  n_g * n_all * ((SELECT m FROM m) - 1) AS emd_den,
+  CAST(emd_num AS DOUBLE)
+    / CAST(n_g * n_all * ((SELECT m FROM m) - 1) AS DOUBLE) AS emd
+FROM e""",
 
     "pipeline_report" -> """
 SELECT 'events.parquet' AS file_name,

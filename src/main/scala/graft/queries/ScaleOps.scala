@@ -304,13 +304,57 @@ SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
   bool_and(shard9 = shard8 OR shard9 = 8) AS moves_only_to_new
 FROM asg GROUP BY 1"""
 
+  /** Join-size estimation — the optimizer-statistics primitive that
+    * decides broadcast vs shuffle vs skew-mitigation before a join runs.
+    * Exact |events ⋈ orders on user key| = Σ_k c_e(k)·c_o(k) over per-key
+    * counts (two partial-aggregable reductions + a key-scale join — never
+    * the row-scale join itself), beside the classic KEY-SAMPLED estimator:
+    * keep keys ≡ 0 (mod 16) and scale by 16. Sampling KEYS keeps both
+    * sides' counts for a kept key exact, so the estimator is unbiased for
+    * join size — uniform ROW sampling is not (it hits c_e·c_o with
+    * probability p², famously underestimating skewed joins), which is why
+    * every serious engine samples the key domain. Output: one row with
+    * exact, estimate, and relative error. */
+  private def joinCardinalityEst(s: SparkSession, d: String): DataFrame = {
+    val ce = Tables.events(s, d).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("ce"))
+    val co = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("co"))
+    ce.join(co, "k").agg(
+        count(lit(1)).as("n_join_keys"),
+        sum(col("ce") * col("co")).as("exact_pairs"),
+        sum(when(col("k") % 16 === 0, col("ce") * col("co") * 16)
+          .otherwise(0L)).as("est_pairs"))
+      .withColumn("rel_err",
+        (col("est_pairs") - col("exact_pairs")).cast("double")
+          / col("exact_pairs").cast("double"))
+  }
+
+  // Mirrors the Spark plan: same per-key counts, same mod-16 key sample,
+  // same ELSE-0 sum and single division.
+  private val joinCardinalitySql: String = """
+WITH ce AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ce FROM events GROUP BY 1
+), co AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS co FROM orders GROUP BY 1
+), j AS (
+  SELECT ce.k, ce.ce, co.co FROM ce JOIN co ON ce.k = co.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+  CAST(sum(ce * co) AS BIGINT) AS exact_pairs,
+  CAST(sum(CASE WHEN k % 16 = 0 THEN ce * co * 16 ELSE 0 END) AS BIGINT) AS est_pairs,
+  CAST(sum(CASE WHEN k % 16 = 0 THEN ce * co * 16 ELSE 0 END) - sum(ce * co) AS DOUBLE)
+    / CAST(sum(ce * co) AS DOUBLE) AS rel_err
+FROM j"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> ((s, d) => q3ShippingPriority(s, d)),
     "compaction_bins"      -> ((s, d) => compactionBins(s, d)),
     "salted_skew_join"     -> ((s, d) => saltedSkewJoin(s, d)),
     "copurchase_pairs"     -> ((s, d) => copurchasePairs(s, d)),
     "association_rules"    -> ((s, d) => associationRules(s, d)),
-    "rendezvous_shards"    -> ((s, d) => rendezvousShards(s, d))
+    "rendezvous_shards"    -> ((s, d) => rendezvousShards(s, d)),
+    "join_cardinality_est" -> ((s, d) => joinCardinalityEst(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -319,6 +363,7 @@ FROM asg GROUP BY 1"""
     "salted_skew_join"     -> saltedSql,
     "copurchase_pairs"     -> copurchaseSql,
     "association_rules"    -> associationRulesSql,
-    "rendezvous_shards"    -> rendezvousSql
+    "rendezvous_shards"    -> rendezvousSql,
+    "join_cardinality_est" -> joinCardinalitySql
   )
 }

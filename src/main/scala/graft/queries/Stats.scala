@@ -562,8 +562,122 @@ FROM t JOIN (
   SELECT q, row_number() OVER (ORDER BY q) AS rn FROM q
 ) s ON s.rn = t.k"""
 
+  /** Exact 10%-trimmed and winsorized means per order priority — the
+    * robust-statistics pair every data-quality pipeline wants, computed
+    * EXACTLY at scale with the binned-selection discipline of
+    * [[groupedMedianTwoPass]] (never a per-group window over raw rows):
+    *
+    *  1. bin histogram per (group, q div 65536) carrying count AND sum;
+    *  2. a window over the BIN aggregate (≤ value-range/65536 rows per
+    *     group) locates the ≤2 "anchor" bins holding the trim ranks
+    *     k_lo = n div 10 + 1 and k_hi = n − n div 10;
+    *  3. bins strictly inside the trim window contribute their whole
+    *     (count, sum) via one conditional aggregate — no value-level work;
+    *  4. only anchor-bin VALUES are re-scanned: per distinct value the
+    *     rank-interval overlap contribution
+    *     max(0, min(le,k_hi) − max(lt,k_lo−1)) — exact under ties — plus
+    *     the boundary order statistics v_lo/v_hi;
+    *  5. winsorized sum = trimmed sum + (k_lo−1)·v_lo + (n−k_hi)·v_hi
+    *     (identical to rank-clamping, including tie semantics).
+    *
+    * All sums are int64 cents (|Σ| < 9e14 at sf5 — headroom 1e4; a 100 TB
+    * deployment would swap in Sum128); divisions happen once, after the
+    * final reduction, in lock-step operand order with the oracle. */
+  def trimmedStats(s: SparkSession, d: String): DataFrame = {
+    val W = 65536L
+    val ev = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("q"))
+    val tot = ev.groupBy("g").agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"),
+        expr("n div 10 + 1").as("k_lo"), expr("n - n div 10").as("k_hi"))
+    val hist = ev.groupBy(col("g"), expr(s"q div $W").as("bin"))
+      .agg(count(lit(1)).as("c"), sum(col("q")).as("sq"))
+    val wb = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("prev", col("cum") - col("c"))
+      .join(tot, Seq("g"))
+    val anchor = (col("prev") < col("k_lo") && col("cum") >= col("k_lo")) ||
+      (col("prev") < col("k_hi") && col("cum") >= col("k_hi"))
+    val mid = cum.groupBy("g").agg(
+      sum(when(!anchor && col("prev") >= col("k_lo") - 1 && col("cum") <= col("k_hi"),
+        col("sq")).otherwise(0L)).as("mid_sum"))
+    val cand = cum.filter(anchor)
+      .select(col("g").as("cg"), col("bin"), col("prev"),
+        col("k_lo").as("klo"), col("k_hi").as("khi"))
+    val wq = Window.partitionBy("cg", "bin").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vals = ev
+      .join(cand, col("g") === col("cg") && expr(s"q div $W") === col("bin"))
+      .groupBy("cg", "bin", "q", "prev", "klo", "khi")
+      .agg(count(lit(1)).as("cq"))
+      .withColumn("le", col("prev") + sum(col("cq")).over(wq))
+      .withColumn("lt", col("le") - col("cq"))
+      .groupBy(col("cg").as("g")).agg(
+        sum(col("q") * greatest(lit(0L),
+          least(col("le"), col("khi")) - greatest(col("lt"), col("klo") - 1)))
+          .as("b_sum"),
+        min(when(col("le") >= col("klo") && col("lt") < col("klo"), col("q")))
+          .as("v_lo"),
+        min(when(col("le") >= col("khi") && col("lt") < col("khi"), col("q")))
+          .as("v_hi"))
+    tot.join(mid, Seq("g")).join(vals, Seq("g"))
+      .withColumn("trim_sum", col("mid_sum") + col("b_sum"))
+      .withColumn("trim_cnt", col("k_hi") - col("k_lo") + 1)
+      .withColumn("win_sum", col("trim_sum")
+        + (col("k_lo") - 1) * col("v_lo") + (col("n") - col("k_hi")) * col("v_hi"))
+      .select(col("g").as("o_orderpriority"), col("n"), col("k_lo"), col("k_hi"),
+        (col("v_lo").cast("double") / 100.0).as("p10"),
+        (col("v_hi").cast("double") / 100.0).as("p90"),
+        (col("trim_sum").cast("double") / col("trim_cnt").cast("double") / 100.0)
+          .as("trimmed_mean"),
+        (col("win_sum").cast("double") / col("n").cast("double") / 100.0)
+          .as("winsorized_mean"))
+  }
+
+  // Independent twin: the oracle ranks every row with row_number (fine
+  // single-threaded) and derives the same statistics from rank windows and
+  // value clamping — a different formulation proving the binned selection.
+  private val trimmedStatsSql: String = """
+WITH q AS (
+  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS q
+  FROM orders
+), t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) // 10 + 1 AS BIGINT) AS k_lo,
+    CAST(count(*) - count(*) // 10 AS BIGINT) AS k_hi
+  FROM q GROUP BY g
+), rk AS (
+  SELECT g, q, row_number() OVER (PARTITION BY g ORDER BY q) AS rn FROM q
+), j AS (
+  SELECT rk.g, rk.q, rk.rn, t.n, t.k_lo, t.k_hi
+  FROM rk JOIN t ON rk.g = t.g
+), bounds AS (
+  SELECT g, min(CASE WHEN rn = k_lo THEN q END) AS v_lo,
+         min(CASE WHEN rn = k_hi THEN q END) AS v_hi
+  FROM j GROUP BY g
+), agg AS (
+  SELECT j.g, j.n, j.k_lo, j.k_hi, b.v_lo, b.v_hi,
+    CAST(sum(CASE WHEN j.rn BETWEEN j.k_lo AND j.k_hi THEN j.q ELSE 0 END) AS BIGINT)
+      AS trim_sum,
+    CAST(sum(CASE WHEN j.q < b.v_lo THEN b.v_lo
+                  WHEN j.q > b.v_hi THEN b.v_hi
+                  ELSE j.q END) AS BIGINT) AS win_sum
+  FROM j JOIN bounds b ON j.g = b.g
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT g AS o_orderpriority, n, k_lo, k_hi,
+  CAST(v_lo AS DOUBLE) / 100.0 AS p10,
+  CAST(v_hi AS DOUBLE) / 100.0 AS p90,
+  CAST(trim_sum AS DOUBLE) / CAST(k_hi - k_lo + 1 AS DOUBLE) / 100.0 AS trimmed_mean,
+  CAST(win_sum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS winsorized_mean
+FROM agg"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_median_twopass" -> ((s, d) => exactMedianTwoPass(s, d)),
+    "trimmed_stats" -> ((s, d) => trimmedStats(s, d)),
     "grouped_median_twopass" -> ((s, d) => groupedMedianTwoPass(s, d)),
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
@@ -575,6 +689,7 @@ FROM t JOIN (
 
   def oracles: Map[String, String] = Map(
     "exact_median_twopass" -> exactMedianSql,
+    "trimmed_stats" -> trimmedStatsSql,
     "grouped_median_twopass" -> groupedMedianSql,
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,

@@ -398,6 +398,65 @@ FROM tri
 WHERE s2 IS NOT NULL AND s1 IS NOT NULL AND sym IS NOT NULL
 GROUP BY s2 || s1 || sym"""
 
+  /** Run-length encoding of each user's event-type SEQUENCE (the classic
+    * sequence-compression / behavioral-segmentation primitive): a run is a
+    * maximal streak of consecutive equal event types in (ts, event_id)
+    * order. Change flags via lag, run ids via a per-user running sum of
+    * flags (both windows partitioned on the high-cardinality user key —
+    * never global), runs via one grouped count, then the report collapses
+    * to the event-type-bounded summary: runs, total events, longest run,
+    * and the compression ratio events/runs (one exact division after the
+    * reduction). */
+  def rleCompressStats(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(wRun))
+    flagged
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"), count(lit(1)).as("len"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("len")).as("n_events"),
+        max(col("len")).as("max_run_len"))
+      .withColumn("compression_ratio",
+        col("n_events").cast("double") / col("n_runs").cast("double"))
+  }
+
+  // Mirrors the Spark plan: same lag-based change flag over the same
+  // (ts, event_id) total order, same per-user ROWS running sum for run
+  // ids, same two grouped reductions, one division after the final one.
+  private val rleCompressSql: String = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs0 AS (
+  SELECT user_id, event_type,
+    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM flagged
+), runs AS (
+  SELECT user_id, run_id, min(event_type) AS event_type,
+    CAST(count(*) AS BIGINT) AS len
+  FROM runs0 GROUP BY user_id, run_id
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_runs,
+  CAST(sum(len) AS BIGINT) AS n_events,
+  CAST(max(len) AS BIGINT) AS max_run_len,
+  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compression_ratio
+FROM runs GROUP BY event_type"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_motifs"          -> ((s, d) => tsMotifs(s, d)),
     "session_features"   -> ((s, d) => sessionFeatures(s, d)),
@@ -405,7 +464,8 @@ GROUP BY s2 || s1 || sym"""
     "asof_next_purchase" -> ((s, d) => asofNextPurchase(s, d)),
     "sessionize_events"  -> ((s, d) => sessionize(s, d)),
     "max_concurrency"    -> ((s, d) => maxConcurrency(s, d)),
-    "interval_coverage"  -> ((s, d) => intervalCoverage(s, d))
+    "interval_coverage"  -> ((s, d) => intervalCoverage(s, d)),
+    "rle_compress_stats" -> ((s, d) => rleCompressStats(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -415,6 +475,7 @@ GROUP BY s2 || s1 || sym"""
     "asof_next_purchase" -> asofForwardSql,
     "sessionize_events"  -> sessionizeSql,
     "max_concurrency"    -> maxConcurrencySql,
-    "interval_coverage"  -> intervalCoverageSql
+    "interval_coverage"  -> intervalCoverageSql,
+    "rle_compress_stats" -> rleCompressSql
   )
 }

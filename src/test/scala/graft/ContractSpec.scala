@@ -125,7 +125,7 @@ class ContractSpec extends SparkSpec {
     // leaves.)
     val ranksBased = Set(
       "corpus_budget_select", "epoch_shuffle", "length_batching",
-      "resume_page", "rfm_segments", "spearman_rho")
+      "resume_page", "rfm_segments", "spearman_rho", "score_decile_lift")
     // Shared-frame eager checkpoint: a frame feeding several plan branches
     // is leafed once at construction, so the branch-shared compute runs
     // once instead of per-branch at action time.

@@ -45,4 +45,96 @@ class TextAnalysisSpec extends SparkSpec {
     val ratios = got.values.map(_.getAs[Double]("avg_inv_df")).toSet
     assert(ratios.size > 1)
   }
+
+  test("vocab_growth_curve matches a JVM brute force and grows sublinearly") {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1)))
+    val mx = docs.map(_._1).max
+    val rows = TextAnalysis.queries("vocab_growth_curve")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows.keySet === Set(1, 2, 4, 8))
+    for (k <- Seq(1, 2, 4, 8)) {
+      val cut = math.floor(mx.toDouble * k / 8.0).toLong
+      val prefix = docs.filter(_._1 <= cut)
+      val nTok = prefix.map(_._2.size.toLong).sum
+      val vocab = prefix.flatMap(_._2).distinct.size.toLong
+      val (pd, nt, v, ttr) = rows(k)
+      assert(pd === cut && nt === nTok && v === vocab, s"k=$k")
+      assert(ttr === vocab.toDouble / nTok.toDouble, s"k=$k ttr")
+    }
+    // Heaps' law: vocabulary growth is SUBLINEAR — 8× the tokens must not
+    // bring 8× the types (at sf0.001 the tiny synthetic vocabulary
+    // saturates in the first eighth, so >= not >)
+    val (v1, v8) = (rows(1)._3, rows(8)._3)
+    val (n1, n8) = (rows(1)._2, rows(8)._2)
+    assert(v8 >= v1 && v8.toDouble / v1.toDouble < n8.toDouble / n1.toDouble)
+  }
+
+  test("ngram_novelty matches a JVM brute force; totals balance") {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def grams3(ts: Seq[String]): Seq[String] =
+      if (ts.size < 3) Seq.empty else ts.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams3(toks(r.getString(1))))
+    val mx = docs.map(_._1).max
+    def bucket(id: Long): Int =
+      (1 to 7).find(k => id <= math.floor(mx.toDouble * k / 8.0).toLong).getOrElse(8)
+    val firstDoc = docs.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expNew = firstDoc.values.groupBy(bucket).map { case (b, v) => b -> v.size.toLong }
+    val expOcc = docs.flatMap { case (id, gs) => gs.map(_ => bucket(id)) }
+      .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val rows = TextAnalysis.queries("ngram_novelty")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === expOcc.keySet)
+    for ((b, (nw, occ, rate)) <- rows) {
+      assert(nw === expNew.getOrElse(b, 0L), s"eighth $b new")
+      assert(occ === expOcc(b), s"eighth $b occ")
+      assert(rate === nw.toDouble / occ.toDouble)
+    }
+    // every gram is new exactly once: Σ new == distinct gram count
+    assert(rows.values.map(_._1).sum === firstDoc.size.toLong)
+    // novelty must DECAY: later eighths repeat more (the curve's point)
+    assert(rows(rows.keys.max)._3 < rows(rows.keys.min)._3)
+  }
+
+  test("score_decile_lift: weighted lift averages to 1; counts balance") {
+    val rows = TextAnalysis.queries("score_decile_lift")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).sorted.toSeq === (1 to 10))
+    val nAll = rows.map(_.getAs[Long]("n_docs")).sum
+    val repAll = rows.map(_.getAs[Long]("n_rep")).sum
+    val docs = Tables.documents(spark, sf).count()
+    assert(nAll === docs)
+    // deciles are balanced within 1 (the exact-ntile contract)
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    // per-decile rate recomputes, and lift normalizes by the corpus rate
+    val overall = repAll.toDouble / nAll.toDouble
+    assert(overall > 0.0, "label is vacuous: no repeated trigrams at this sf")
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("n_rep").toDouble / r.getAs[Long]("n_docs").toDouble
+      assert(r.getAs[Double]("rep_rate") === rate)
+      assert(math.abs(r.getAs[Double]("lift") - rate / overall) < 1e-12)
+    }
+    // Σ n_rep·1 = overall → the n_docs-weighted mean lift is exactly 1
+    val wmean = rows.map(r => r.getAs[Double]("lift") * r.getAs[Long]("n_docs")).sum / nAll
+    assert(math.abs(wmean - 1.0) < 1e-9)
+    // the label recomputes independently: a doc is "rep" iff some trigram
+    // repeats — brute force over the raw text
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val expRep = Tables.documents(spark, sf).select("text").collect()
+      .map(r => toks(r.getString(0)))
+      .count(ts => ts.size >= 3 && {
+        val gs = ts.sliding(3).map(_.mkString(" ")).toSeq
+        gs.distinct.size < gs.size
+      })
+    assert(repAll === expRep.toLong)
+  }
 }

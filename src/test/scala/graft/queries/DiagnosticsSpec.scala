@@ -259,4 +259,36 @@ class DiagnosticsSpec extends SparkSpec {
         .filter(col("net_count") =!= col("expect")).count() === 0)
     } finally out.unpersist() // leaked caches hijack later suites' plan pins
   }
+
+  test("t_closeness_audit matches a driver EMD recount and is bounded") {
+    val rows = Diagnostics.queries("t_closeness_audit")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // independent recount: per-(nation, band) histogram on the driver
+    val raw = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bands = raw.map(_._2).distinct.sorted
+    val m = bands.length.toLong
+    val nAll = raw.length.toLong
+    val globalCum = bands.map(b => b -> raw.count(_._2 <= b).toLong).toMap
+    val byNation = raw.groupBy(_._1)
+    assert(rows.keySet === byNation.keySet)
+    for ((g, grp) <- byNation) {
+      val nG = grp.length.toLong
+      val emdNum = bands.map { b =>
+        val cumG = grp.count(_._2 <= b).toLong
+        math.abs(cumG * nAll - globalCum(b) * nG)
+      }.sum
+      val (nRows, num, den, emd) = rows(g)
+      assert(nRows === nG && num === emdNum)
+      assert(den === nG * nAll * (m - 1))
+      assert(emd === emdNum.toDouble / den.toDouble)
+      // EMD over an m-point ordered domain is bounded by 1
+      assert(emd >= 0.0 && emd <= 1.0)
+    }
+    // the audit is vacuous if every group matches the global distribution
+    assert(rows.values.exists(_._4 > 0.0))
+  }
 }

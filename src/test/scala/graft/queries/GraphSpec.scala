@@ -87,4 +87,72 @@ class GraphSpec extends SparkSpec {
     // and a genuine majority vote happened somewhere (some node saw >1 label)
     assert(seeds.nonEmpty && und.nonEmpty)
   }
+
+  /** Driver-side rebuild of the shared symmetric supplier graph. */
+  private def symAdj(): Array[(Long, Long)] = {
+    val nSupp = Tables.supplier(spark, sf).count()
+    val und = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % nSupp).as("y"))
+      .filter(col("x") =!= col("y"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    und ++ und.map(_.swap)
+  }
+
+  test("k_core matches a driver-side peeling replay, and the peel bites") {
+    val out = Graph.queries("k_core")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k_core uses the 4×-wider node domain (skewed degrees at every sf)
+    val nSupp = Tables.supplier(spark, sf).count()
+    val und = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % (nSupp * 4)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    var adj = und ++ und.map(_.swap)
+    val n0 = adj.map(_._1).distinct.length
+    val kth = math.floor(adj.length.toDouble * 2 / (n0.toDouble * 3)).toLong
+    for (_ <- 1 to 4) {
+      val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+      val keep = deg.filter(_._2 >= kth).keySet
+      adj = adj.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    val expect = adj.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    assert(out === expect)
+    // the data-dependent threshold must actually remove nodes (a fixed
+    // small k never would — the graph's density is sf-invariant)
+    assert(expect.size < n0, s"peel removed nothing (k=$kth, |V|=$n0)")
+    assert(expect.nonEmpty, "peel emptied the graph — threshold too high")
+  }
+
+  test("closeness_centrality matches a driver-side multi-source BFS replay") {
+    val out = Graph.queries("closeness_centrality")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val adjMap = symAdj().groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val seeds = Tables.supplier(spark, sf).select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).filter(_ <= 8)
+    assert(seeds.nonEmpty)
+    val dist = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (seed <- seeds) {
+      var frontier = Set(seed)
+      dist((seed, seed)) = 0
+      for (h <- 1 to 3) {
+        frontier = frontier.flatMap(n => adjMap.getOrElse(n, Set.empty))
+          .filterNot(n => dist.contains((seed, n)))
+        frontier.foreach(n => dist((seed, n)) = h)
+      }
+    }
+    val expect = dist.toSeq.groupBy(_._1._2).map { case (node, ds) =>
+      node -> (ds.size.toLong, ds.map(_._2.toLong).sum)
+    }
+    assert(out === expect)
+    // a seed must reach beyond itself or the replay is vacuous
+    assert(expect.values.exists(_._2 > 0L))
+  }
 }

@@ -112,4 +112,22 @@ class ScaleOpsSpec extends SparkSpec {
     val moved = rows.map(_.getAs[Long]("n_moved")).sum.toDouble / docs.length
     assert(moved > 0.0 && moved < 0.25, s"moved rate $moved")
   }
+
+  test("join_cardinality_est: exact count equals the materialized join; " +
+      "key-sampled estimate within 3x") {
+    val r = ScaleOps.queries("join_cardinality_est")(spark, sf).collect().head
+    val exact = graft.Tables.events(spark, sf).select(col("user_id"))
+      .join(graft.Tables.orders(spark, sf)
+        .select(col("o_custkey").as("user_id")), "user_id")
+      .count()
+    assert(r.getAs[Long]("exact_pairs") === exact)
+    assert(r.getAs[Long]("n_join_keys") > 0L)
+    // a 1/16 key sample of a ~150-key domain is noisy but must stay in the
+    // right order of magnitude (unbiasedness is the estimator's contract;
+    // this pins against sign/scale bugs, not variance)
+    val est = r.getAs[Long]("est_pairs")
+    assert(est > 0L && est < exact * 3 && est > exact / 3,
+      s"estimate $est vs exact $exact")
+    assert(r.getAs[Double]("rel_err") === (est - exact).toDouble / exact.toDouble)
+  }
 }

@@ -161,4 +161,37 @@ class StatsSpec extends SparkSpec {
       assert(out(k) >= -1.0 && out(k) <= 1.0)
     }
   }
+
+  test("trimmed_stats matches a driver-side sort-trim-winsorize replay") {
+    val rows = Stats.queries("trimmed_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cents = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    assert(rows.keySet === cents.keySet)
+    for ((g, qs) <- cents) {
+      val n = qs.length
+      val r0 = n / 10
+      val (kLo, kHi) = (r0 + 1, n - r0)
+      val vLo = qs(kLo - 1)
+      val vHi = qs(kHi - 1)
+      val trimmed = qs.slice(kLo - 1, kHi)
+      val winsor = qs.map(q => math.min(math.max(q, vLo), vHi))
+      val row = rows(g)
+      assert(row.getAs[Long]("n") === n.toLong)
+      assert(row.getAs[Long]("k_lo") === kLo.toLong && row.getAs[Long]("k_hi") === kHi.toLong)
+      assert(row.getAs[Double]("p10") === vLo.toDouble / 100.0)
+      assert(row.getAs[Double]("p90") === vHi.toDouble / 100.0)
+      assert(row.getAs[Double]("trimmed_mean")
+        === trimmed.sum.toDouble / trimmed.length.toDouble / 100.0)
+      assert(row.getAs[Double]("winsorized_mean")
+        === winsor.sum.toDouble / n.toDouble / 100.0)
+      // the trim must actually bite and robustify: extremes clamp inward
+      assert(r0 >= 1 && vLo < vHi)
+      assert(row.getAs[Double]("trimmed_mean") > vLo / 100.0)
+      assert(row.getAs[Double]("trimmed_mean") < vHi / 100.0)
+    }
+  }
 }
