@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{SessionCache, Tables}
 import graft.expr.Exact._
 
 /** Text-analysis operators over the `documents` table: per-document
@@ -201,33 +201,60 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
     // is scale-invariant under duplication and the F^2 growth moves to
     // the expansion — the query's own output floor. Same pair set, same
     // oracle.
+    //
+    // Round 13b: behind the adaptive dup-rate gate (the dedup_substring /
+    // paragraph_dedup discipline) — on a duplication-free corpus the
+    // sha2 fingerprints, fp groupBy, and three expansion joins are pure
+    // overhead over the direct doc-keyed join (measured 2.8 s collapse vs
+    // 0.4 s direct at sf0.1's <2% dup rate; the sf5 knee corpus sits at
+    // ~90% and keeps the tier). The gate verdict is memoized per
+    // (session, dir), so constructions after the first are job-free and
+    // both paths produce the identical pair set (exact either way — the
+    // HLL estimate can only cost time).
     "contamination_overlap" -> ((s, d) => {
-      val (members, reps) = TextDedup.collapsedOf(s, d)
-      val bench = members.filter(col("doc_id") % 100 === 0)
-        .select(col("fp"), col("doc_id").as("bench_id"))
-      val corpus = members.filter(col("doc_id") % 100 =!= 0)
-        .select(col("fp"), col("doc_id").as("corpus_id"))
-      val repGrams = reps.select(col("fp"), explode(col("grams")).as("g"))
-      // distinct-content pairs sharing >= 2 grams (unordered at the join,
-      // both directions at the expansion — membership is side-specific)
-      val shared = repGrams.select(col("fp").as("f1"), col("g"))
-        .join(repGrams.select(col("fp").as("f2"), col("g")), "g")
-        .filter(col("f1") < col("f2"))
-        .groupBy("f1", "f2").agg(count(lit(1)).cast("int").as("shared_grams"))
-        .filter(col("shared_grams") >= 2)
-      // same-content pairs: the intersection is the group's own gram count
-      val self = reps
-        .select(col("fp"), size(col("grams")).cast("int").as("shared_grams"))
-        .filter(col("shared_grams") >= 2)
-        .select(col("fp").as("f1"), col("fp").as("f2"), col("shared_grams"))
-      val directed = shared
-        .unionByName(shared.select(col("f2").as("f1"), col("f1").as("f2"),
-          col("shared_grams")))
-        .unionByName(self)
-      directed
-        .join(bench.select(col("fp").as("f1"), col("bench_id")), "f1")
-        .join(corpus.select(col("fp").as("f2"), col("corpus_id")), "f2")
-        .select("bench_id", "corpus_id", "shared_grams")
+      val collapse = SessionCache.getOrElseUpdate(s, ("contamination_gate", d)) {
+        TextDedup.estDupRate(Tables.documents(s, d), col("text")) >=
+          TextDedup.CollapseMinDupRate
+      }
+      if (!collapse) {
+        val grams = TextDedup.gramSets(s, d)
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+        val bench = grams.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("bench_id"), col("g"))
+        val corpus = grams.filter(col("doc_id") % 100 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("g"))
+        bench.join(corpus, "g")
+          .groupBy("bench_id", "corpus_id")
+          .agg(count(lit(1)).cast("int").as("shared_grams"))
+          .filter(col("shared_grams") >= 2)
+      } else {
+        val (members, reps) = TextDedup.collapsedOf(s, d)
+        val bench = members.filter(col("doc_id") % 100 === 0)
+          .select(col("fp"), col("doc_id").as("bench_id"))
+        val corpus = members.filter(col("doc_id") % 100 =!= 0)
+          .select(col("fp"), col("doc_id").as("corpus_id"))
+        val repGrams = reps.select(col("fp"), explode(col("grams")).as("g"))
+        // distinct-content pairs sharing >= 2 grams (unordered at the join,
+        // both directions at the expansion — membership is side-specific)
+        val shared = repGrams.select(col("fp").as("f1"), col("g"))
+          .join(repGrams.select(col("fp").as("f2"), col("g")), "g")
+          .filter(col("f1") < col("f2"))
+          .groupBy("f1", "f2").agg(count(lit(1)).cast("int").as("shared_grams"))
+          .filter(col("shared_grams") >= 2)
+        // same-content pairs: the intersection is the group's own gram count
+        val self = reps
+          .select(col("fp"), size(col("grams")).cast("int").as("shared_grams"))
+          .filter(col("shared_grams") >= 2)
+          .select(col("fp").as("f1"), col("fp").as("f2"), col("shared_grams"))
+        val directed = shared
+          .unionByName(shared.select(col("f2").as("f1"), col("f1").as("f2"),
+            col("shared_grams")))
+          .unionByName(self)
+        directed
+          .join(bench.select(col("fp").as("f1"), col("bench_id")), "f1")
+          .join(corpus.select(col("fp").as("f2"), col("corpus_id")), "f2")
+          .select("bench_id", "corpus_id", "shared_grams")
+      }
     }),
 
     // TF/DF statistics (the integer-exact core of TF-IDF; the log-scoring
@@ -469,18 +496,32 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
           when(doc <= floor(col("mx") * k / 8.0).cast("long"), k).otherwise(rest)
         }
       }
-      val pairs = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Text.ngrams(T, 3)).as("gram"))
-      val newPerEighth = pairs.groupBy("gram").agg(min(col("doc_id")).as("fd"))
+      // ONE gram shuffle carrying only (gram, min doc): the per-eighth
+      // occurrence totals never need gram granularity — they reduce from
+      // per-DOC distinct-trigram counts without touching the gram key.
+      // Both branches read the SHARED cached gram-set layer
+      // (TextDedup.gramSets — the mapPartitions kernel; Catalyst's HOF
+      // ngrams builder is interpreted per element and re-evaluating it
+      // per branch measured 7-8 s vs ~2 s here at sf0.1). The final
+      // 1-row aggregates stack the curve.
+      val gs = TextDedup.gramSets(s, d)
+      val newAggs = (1 to 8).map(k =>
+        sum(when(bucket(col("fd")) === k, 1L).otherwise(0L)).as(s"new$k"))
+      val news = gs
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(min(col("doc_id")).as("fd"))
         .crossJoin(broadcast(mx))
-        .groupBy(bucket(col("fd")).as("eighth"))
-        .agg(count(lit(1)).as("new_grams"))
-      val occPerEighth = pairs.crossJoin(broadcast(mx))
-        .groupBy(bucket(col("doc_id")).as("eighth"))
-        .agg(count(lit(1)).as("gram_occurrences"))
-      occPerEighth.join(newPerEighth, Seq("eighth"), "left")
-        .select(col("eighth"), coalesce(col("new_grams"), lit(0L)).as("new_grams"),
-          col("gram_occurrences"))
+        .agg(newAggs.head, newAggs.tail: _*)
+      val occAggs = (1 to 8).map(k =>
+        sum(when(bucket(col("doc_id")) === k, col("ng")).otherwise(0L)).as(s"occ$k"))
+      val occs = gs
+        .select(col("doc_id"), size(col("grams")).cast("long").as("ng"))
+        .crossJoin(broadcast(mx))
+        .agg(occAggs.head, occAggs.tail: _*)
+      news.crossJoin(broadcast(occs)).selectExpr(
+          s"""stack(8, ${(1 to 8).map(k => s"$k, new$k, occ$k").mkString(", ")})
+             AS (eighth, new_grams, gram_occurrences)""")
+        .filter(col("gram_occurrences") > 0)
         .withColumn("novelty_rate",
           col("new_grams").cast("double") / col("gram_occurrences").cast("double"))
     }),

@@ -411,13 +411,23 @@ l$t AS (
         .crossJoin(broadcast(kth))
         .filter(col("deg") >= col("kth"))
         .select(col("src").as("node"))
+      // shuffle_hash on the survivor side: AQE otherwise broadcast-converts
+      // both semi joins, and each broadcast build is a SEPARATE job that
+      // re-derives every unmaterialized earlier round — measured 31 s (and
+      // 159 s on re-invocation) vs ~2 s with the single-DAG hash joins.
+      // The survivor set is node-scale anyway — never broadcastable at
+      // real graph sizes.
       val next = e
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(keep.select(col("node").as("src")).hint("shuffle_hash"),
+          Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")).hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
         .select("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       gen += next
-      e = next
+      // superstep lineage truncation, the pagerank/bfs discipline (lazy —
+      // no construction-time job)
+      e = if (r % 2 == 0) next.localCheckpoint(false) else next
     }
     retire("k_core", gen.toSeq)
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -489,7 +499,7 @@ e$r AS (
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       gen += next
       visited = visited.unionByName(next.withColumn("dist", lit(h)))
-      if (h % 2 == 0) visited = visited.localCheckpoint(false)
+        .localCheckpoint(false)
       frontier = next
     }
     retire("closeness_centrality", gen.toSeq)
