@@ -537,15 +537,27 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
     // reduction. A sloping lift column is the curation signal that
     // low-quality text repeats itself.
     "score_decile_lift" -> ((s, d) => {
+      // label from the SHARED gram-set layer: a doc repeats a trigram iff
+      // its distinct trigram count is below n_tokens − 2 (the total
+      // trigram count) — evaluating the interpreted HOF trigram builders
+      // per row here measured 5× super-linear at the sf1→sf2 doubling
+      // (the scored subtree runs ~4 times through the range sampler and
+      // the two rank jobs). The lazy checkpoint leafs the scored frame so
+      // those passes share one materialization.
+      val gdist = TextDedup.gramSets(s, d)
+        .select(col("doc_id"), size(col("grams")).as("ng_dist"))
       val scored = Tables.documents(s, d)
         .withColumn("toks", T)
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("nd", size(array_distinct(col("toks"))))
         .withColumn("sw", size(filter(col("toks"), t => t.isin(Stopwords: _*))))
-        .select(col("doc_id"),
-          qualityExpr(col("n_tokens"), col("nd"), col("sw")).as("quality_score"),
-          when(size(Text.ngramsAll(col("toks"), 3)) > size(Text.ngrams(col("toks"), 3)),
-            1L).otherwise(0L).as("is_rep"))
+        .select(col("doc_id"), col("n_tokens"),
+          qualityExpr(col("n_tokens"), col("nd"), col("sw")).as("quality_score"))
+        .join(gdist, "doc_id")
+        .select(col("doc_id"), col("quality_score"),
+          when(col("n_tokens") >= 3 && col("ng_dist") < col("n_tokens") - 2, 1L)
+            .otherwise(0L).as("is_rep"))
+        .localCheckpoint(false)
       val dec = graft.operators.Ranks.globalNtile(
         scored, Seq(col("quality_score").desc, col("doc_id")), 10, "decile")
       val overall = dec.agg(
@@ -644,8 +656,9 @@ WITH scored AS (
         "CAST(len(list_distinct(toks)) AS INT)",
         s"CAST(len(list_filter(toks, t -> t IN ($StopwordsSqlIn))) AS INT)")}
       AS quality_score,
-    CASE WHEN len(${Text.ngramsAllSql("toks", 3)})
-           > len(${Text.ngramsSql("toks", 3)}) THEN 1 ELSE 0 END AS is_rep
+    CASE WHEN len(toks) >= 3
+           AND len(${Text.ngramsSql("toks", 3)}) < len(toks) - 2
+         THEN 1 ELSE 0 END AS is_rep
   FROM (SELECT doc_id, $TS AS toks FROM documents)
 ), dec AS (
   SELECT doc_id, quality_score, is_rep,
