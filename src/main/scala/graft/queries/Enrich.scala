@@ -350,6 +350,74 @@ FROM ranked"""
       .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
   }
 
+  // ---------------------------------------------- priority_sample -------
+
+  private val PrioK = 256
+
+  /** Priority sampling (Duffield–Lund–Thorup) — THE production primitive
+    * for estimating subset sums from a fixed-size weighted sample: each
+    * row gets priority q = w/u for a per-key uniform u, the top-K by
+    * priority are kept, and Σ max(w, τ) over the sample — τ the (K+1)-th
+    * priority — is an (near-)unbiased estimator of Σw with variance
+    * optimal among K-sample schemes. u derives from the shared LCG+xor
+    * integer mix (the rendezvous_shards idiom) so both engines draw the
+    * identical "randomness"; the two top-K's are map-side bounded heaps
+    * (TakeOrdered — never a global sort); τ is integerized (ceil, cents)
+    * so the estimate is an order-independent BIGINT sum, not a
+    * fold-order-dependent double. Output: one audit row — sample size, τ,
+    * the estimate, the true total (the self-check), and the relative
+    * error. */
+  def prioritySample(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("w"))
+      .withColumn("h0", expr("(k * 1103515245 + 12345) % 2147483647"))
+      .withColumn("h", expr("((h0 ^ (h0 div 65536)) * 69069 + 1) % 2147483648"))
+      .withColumn("q", col("w").cast("double")
+        / ((col("h") + 1).cast("double") / lit(2147483648.0)))
+    val topK = scored.orderBy(col("q").desc, col("k")).limit(PrioK)
+    val tau = scored.orderBy(col("q").desc, col("k")).limit(PrioK + 1)
+      .agg(ceil(min(col("q"))).cast("long").as("tau"))
+    val truth = scored.agg(sum(col("w")).as("true_total"))
+    topK.crossJoin(broadcast(tau))
+      .agg(max(col("tau")).as("tau"),
+        count(lit(1)).as("n_sampled"),
+        sum(greatest(col("w"), col("tau"))).as("est_total"))
+      .crossJoin(broadcast(truth))
+      .select(col("n_sampled"), col("tau"), col("est_total"), col("true_total"),
+        ((col("est_total") - col("true_total")).cast("double")
+          / col("true_total").cast("double")).as("rel_err"))
+  }
+
+  val prioritySampleSql: String = s"""
+WITH scored AS (
+  SELECT o_orderkey AS k,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+    (xor((o_orderkey * 1103515245 + 12345) % 2147483647,
+         ((o_orderkey * 1103515245 + 12345) % 2147483647) // 65536)
+     * 69069 + 1) % 2147483648 AS h
+  FROM orders
+), q AS (
+  SELECT k, w,
+    CAST(w AS DOUBLE) / (CAST(h + 1 AS DOUBLE) / 2147483648.0) AS q
+  FROM scored
+), tau AS (
+  SELECT CAST(ceil(min(q)) AS BIGINT) AS tau
+  FROM (SELECT q FROM q ORDER BY q DESC, k LIMIT ${PrioK + 1})
+), topk AS (
+  SELECT * FROM q ORDER BY q DESC, k LIMIT $PrioK
+), truth AS (
+  SELECT CAST(sum(w) AS BIGINT) AS true_total FROM q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+  (SELECT tau FROM tau) AS tau,
+  CAST(sum(greatest(w, (SELECT tau FROM tau))) AS BIGINT) AS est_total,
+  (SELECT true_total FROM truth) AS true_total,
+  CAST(sum(greatest(w, (SELECT tau FROM tau)))
+         - (SELECT true_total FROM truth) AS DOUBLE)
+    / CAST((SELECT true_total FROM truth) AS DOUBLE) AS rel_err
+FROM topk"""
+
   val ppsSql: String = s"""
 WITH cums AS (
   SELECT doc_id, n_chars AS w,
@@ -932,6 +1000,7 @@ LEFT JOIN p ON v.user_id = p.user_id"""
     "geo_grid_join"              -> ((s, d) => geoGridJoin(s, d)),
     "allocate_largest_remainder" -> ((s, d) => allocateLargestRemainder(s, d)),
     "pps_systematic_sample"      -> ((s, d) => ppsSystematicSample(s, d)),
+    "priority_sample"            -> ((s, d) => prioritySample(s, d)),
     "url_parse"                  -> ((s, d) => urlParse(s, d)),
     "url_prefix_policy"          -> ((s, d) => urlPrefixPolicy(s, d)),
     "url_dedup"                  -> ((s, d) => urlDedup(s, d)),
@@ -952,6 +1021,7 @@ LEFT JOIN p ON v.user_id = p.user_id"""
     "geo_grid_join"              -> geoSql,
     "allocate_largest_remainder" -> allocateSql,
     "pps_systematic_sample"      -> ppsSql,
+    "priority_sample"            -> prioritySampleSql,
     "url_parse"                  -> urlSql,
     "url_prefix_policy"          -> urlPrefixPolicySql,
     "url_dedup"                  -> urlDedupSql,

@@ -675,9 +675,72 @@ SELECT g AS o_orderpriority, n, k_lo, k_hi,
   CAST(win_sum AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS winsorized_mean
 FROM agg"""
 
+  /** Exact p50/p90/p99 per event type in ONE binned-selection pass — the
+    * latency-report staple, generalizing [[groupedMedianTwoPass]] from one
+    * target rank to many: the bin histogram and its per-group window are
+    * built once, each (group, percentile) target locates its anchor bin
+    * against that shared cumulative, and a single value-level re-scan of
+    * the ≤3 anchor bins per group resolves all targets (nearest-rank
+    * k = ceil(p·n/100), exact under ties). Adding percentiles costs one
+    * more row in the bounded target dim — never another pass over the
+    * data. */
+  def groupedQuantilesExact(s: SparkSession, d: String): DataFrame = {
+    val W = 65536L
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        round(col("value") * 1e6, 0).cast("long").as("q"))
+    val targets = ev.groupBy("g").agg(count(lit(1)).as("n"))
+      .selectExpr("g", "n", """stack(3,
+          50, (n * 50 + 99) div 100,
+          90, (n * 90 + 99) div 100,
+          99, (n * 99 + 99) div 100) AS (pct, k)""")
+    val hist = ev.groupBy(col("g"), expr(s"q div $W").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wb))
+      .withColumn("prev", col("cum") - col("c"))
+    val cand = targets.join(cum, Seq("g"))
+      .filter(col("cum") >= col("k") && col("prev") < col("k"))
+      .select(col("g").as("cg"), col("bin"), col("pct"), col("n"), col("k"),
+        (col("k") - col("prev")).as("k_in_bin"))
+    val wq = Window.partitionBy("cg", "pct").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(cand, col("g") === col("cg") && expr(s"q div $W") === col("bin"))
+      .groupBy("cg", "pct", "q", "k_in_bin", "n", "k")
+      .agg(count(lit(1)).as("cq"))
+      .withColumn("cumq", sum(col("cq")).over(wq))
+      .filter(col("cumq") >= col("k_in_bin") &&
+        col("cumq") - col("cq") < col("k_in_bin"))
+      .select(col("cg").as("event_type"), col("pct"), col("n"), col("k"),
+        (col("q").cast("double") / 1e6).as("value"))
+  }
+
+  // Independent twin: plain per-group row_number ranking, one join per
+  // percentile target — a different formulation proving the shared-pass
+  // binned selection.
+  private val groupedQuantilesSql: String = """
+WITH q AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY g
+), targets AS (
+  SELECT g, n, 50 AS pct, (n * 50 + 99) // 100 AS k FROM t
+  UNION ALL SELECT g, n, 90, (n * 90 + 99) // 100 FROM t
+  UNION ALL SELECT g, n, 99, (n * 99 + 99) // 100 FROM t
+), rk AS (
+  SELECT g, q, row_number() OVER (PARTITION BY g ORDER BY q) AS rn FROM q
+)
+SELECT targets.g AS event_type, targets.pct, targets.n, targets.k,
+  CAST(rk.q AS DOUBLE) / 1e6 AS value
+FROM targets JOIN rk ON rk.g = targets.g AND rk.rn = targets.k"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_median_twopass" -> ((s, d) => exactMedianTwoPass(s, d)),
     "trimmed_stats" -> ((s, d) => trimmedStats(s, d)),
+    "grouped_quantiles_exact" -> ((s, d) => groupedQuantilesExact(s, d)),
     "grouped_median_twopass" -> ((s, d) => groupedMedianTwoPass(s, d)),
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
@@ -690,6 +753,7 @@ FROM agg"""
   def oracles: Map[String, String] = Map(
     "exact_median_twopass" -> exactMedianSql,
     "trimmed_stats" -> trimmedStatsSql,
+    "grouped_quantiles_exact" -> groupedQuantilesSql,
     "grouped_median_twopass" -> groupedMedianSql,
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,

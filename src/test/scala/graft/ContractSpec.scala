@@ -114,7 +114,8 @@ class ContractSpec extends SparkSpec {
     // supersteps moved earlier, never redundant.
     val supersteps = Set(
       "pagerank_integer", "bfs_hops", "sssp_weighted", "label_propagation",
-      "perceptron_steps", "bpe_merges_batch", "link_prediction")
+      "perceptron_steps", "bpe_merges_batch", "link_prediction",
+      "k_core", "closeness_centrality")
     // Ranks-based distributed ranking (globalRowNumber/globalNtile/
     // globalRunningSum/groupedRowNumber): the two-phase prefix sum reads
     // one long per partition at construction — the audited bounded

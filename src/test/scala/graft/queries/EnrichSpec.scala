@@ -328,4 +328,31 @@ class EnrichSpec extends SparkSpec {
     assert(m("/view/102") === (("allow", 2L)))
     assert(m("/signup/103") === (("deny", 0L)), "unlisted type falls to root deny")
   }
+
+  test("priority_sample matches a driver replay and estimates within 15%") {
+    val r = Enrich.queries("priority_sample")(spark, sf).collect().head
+    // driver replay: same mix, same priorities, same top-K and estimator
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val scored = rows.map { case (k, w) =>
+      val h0 = (k * 1103515245L + 12345L) % 2147483647L
+      val h = ((h0 ^ (h0 / 65536L)) * 69069L + 1L) % 2147483648L
+      (k, w, w.toDouble / ((h + 1).toDouble / 2147483648.0))
+    }
+    val byPrio = scored.sortBy(t => (-t._3, t._1))
+    val K = 256
+    assert(rows.length > K + 1, "corpus too small for the sample size")
+    val tau = math.ceil(byPrio.take(K + 1).map(_._3).min).toLong
+    val est = byPrio.take(K).map(t => math.max(t._2, tau)).sum
+    val truth = rows.map(_._2).sum
+    assert(r.getAs[Long]("n_sampled") === K.toLong)
+    assert(r.getAs[Long]("tau") === tau)
+    assert(r.getAs[Long]("est_total") === est)
+    assert(r.getAs[Long]("true_total") === truth)
+    assert(r.getAs[Double]("rel_err") === (est - truth).toDouble / truth.toDouble)
+    // the DLT estimator's accuracy contract at K=256 over ~1.5k rows:
+    // well within 15% (a sign/scale bug lands far outside)
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.15, s"rel_err ${r.getAs[Double]("rel_err")}")
+  }
 }

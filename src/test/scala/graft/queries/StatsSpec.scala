@@ -194,4 +194,26 @@ class StatsSpec extends SparkSpec {
       assert(row.getAs[Double]("trimmed_mean") < vHi / 100.0)
     }
   }
+
+  test("grouped_quantiles_exact matches a driver-side sort per group") {
+    val rows = Stats.queries("grouped_quantiles_exact")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val byG = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 1e6, 0).cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    assert(rows.keySet === byG.keySet.flatMap(g => Seq((g, 50), (g, 90), (g, 99))))
+    for ((g, qs) <- byG; pct <- Seq(50, 90, 99)) {
+      val n = qs.length
+      val k = (n.toLong * pct + 99) / 100 // nearest-rank ceil
+      val (nn, kk, v) = rows((g, pct))
+      assert(nn === n.toLong && kk === k, s"$g p$pct")
+      assert(v === qs((k - 1).toInt).toDouble / 1e6, s"$g p$pct value")
+    }
+    // the three ranks are genuinely distinct (vacuity guard)
+    assert(byG.forall { case (g, _) =>
+      Seq(50, 90, 99).map(p => rows((g, p))._2).distinct.size == 3 })
+  }
 }
