@@ -430,9 +430,13 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
   private[llm] def clustersOf(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.layer("clusters", s, d) {
       val (members, reps, repPairs) = collapsedRepPairs(s, d)
-      val df = clusterAssignmentsFrom(members, reps, repPairs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (asg, scratch) = clusterAssignmentsFrom(members, reps, repPairs)
+      val df = asg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
+      // the loop's per-round label frames are scratch once the assignment
+      // frame is materialized — release them eagerly (they recompute via
+      // lineage if the result's own blocks are ever evicted)
+      scratch.foreach(_.unpersist(false))
       df
     }
 
@@ -971,47 +975,60 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     val (members, reps) = collapse(grams)
     val repGrams = reps.select(col("rep_id").as("doc_id"), col("grams"))
     val repPairs = verifyJaccard(candidatePairs(bandBuckets(repGrams)), repGrams)
-    clusterAssignmentsFrom(members, reps, repPairs)
+    clusterAssignmentsFrom(members, reps, repPairs)._1
   }
 
+  /** Returns (assignments, scratch): `scratch` is the loop's persisted
+    * per-round frames, safe for the caller to release once the result is
+    * materialized — they recompute via lineage (unlike the every-2-rounds
+    * localCheckpoint frames, which are NOT returned: unpersisting a
+    * checkpointed frame severs its only storage; their blocks are
+    * node-scale and die with the session). */
   private def clusterAssignmentsFrom(
-      members: DataFrame, reps: DataFrame, repPairs: DataFrame): DataFrame = {
+      members: DataFrame, reps: DataFrame,
+      repPairs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val pairs = repPairs.select("d1", "d2")
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scratch += edges
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    // (frame, wasCheckpointed): checkpointed frames must NOT be
-    // unpersisted mid-loop — descendants read their stored blocks with
-    // no lineage to fall back on; persisted frames can always recompute
-    var prev: Option[(DataFrame, Boolean)] = None
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scratch += labels
     var changed = 1L
     var iter = 0
     while (changed > 0) {
       iter += 1
+      // shuffle_hash on BOTH per-round label joins: AQE otherwise
+      // broadcast-converts the node-scale label frame, and each broadcast
+      // build is a SEPARATE job that re-derives every unmaterialized
+      // earlier round — the k_core cascade (Graph.scala k-core loop /
+      // commit 50deb5a; measured 20.3 s → low single digits for the
+      // clusters layer at sf0.1). Label frames are one row per node —
+      // never broadcastable at real graph sizes anyway.
       val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")), "dst")
+        .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl"))
+          .hint("shuffle_hash"), "dst")
         .groupBy("src").agg(min(col("dlbl")).as("nl"))
         .select(col("src").as("node"), col("nl"))
       val step = labels
-        .join(nbrMin, Seq("node"), "left")
+        .join(nbrMin.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      // every 5 supersteps the label frame is localCheckpoint'ed instead
-      // of persisted: label propagation runs diameter-many rounds, and
-      // without lineage truncation the plan nests one join tree per
-      // round — unbounded optimizer/DAG-scheduler cost at real cluster
-      // diameters (VERDICT r6). The label frame is one row per node, so
-      // the materialization is cheap relative to the edge shuffle.
-      val ckpt = iter % 5 == 0
-      val next =
-        if (ckpt) step.localCheckpoint()
-        else step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.select(col("node"), col("lbl").as("old")), "node")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scratch += step
+      // superstep lineage truncation every 2 rounds, LAZY (the
+      // pagerank/bfs/k_core discipline, 50deb5a): label propagation runs
+      // diameter-many rounds, and without truncation the plan nests one
+      // join tree per round — unbounded optimizer/DAG-scheduler cost at
+      // real cluster diameters (VERDICT r6). Lazy, so the materialization
+      // rides the `changed` count below instead of being its own job.
+      val next = if (iter % 2 == 0) step.localCheckpoint(false) else step
+      changed = next.join(labels.select(col("node"), col("lbl").as("old"))
+          .hint("shuffle_hash"), "node")
         .filter(col("lbl") =!= col("old")).count() // materializes `next`
-      prev.foreach { case (f, wasCkpt) => if (!wasCkpt) f.unpersist() }
-      prev = Some((next, ckpt))
       labels = next
     }
     // duplicate groups with no rep-level edge are their own components
@@ -1020,12 +1037,13 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
       .select(col("rep_id").as("node"))
       .join(labels.select("node"), Seq("node"), "left_anti")
       .withColumn("lbl", col("node"))
-    labels.unionByName(isolatedDups)
+    val out = labels.unionByName(isolatedDups)
       .join(reps.select(col("rep_id").as("node"), col("fp")), "node")
       .join(members, "fp")
       .withColumn("cluster_rep", min(col("doc_id")).over(Window.partitionBy("lbl")))
       .select(col("doc_id"), col("cluster_rep"),
         (col("doc_id") === col("cluster_rep")).as("is_kept"))
+    (out, scratch.toSeq)
   }
 
   /** Duplicate-span width: a span is reported when every one of its

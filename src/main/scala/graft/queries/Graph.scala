@@ -29,22 +29,33 @@ object Graph {
   /** Derived supplier graph shared with `triangle_count`
     * (Analytics.scala): sampled lineitem rows project to canonical
     * undirected edges (least, greatest), distinct. */
-  private def symmetricEdges(s: SparkSession, d: String): DataFrame = {
-    // supplier count stays IN the plan (broadcast 1-row frame, the
-    // drift_tvd pattern) — query construction runs no eager action, the
-    // same shape as the oracle's scalar subquery (VERDICT r6 #6)
-    val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
-    val raw = Tables.lineitem(s, d)
-      .filter(col("l_orderkey") % 10 === 0)
-      .crossJoin(broadcast(nSupp))
-      .select(col("l_suppkey").as("x"), (col("l_partkey") % col("n_supp")).as("y"))
-      .filter(col("x") =!= col("y"))
-    val e = raw.select(
-        least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-  }
+  /** The shared undirected supplier graph, built ONCE per (session, dir)
+    * and fanned out to every consumer (bfs_hops, label_propagation,
+    * closeness_centrality) — the production posture: a pipeline
+    * materializes its graph edges once, not per algorithm. Persisted +
+    * counted inside the layer builder, so each consumer's supersteps
+    * start from cached blocks instead of re-running the lineitem scan +
+    * pair distinct (round 14: closeness_centrality's driver-flagged cold
+    * cost was dominated by exactly that rebuild). */
+  private def symmetricEdges(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.layer("graph_edges", s, d) {
+      // supplier count stays IN the plan (broadcast 1-row frame, the
+      // drift_tvd pattern), the same shape as the oracle's scalar subquery
+      val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
+      val raw = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .crossJoin(broadcast(nSupp))
+        .select(col("l_suppkey").as("x"), (col("l_partkey") % col("n_supp")).as("y"))
+        .filter(col("x") =!= col("y"))
+      val e = raw.select(
+          least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      sym
+    }
 
   /** Bounded BFS from node 1: min-hop label per node within 4 hops.
     * Frontier-delta iteration — each hop joins ONLY the newly discovered
@@ -54,9 +65,7 @@ object Graph {
     * graph size. The hop bound makes the plan statically 4 supersteps. */
   def bfsHops(s: SparkSession, d: String): DataFrame = {
     val gen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val sym = symmetricEdges(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    gen += sym
+    val sym = symmetricEdges(s, d) // shared layer — persisted, not retired here
     val spark = s
     import spark.implicits._
     var visited = Seq((1L, 0)).toDF("node", "hops")
@@ -287,9 +296,7 @@ d$r AS (
     * aggregate, not a per-node window over occurrences. The oracle
     * macro-expands the same [[LpRounds]] rounds as CTE stages. */
   def labelPropagation(s: SparkSession, d: String): DataFrame = {
-    val und = symmetricEdges(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    retire("label_propagation", Seq(und))
+    val und = symmetricEdges(s, d) // shared layer — persisted, not retired here
     val nodes = Tables.supplier(s, d).select(col("s_suppkey").as("node"))
     var lbl = nodes.select(col("node"),
       (col("node") % 10 === 0).as("is_seed"),
@@ -484,18 +491,20 @@ e$r AS (
     * exact integers. */
   def closenessCentrality(s: SparkSession, d: String): DataFrame = {
     val gen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val sym = symmetricEdges(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    gen += sym
+    val sym = symmetricEdges(s, d) // shared layer — persisted, not retired here
     var visited = Tables.supplier(s, d)
       .filter(col("s_suppkey") <= CcSeeds)
       .select(col("s_suppkey").as("seed"), col("s_suppkey").as("node"),
         lit(0).as("dist"))
     var frontier = visited.select("seed", "node")
     for (h <- 1 to CcRounds) {
+      // shuffle_hash on the visited anti-join: the visited set grows with
+      // the BFS wavefront (seeds × reached nodes) — never broadcastable at
+      // real graph sizes, and an AQE broadcast build of its union chain is
+      // a separate job per round (the k_core cascade, 50deb5a)
       val next = frontier.join(sym, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited, Seq("seed", "node"), "left_anti")
+        .join(visited.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       gen += next
       visited = visited.unionByName(next.withColumn("dist", lit(h)))
