@@ -26,12 +26,22 @@ object SessionCache {
   private def hook(s: SparkSession): Unit =
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          store.keys.iterator.filter(_._1 eq s).foreach(store.remove)
-          hooked.remove(s)
-        }
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evict(s)
       })
     }
+
+  /** Drop every entry keyed by `s` — the application-end listener's body,
+    * callable directly so the eviction path is unit-testable without
+    * stopping the suite's shared context (SessionCacheSpec). */
+  private[graft] def evict(s: SparkSession): Unit = {
+    store.keys.iterator.filter(_._1 eq s).foreach(store.remove)
+    hooked.remove(s)
+  }
+
+  /** Entry count for `s` (test observability). */
+  private[graft] def entriesFor(s: SparkSession): Int =
+    store.keys.count(_._1 eq s)
 
   /** Memoize `mk` under (session, key). `mk` may run more than once under
     * concurrent first access (TrieMap getOrElseUpdate is not atomic for

@@ -97,12 +97,20 @@ object SparkEntry {
           // a re-delivered batch (driver recovery/retry) can no longer
           // double-append into the raw layer and silently diverge the
           // mart from the batch oracle (ADVICE r12)
-          val dst = new org.apache.hadoop.fs.Path(s"$raw/batch_id=$batchId")
-          val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (!fs.exists(dst)) batch.write.mode("append").parquet(dst.toString)
-          MartReadings.fromStaging(Staging.fromEvents(
-              s.read.option("basePath", raw).parquet(raw).drop("batch_id")))
-            .write.mode("overwrite").parquet(mart)
+          def deliver(): Unit = {
+            val dst = new org.apache.hadoop.fs.Path(s"$raw/batch_id=$batchId")
+            val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (!fs.exists(dst)) batch.write.mode("append").parquet(dst.toString)
+            MartReadings.fromStaging(Staging.fromEvents(
+                s.read.option("basePath", raw).parquet(raw).drop("batch_id")))
+              .write.mode("overwrite").parquet(mart)
+          }
+          deliver()
+          // duplicate delivery of batch 0 (the jdbc_merge gate's trick):
+          // the skip-if-exists append must be a fixpoint, so the gate's
+          // oracle — the one-shot batch mart SQL — proves exactly-once
+          // semantics under redelivery, not just under the happy path
+          if (batchId == 0) deliver()
           ()
         }
         .start()

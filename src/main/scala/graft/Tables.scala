@@ -115,7 +115,7 @@ object Tables {
     * part files (where the leaf-name filter silently matches ZERO files —
     * an empty stream masquerading as a fast one; caught in the round-11
     * sf1 battery). Branch on the layout. */
-  private def streamSource(
+  private[graft] def streamSource(
       spark: SparkSession, sfDir: String, name: String, schema: String): DataFrame = {
     val r = spark.readStream.schema(schema)
     // layout probe through the Hadoop FileSystem API, not java.io.File: the

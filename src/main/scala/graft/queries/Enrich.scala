@@ -371,7 +371,12 @@ FROM ranked"""
     val scored = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100, 0).cast("long").as("w"))
-      .withColumn("h0", expr("(k * 1103515245 + 12345) % 2147483647"))
+      // key masked BEFORE the LCG multiply: k * 1103515245 silently wraps
+      // int64 in non-ANSI Spark but raises an overflow error in the DuckDB
+      // oracle once keys exceed ~8.4e9 (very large SFs) — masking keeps
+      // both engines in-range at any scale, and is a no-op at every
+      // tested SF (o_orderkey < 2^31 there) (ADVICE r13)
+      .withColumn("h0", expr("((k % 2147483647) * 1103515245 + 12345) % 2147483647"))
       .withColumn("h", expr("((h0 ^ (h0 div 65536)) * 69069 + 1) % 2147483648"))
       .withColumn("q", col("w").cast("double")
         / ((col("h") + 1).cast("double") / lit(2147483648.0)))
@@ -393,8 +398,8 @@ FROM ranked"""
 WITH scored AS (
   SELECT o_orderkey AS k,
     CAST(round(o_totalprice * 100) AS BIGINT) AS w,
-    (xor((o_orderkey * 1103515245 + 12345) % 2147483647,
-         ((o_orderkey * 1103515245 + 12345) % 2147483647) // 65536)
+    (xor(((o_orderkey % 2147483647) * 1103515245 + 12345) % 2147483647,
+         (((o_orderkey % 2147483647) * 1103515245 + 12345) % 2147483647) // 65536)
      * 69069 + 1) % 2147483648 AS h
   FROM orders
 ), q AS (

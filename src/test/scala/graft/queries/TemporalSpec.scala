@@ -12,11 +12,16 @@ class TemporalSpec extends SparkSpec {
     val rows = Temporal.queries("rle_compress_stats")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4)))).toMap
-    // replay: per user, sort by (ts, event_id), split into maximal runs
+    // replay: per user, sort by (ts, event_id), split into maximal runs.
+    // ts is collected as unix MICROS, not Timestamp.getTime (millis): the
+    // query's window orders by full-precision ts, and two same-user events
+    // differing only in sub-millisecond micros would sort differently in a
+    // millisecond replay (ADVICE r13)
     val events = Tables.events(spark, sf)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val runs = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
       val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
       // fold into (type, runLength) pairs

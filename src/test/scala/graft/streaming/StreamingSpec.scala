@@ -173,4 +173,19 @@ class StreamingSpec extends SparkSpec {
     IngestStream.run(spark, landing.toString, out, ckpt).awaitTermination()
     assert(spark.read.parquet(out).count() === 8)
   }
+
+  test("stream source over a missing table fails fast with a layout-naming error") {
+    // VERDICT r13 #8: when NEITHER testdata layout exists (single parquet
+    // file or directory of part files), the source must throw a named
+    // error at construction — an empty stream masquerading as a fast one
+    // (the round-11 sf1 bug) is strictly worse than failing fast.
+    val missing = Files.createTempDirectory("graft-missing").toString
+    val e = intercept[java.io.FileNotFoundException] {
+      graft.Tables.streamSource(spark, missing, "documents", "doc_id BIGINT, text STRING")
+    }
+    assert(e.getMessage.contains("documents"),
+      s"error must name the table: ${e.getMessage}")
+    assert(e.getMessage.contains("DIRECTORY") && e.getMessage.contains("FILE"),
+      s"error must name both expected layouts: ${e.getMessage}")
+  }
 }
