@@ -85,37 +85,39 @@ object Pca {
 
   /** Six power-iteration supersteps from v₀ = VScale·1: per-step
     * (step, i, u, v_q) plus the final component frame (layer `pca_power`,
-    * shared by `pca_power_component` and `embed_pca_project`). */
+    * shared by `pca_power_component` and `embed_pca_project`).
+    *
+    * The iteration runs on the DRIVER over the collected Gramian — the
+    * MLlib `RowMatrix.computePrincipalComponents` posture: one
+    * distributed corpus pass builds the d²-bounded matrix (layer
+    * `pca_gram`; D = 64 → 2080 upper-triangle rows, a constant of the
+    * SCHEMA, not of the corpus), then the eigensolve is local. The
+    * previous distributed formulation spent 5.5-8.3 s of the first-run
+    * budget on 6 supersteps × (broadcast + eager checkpoint) of pure
+    * fixed job overhead — corpus-size-independent work either way, so
+    * distributing it bought nothing at ANY scale (round 14). Arithmetic
+    * is the same wrap-exact int64 sequence the oracle's SQL twin and
+    * PcaSpec's replay compute. */
   private def power(s: SparkSession, d: String): (DataFrame, DataFrame) =
     graft.SessionCache.layer("pca_power", s, d) {
-      locally {
-          val g = gram(s, d)
-          // symmetric expansion: integer Gramian is exactly symmetric, so
-          // mirroring the strict upper triangle reproduces the full matrix
-          val sym = g.unionByName(g.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("g_q")))
-            .localCheckpoint()
-          var v: DataFrame = s.range(D)
-            .select(col("id").cast("int").as("i"), lit(VScale).as("v"))
-          val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-          for (t <- 1 to Steps) {
-            val u = sym
-              .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
-              .groupBy("i")
-              .agg(sum(col("g_q") * col("vj")).as("u"))
-            val m = u.agg(max(abs(col("u"))).as("m"))
-            val st = u.crossJoin(broadcast(m))
-              .withColumn("q", expr(s"(abs(u) * $VScale) div m"))
-              .select(col("i"), col("u"),
-                when(col("u") < 0, -col("q")).otherwise(col("q"))
-                  .cast("long").as("v"))
-            outs += st.select(lit(t).as("step"), col("i"), col("u"),
-              col("v").as("v_q"))
-            // 64-row frame; checkpoint keeps superstep lineage linear
-            v = st.select(col("i"), col("v")).localCheckpoint()
-          }
-          (outs.reduce(_ unionByName _), v)
+      val gRows = gram(s, d).collect() // bounded: ≤ D·(D+1)/2 rows (audited)
+      val g = Array.ofDim[Long](D, D)
+      gRows.foreach { r =>
+        val (i, j, x) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        g(i)(j) = x; g(j)(i) = x
       }
+      var v = Array.fill(D)(VScale)
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+      for (t <- 1 to Steps) {
+        val u = Array.tabulate(D)(i => (0 until D).map(j => g(i)(j) * v(j)).sum)
+        val m = u.map(math.abs).max
+        v = u.map(x => if (x < 0) -((-x) * VScale / m) else x * VScale / m)
+        for (i <- 0 until D) steps += ((t, i, u(i), v(i)))
+      }
+      val spark = s
+      import spark.implicits._
+      (steps.toSeq.toDF("step", "i", "u", "v_q"),
+        v.toSeq.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "v"))
     }
 
   /** Unpack the aggregated d²-long array to (i, j, g_q) upper-triangle

@@ -73,6 +73,7 @@ class ContractSpec extends SparkSpec {
       "operators/Ranks.scala" -> 1, // per-partition totals (longs)
       "llm/IvfAnn.scala" -> 1,      // bounded codebook sample
       "llm/LangModel.scala" -> 1,   // limit(1) argmax
+      "llm/Pca.scala" -> 1,         // d²-bounded Gramian (driver eigensolve)
       "Profile.scala" -> 1)         // dev profiling main, not a query
     val found = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
