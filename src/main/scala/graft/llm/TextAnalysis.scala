@@ -314,6 +314,53 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
           (col("s_inv") / col("n_tokens").cast("double")).as("avg_inv_df"))
     }),
 
+    // Unigram SURPRISAL scoring — the integer-exact skeleton of a CCNet/
+    // KenLM perplexity filter: each token occurrence contributes its
+    // surprisal −log₂ p(token) ≈ bitlen(N) − bitlen(ctf) BITS, where
+    // bitlen is the bit length of an exact corpus count read as
+    // length(bin(x)) — a string-length of the binary literal, identical
+    // on both engines, so the whole score dodges the ln/exp cross-engine
+    // trap (each term is within 1 bit of the real log₂ ratio; document
+    // RANKING is what the filter consumes, and that survives the
+    // quantization). High-surprisal docs (gibberish, OCR noise, wrong-
+    // language fragments) are flagged on the INTEGER cross-multiplied
+    // form of bits/token > 17/16 of the corpus mean — the division never
+    // decides the flag. The margin is deliberately tight: bit-length
+    // quantization compresses the surprisal spread (a 31-occurrence and
+    // a 16-occurrence token score identically), so the per-doc ratios
+    // cluster within ~10% of the mean and a "1.5×" flag would be
+    // structurally dead; 6.25% above mean isolates the elevated
+    // rare-token-mass tail (30 of 5 000 docs at sf0.1). Scale shape: occurrences compress to per-(doc,
+    // token) tf first (the doc_rarity_score spine), the per-token bits
+    // dim is an aggregation of tf joined back on the token key (map-side
+    // combine absorbs hot tokens), then one groupBy(doc). The integer
+    // flag products are exact to ~2⁶² (corpus ≈ 10¹⁴ tokens — beyond
+    // the 100 TB point, same documented-bound idiom as priority_sample). */
+    "doc_surprisal_bits" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(T).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val ctf = tf.groupBy("token").agg(sum("tf").as("ctf"))
+      val totals = ctf.agg(sum("ctf").as("n_total"))
+      val dim = ctf.crossJoin(broadcast(totals))
+        .select(col("token"),
+          (length(bin(col("n_total"))) - length(bin(col("ctf"))))
+            .cast("long").as("bits"))
+      val scored = tf.join(dim, "token")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("bits")).as("total_bits"),
+          max(col("bits")).as("max_bits"))
+      val corpus = scored.agg(sum("total_bits").as("cb"), sum("n_tokens").as("cn"))
+      scored.crossJoin(broadcast(corpus))
+        .select(col("doc_id"), col("n_tokens"), col("total_bits"), col("max_bits"),
+          (col("total_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("bits_per_token"),
+          (col("total_bits") * col("cn") * 16 > col("cb") * col("n_tokens") * 17)
+            .as("high_surprisal"))
+    }),
+
     // Sparse lexical cosine similarity join — the inverted-index (term ->
     // posting list) complement of the dense embedding ANN ops: tf vectors
     // over word BIGRAMS (the unigram vocabulary of this corpus is ~31
@@ -782,6 +829,38 @@ df AS (
 )
 SELECT tf.doc_id, tf.token, tf.tf, df.df
 FROM tf JOIN df ON tf.token = df.token""",
+
+      // Mirrors doc_surprisal_bits: same tf spine, bit lengths via
+      // length(bin(x)) on exact BIGINT counts, the flag decided on the
+      // integer cross-multiplication.
+      "doc_surprisal_bits" -> s"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest($TS) AS token FROM documents)
+  GROUP BY doc_id, token
+), ctf AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY token
+), t AS (
+  SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf
+), dim AS (
+  SELECT token,
+    CAST(length(bin(n_total)) - length(bin(ctf)) AS BIGINT) AS bits
+  FROM ctf, t
+), scored AS (
+  SELECT doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+    CAST(max(bits) AS BIGINT) AS max_bits
+  FROM tf JOIN dim USING (token) GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(sum(total_bits) AS BIGINT) AS cb,
+         CAST(sum(n_tokens) AS BIGINT) AS cn
+  FROM scored
+)
+SELECT doc_id, n_tokens, total_bits, max_bits,
+  CAST(total_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS bits_per_token,
+  total_bits * cn * 16 > cb * n_tokens * 17 AS high_surprisal
+FROM scored, corpus""",
 
       // Mirrors doc_rarity_score: tf CTE, df as a count window over tf,
       // identical tf/df operand order into the exact int128 sum, same

@@ -233,6 +233,42 @@ UNION ALL SELECT 4, 'export_rows', (SELECT CAST(count(*) AS BIGINT) FROM texp)""
         when(pct < 80, "train").when(pct < 90, "val").otherwise("test").as("split"))
     }),
 
+    // Fill-in-the-middle transform (Bavarian et al. 2022): each document
+    // ≥30 chars splits at two deterministic points into prefix/middle/
+    // suffix and re-emits in PSM sentinel order — the code-model data
+    // augmentation that teaches infilling with plain next-token loss.
+    // Split points come from two chained LCG draws off doc_id (the
+    // hash_split/priority_sample mix — cross-engine exact), each bounded
+    // to one third of the doc so all three spans are nonempty. Pure
+    // per-row projection — zero shuffles, linear with the scan at any
+    // corpus size; short docs pass through tagged 'raw' (the mode split
+    // keeps the oracle total-row invariant: one output row per document).
+    "fim_transform" -> ((s, d) => {
+      val r1 = hashOf(col("doc_id"))
+      val r2 = hashOf(r1)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n"))
+        .withColumn("third", ((col("n") - col("n") % 3) / 3).cast("long"))
+        // Spark's % 0 yields NULL (never an error), and the `when` guard
+        // keeps the NULL out of every 'psm' row; DuckDB's CASE evaluates
+        // lazily so its % never sees a zero divisor.
+        .withColumn("p1", when(col("n") >= 30, lit(1L) + r1 % col("third")))
+        .withColumn("p2", when(col("n") >= 30,
+          col("p1") + lit(1L) + r2 % col("third")))
+      base.select(
+        col("doc_id"), col("n").as("n_chars"),
+        when(col("n") >= 30, "psm").otherwise("raw").as("mode"),
+        col("p1"), col("p2"),
+        when(col("n") >= 30,
+          concat(
+            lit("<FIM_PRE>"), col("text").substr(lit(1L), col("p1")),
+            lit("<FIM_SUF>"), col("text").substr(col("p2") + 1, col("n")),
+            lit("<FIM_MID>"),
+            col("text").substr(col("p1") + 1, col("p2") - col("p1"))))
+          .otherwise(col("text")).as("fim_text"))
+    }),
+
     // Sliding-window document chunking with overlap — the RAG/embedding
     // prep step (retrieval corpora index CHUNKS, not documents): windows
     // of 64 tokens at stride 48 (16-token overlap so no boundary context
@@ -385,6 +421,31 @@ SELECT doc_id,
        WHEN ($h % 100) < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM documents""",
+
+      "fim_transform" -> s"""
+WITH b AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, $h AS r1
+  FROM documents
+), c AS (
+  SELECT doc_id, text, n, r1,
+    ((r1 * 1103515245 + 12345) % 2147483647) AS r2,
+    CAST((n - n % 3) / 3 AS BIGINT) AS third
+  FROM b
+), p AS (
+  SELECT doc_id, text, n,
+    CASE WHEN n >= 30 THEN 1 + r1 % third END AS p1,
+    CASE WHEN n >= 30 THEN 2 + r1 % third + r2 % third END AS p2
+  FROM c
+)
+SELECT doc_id, n AS n_chars,
+  CASE WHEN n >= 30 THEN 'psm' ELSE 'raw' END AS mode,
+  CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+  CASE WHEN n >= 30 THEN
+    '<FIM_PRE>' || substr(text, 1, p1)
+    || '<FIM_SUF>' || substr(text, p2 + 1, n)
+    || '<FIM_MID>' || substr(text, p1 + 1, p2 - p1)
+  ELSE text END AS fim_text
+FROM p""",
 
       "rag_chunk_overlap" -> s"""
 WITH base AS (

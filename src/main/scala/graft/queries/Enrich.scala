@@ -993,9 +993,61 @@ FROM v
 LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id"""
 
+  // ---------------------------------------------- hhi_concentration --
+
+  /** Herfindahl–Hirschman market-concentration index per brand market:
+    * each supplier's share of a brand's shipped quantity, HHI = Σ share²
+    * kept EXACT as the rational Σ vol² / (Σ vol)² — quantities are
+    * integral in this schema, so both the numerator and the squared
+    * total are exact BIGINTs (safe to brand totals ≈ 2³¹, the same
+    * documented-bound idiom as degree_assortativity) and the single
+    * division is the only float. The antitrust-threshold flag
+    * (HHI > 0.25, the DOJ "highly concentrated" line scaled to [0,1])
+    * is decided on INTEGERS — 4·num > den — so the flag can never flake
+    * on the division's rounding.
+    *
+    * Scale shape: lineitem ⋈ part is an equi-join on the part key with
+    * the brand dim PRE-AGGREGATED ONLY AFTER the join (part is
+    * key-partitioned, the join shuffles lineitem once); then two nested
+    * grouped aggregations, both map-side combinable. Never a window. */
+  def hhiConcentration(s: SparkSession, d: String): DataFrame = {
+    val vol = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .groupBy("p_brand", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("vol"))
+    vol.groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("vol")).as("total_vol"),
+        sum(col("vol") * col("vol")).as("hhi_num"))
+      .select(col("p_brand"), col("n_suppliers"), col("total_vol"), col("hhi_num"),
+        (col("hhi_num").cast("double")
+          / (col("total_vol") * col("total_vol")).cast("double")).as("hhi"),
+        (col("hhi_num") * 4 > col("total_vol") * col("total_vol"))
+          .as("concentrated"))
+  }
+
+  val hhiSql: String = """
+WITH vol AS (
+  SELECT p_brand, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, l_suppkey
+)
+SELECT p_brand,
+  CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(sum(vol) AS BIGINT) AS total_vol,
+  CAST(sum(vol * vol) AS BIGINT) AS hhi_num,
+  CAST(sum(vol * vol) AS DOUBLE)
+    / CAST(CAST(sum(vol) AS BIGINT) * CAST(sum(vol) AS BIGINT) AS DOUBLE) AS hhi,
+  CAST(sum(vol * vol) AS BIGINT) * 4
+    > CAST(sum(vol) AS BIGINT) * CAST(sum(vol) AS BIGINT) AS concentrated
+FROM vol GROUP BY p_brand"""
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hhi_concentration"          -> ((s, d) => hhiConcentration(s, d)),
     "cohort_retention"           -> ((s, d) => cohortRetention(s, d)),
     "funnel_within_hour"         -> ((s, d) => funnelWithinHour(s, d)),
     "entity_match_blocked"       -> ((s, d) => entityMatchBlocked(s, d)),
@@ -1017,6 +1069,7 @@ LEFT JOIN p ON v.user_id = p.user_id"""
   )
 
   def oracles: Map[String, String] = Map(
+    "hhi_concentration"          -> hhiSql,
     "cohort_retention"           -> cohortRetentionSql,
     "funnel_within_hour"         -> funnelSql,
     "entity_match_blocked"       -> entityMatchSql,

@@ -57,6 +57,32 @@ object Graph {
       sym
     }
 
+  /** The WIDE variant of the shared graph (node domain 4× the supplier
+    * count — the k_core rationale: the narrow graph is near-complete at
+    * small sf, so every degree equals the mean, the diameter collapses to
+    * ~1, and any operator that needs skewed degrees or interior
+    * shortest-path structure degenerates). Shared by k_core,
+    * stress_centrality and degree_assortativity; same
+    * build-once-per-(session, dir) posture as [[symmetricEdges]]. */
+  private def symmetricEdgesWide(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.layer("graph_edges_wide", s, d) {
+      val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
+      val raw = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0)
+        .crossJoin(broadcast(nSupp))
+        .select(col("l_suppkey").as("x"),
+          (col("l_partkey") % (col("n_supp") * 4)).as("y"))
+        .filter(col("x") =!= col("y"))
+      val e = raw.select(
+          least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      sym
+    }
+
   /** Bounded BFS from node 1: min-hop label per node within 4 hops.
     * Frontier-delta iteration — each hop joins ONLY the newly discovered
     * frontier against the adjacency list (never re-expands settled nodes)
@@ -390,20 +416,8 @@ l$t AS (
     * Output: surviving nodes with their degree in the surviving subgraph. */
   def kCore(s: SparkSession, d: String): DataFrame = {
     val gen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
-    val canon = Tables.lineitem(s, d)
-      .filter(col("l_orderkey") % 10 === 0)
-      .crossJoin(broadcast(nSupp))
-      .select(col("l_suppkey").as("x"),
-        (col("l_partkey") % (col("n_supp") * 4)).as("y"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    var e = canon.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    gen += e
+    // shared wide layer — persisted by the layer builder, not retired here
+    var e = symmetricEdgesWide(s, d)
     // ⅔ of the mean degree: measured across sf0.001/0.01/0.1 this peels
     // 55-65% of nodes and always leaves a nonempty core (40→17, 400→149,
     // 4000→1523 survivors); the full mean — and even ¾ of it at sf0.001 —
@@ -553,13 +567,282 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
 FROM v$CcRounds GROUP BY node"""
   }
 
+  private val StressSeeds = 4
+  private val StressRounds = 3
+
+  /** STRESS centrality (Shimbel 1953) via the integer-exact two-pass
+    * Brandes decomposition, from a bounded seed set: for each seed s and
+    * node v, θ_s(v) = σ_s(v) · c_s(v) counts the shortest s-paths through
+    * v to any target within [[StressRounds]] hops, where σ is the BFS
+    * shortest-path count (forward pass) and c(v) = Σ_{w ∈ succ(v)}
+    * (c(w) + 1) counts shortest-path CONTINUATIONS from v down the BFS
+    * DAG (backward pass, levels descending). Unlike betweenness's
+    * rational δ accumulation, every quantity here is an exact BIGINT —
+    * the cross-engine-hashable member of the centrality family.
+    *
+    * Scale contract: the seed bound (exact all-sources is O(N·E));
+    * forward = [[StressRounds]] frontier-delta supersteps keyed on
+    * (seed, node) — the closeness shape — and backward = one
+    * level-to-level equi-join per level, each proportional to the
+    * DAG's edges at that level, never whole-graph state. The BFS-DAG
+    * invariant (every shortest-path predecessor of a level-h node is at
+    * level h−1) is what lets σ accumulate level-synchronously. */
+  def stressCentrality(s: SparkSession, d: String): DataFrame = {
+    val gen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the WIDE shared layer: interior shortest-path structure needs a
+    // diameter > 2 (on the near-complete narrow graph every non-endpoint
+    // stress is identically zero at small sf)
+    val sym = symmetricEdgesWide(s, d)
+    var visited = Tables.supplier(s, d)
+      .filter(col("s_suppkey") <= StressSeeds)
+      .select(col("s_suppkey").as("seed"), col("s_suppkey").as("node"),
+        lit(0).as("dist"), lit(1L).as("sigma"))
+    var frontier = visited.select("seed", "node", "sigma")
+    for (h <- 1 to StressRounds) {
+      // σ(new node) = Σ σ(frontier predecessors): aggregate BEFORE the
+      // visited anti-join so every level-(h−1) predecessor contributes;
+      // shuffle_hash on the growing visited set (the closeness/k_core
+      // 50deb5a discipline — an AQE broadcast build of its union chain
+      // would be a separate job per round)
+      val next = frontier.join(sym, col("node") === col("src"))
+        .select(col("seed"), col("dst"), col("sigma"))
+        .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
+        .withColumnRenamed("dst", "node")
+        .join(visited.select("seed", "node").hint("shuffle_hash"),
+          Seq("seed", "node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gen += next
+      visited = visited
+        .unionByName(next.withColumn("dist", lit(h))
+          .select("seed", "node", "dist", "sigma"))
+        .localCheckpoint(false)
+      frontier = next.select("seed", "node", "sigma")
+    }
+    // backward pass: continuation counts, deepest level first; the lazily
+    // checkpointed visited frame is the one materialization all four
+    // level filters and the final join share
+    var cont = visited.filter(col("dist") === StressRounds)
+      .select(col("seed"), col("node"), lit(0L).as("c"))
+    var acc = cont
+    for (l <- (StressRounds - 1) to 0 by -1) {
+      val cur = visited.filter(col("dist") === l).select("seed", "node")
+      val contrib = cur.join(sym, col("node") === col("src"))
+        .select(col("seed"), col("node"), col("dst"))
+        .join(cont.select(col("seed"), col("node").as("dst"), col("c"))
+          .hint("shuffle_hash"), Seq("seed", "dst"))
+        .groupBy("seed", "node").agg(sum(col("c") + 1).as("c"))
+      cont = cur.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), coalesce(col("c"), lit(0L)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gen += cont
+      acc = acc.unionByName(cont)
+    }
+    retire("stress_centrality", gen.toSeq)
+    visited.filter(col("node") =!= col("seed"))
+      .join(acc, Seq("seed", "node"))
+      .groupBy("node")
+      .agg(sum(col("sigma") * col("c")).cast("long").as("stress"))
+  }
+
+  private val stressCentralitySql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+WITH raw AS (
+  SELECT l_suppkey AS x,
+         l_partkey % ((SELECT count(*) FROM supplier) * 4) AS y
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0
+    AND l_suppkey <> l_partkey % ((SELECT count(*) FROM supplier) * 4)
+), canon AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw
+), adj AS (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL
+  SELECT b AS src, a AS dst FROM canon
+), v0 AS (
+  SELECT s_suppkey AS seed, s_suppkey AS node, 0 AS dist,
+         CAST(1 AS BIGINT) AS sigma
+  FROM supplier WHERE s_suppkey <= $StressSeeds
+)"""
+    for (h <- 1 to StressRounds) {
+      sb ++= s""",
+n$h AS (
+  SELECT p.seed, adj.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM v${h - 1} p JOIN adj ON adj.src = p.node
+  WHERE p.dist = ${h - 1}
+    AND NOT EXISTS (SELECT 1 FROM v${h - 1} w
+                    WHERE w.seed = p.seed AND w.node = adj.dst)
+  GROUP BY p.seed, adj.dst
+), v$h AS (
+  SELECT * FROM v${h - 1}
+  UNION ALL
+  SELECT seed, node, $h AS dist, sigma FROM n$h
+)"""
+    }
+    sb ++= s""",
+c$StressRounds AS (
+  SELECT seed, node, CAST(0 AS BIGINT) AS c
+  FROM v$StressRounds WHERE dist = $StressRounds
+)"""
+    for (l <- (StressRounds - 1) to 0 by -1) {
+      sb ++= s""",
+c$l AS (
+  SELECT cur.seed, cur.node, CAST(coalesce(sum(nx.c + 1), 0) AS BIGINT) AS c
+  FROM (SELECT seed, node FROM v$StressRounds WHERE dist = $l) cur
+  LEFT JOIN adj ON adj.src = cur.node
+  LEFT JOIN c${l + 1} nx ON nx.seed = cur.seed AND nx.node = adj.dst
+  GROUP BY cur.seed, cur.node
+)"""
+    }
+    val unions = (0 to StressRounds).map(l => s"SELECT * FROM c$l")
+      .mkString("\n  UNION ALL\n  ")
+    sb.toString + s"""
+SELECT v.node, CAST(sum(v.sigma * c.c) AS BIGINT) AS stress
+FROM v$StressRounds v
+JOIN ($unions) c ON c.seed = v.seed AND c.node = v.node
+WHERE v.node <> v.seed
+GROUP BY v.node"""
+  }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the shared supplier
+    * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), with the triangle
+    * census enumerated once as id-oriented (a<b<c) wedge+closure joins —
+    * every count an exact integer, the one division the only float.
+    *
+    * Scale contract: orientation bounds the wedge join by per-node
+    * OUT-degree under the a<b order (production systems orient by
+    * (degree, id) to cap hub fan-out; on this near-uniform-degree graph
+    * id-orientation has the same bound and keeps the oracle twin exact),
+    * and the closure check is a shuffle_hash semi-join against the
+    * edge list — never broadcast (edge-scale) and never node×node. */
+  def clusteringCoefficient(s: SparkSession, d: String): DataFrame = {
+    val sym = symmetricEdges(s, d) // shared layer
+    val canon = sym.filter(col("src") < col("dst"))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val tris = canon.select(col("src").as("a"), col("dst").as("b"))
+      .join(canon.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(canon.select(col("src").as("a"), col("dst").as("c"))
+        .hint("shuffle_hash"), Seq("a", "c"), "left_semi")
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc", when(col("deg") >= 2,
+          (col("tri") * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+  }
+
+  private val clusteringCoefficientSql: String = """
+WITH raw AS (
+  SELECT l_suppkey AS x,
+         l_partkey % (SELECT count(*) FROM supplier) AS y
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0
+    AND l_suppkey <> l_partkey % (SELECT count(*) FROM supplier)
+), canon AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw
+), sym AS (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL
+  SELECT b AS src, a AS dst FROM canon
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+), tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM canon e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+), tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b AS node FROM tris
+    UNION ALL SELECT c AS node FROM tris
+  ) GROUP BY node
+)
+SELECT deg.node, deg.deg, CAST(coalesce(tri.tri, 0) AS BIGINT) AS tri,
+  CASE WHEN deg.deg >= 2
+    THEN CAST(coalesce(tri.tri, 0) * 2 AS DOUBLE)
+         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS lcc
+FROM deg LEFT JOIN tri ON tri.node = deg.node"""
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) of the k-core domain graph —
+    * the Pearson correlation of endpoint degrees over the directed edge
+    * list, reduced to four exact BIGINT sums (M, Σj, Σj², Σjk) in ONE
+    * partial-aggregable pass, with the correlation assembled from them
+    * in a fixed double chain. Uses the k_core 4×-wide node domain
+    * (l_partkey mod 4·|supplier|) because its degree distribution is
+    * genuinely skewed — the shared supplier graph is near-regular at
+    * small sf, which degenerates the correlation to 0/0.
+    *
+    * Scale contract: two node-keyed hash joins to attach endpoint
+    * degrees (node-scale dims — shuffle_hash, never broadcast at real
+    * graph sizes) and one map-side-combinable grand aggregate; the BIGINT
+    * sums are exact to |E|·maxdeg² ≈ 2⁶² (far past any tested sf; the
+    * same documented bound idiom as priority_sample's LCG mix). */
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    val sym = symmetricEdgesWide(s, d) // shared wide layer
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val sums = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("jd"))
+        .hint("shuffle_hash"), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("kd"))
+        .hint("shuffle_hash"), "dst")
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("jd")).as("s1"),
+        sum(col("jd") * col("jd")).as("s2"),
+        sum(col("jd") * col("kd")).as("s11"))
+    sums.select(col("m"), col("s1"), col("s2"), col("s11"),
+      ((col("m").cast("double") * col("s11").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))
+        / (col("m").cast("double") * col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))).as("r"))
+  }
+
+  private val degreeAssortativitySql: String = """
+WITH raw AS (
+  SELECT l_suppkey AS x,
+         l_partkey % ((SELECT count(*) FROM supplier) * 4) AS y
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0
+    AND l_suppkey <> l_partkey % ((SELECT count(*) FROM supplier) * 4)
+), canon AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw
+), sym AS (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL
+  SELECT b AS src, a AS dst FROM canon
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(dj.deg) AS BIGINT) AS s1,
+    CAST(sum(dj.deg * dj.deg) AS BIGINT) AS s2,
+    CAST(sum(dj.deg * dk.deg) AS BIGINT) AS s11
+  FROM sym
+  JOIN deg dj ON dj.node = sym.src
+  JOIN deg dk ON dk.node = sym.dst
+)
+SELECT m, s1, s2, s11,
+  (CAST(m AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+  / (CAST(m AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS r
+FROM sums"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs_hops"          -> ((s, d) => bfsHops(s, d)),
     "link_prediction"   -> ((s, d) => linkPrediction(s, d)),
     "label_propagation" -> ((s, d) => labelPropagation(s, d)),
     "sssp_weighted"     -> ((s, d) => ssspWeighted(s, d)),
     "k_core"            -> ((s, d) => kCore(s, d)),
-    "closeness_centrality" -> ((s, d) => closenessCentrality(s, d))
+    "closeness_centrality" -> ((s, d) => closenessCentrality(s, d)),
+    "stress_centrality" -> ((s, d) => stressCentrality(s, d)),
+    "clustering_coefficient" -> ((s, d) => clusteringCoefficient(s, d)),
+    "degree_assortativity" -> ((s, d) => degreeAssortativity(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -592,6 +875,9 @@ SELECT node, CAST(min(d) AS INT) AS hops FROM walk GROUP BY node""",
     "label_propagation" -> labelPropagationSql,
     "sssp_weighted" -> ssspWeightedSql,
     "k_core" -> kCoreSql,
-    "closeness_centrality" -> closenessCentralitySql
+    "closeness_centrality" -> closenessCentralitySql,
+    "stress_centrality" -> stressCentralitySql,
+    "clustering_coefficient" -> clusteringCoefficientSql,
+    "degree_assortativity" -> degreeAssortativitySql
   )
 }

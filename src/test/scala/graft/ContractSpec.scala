@@ -121,7 +121,7 @@ class ContractSpec extends SparkSpec {
     val supersteps = Set(
       "pagerank_integer", "bfs_hops", "sssp_weighted", "label_propagation",
       "perceptron_steps", "bpe_merges_batch", "link_prediction",
-      "k_core", "closeness_centrality")
+      "k_core", "closeness_centrality", "stress_centrality")
     // Ranks-based distributed ranking (globalRowNumber/globalNtile/
     // globalRunningSum/groupedRowNumber): the two-phase prefix sum reads
     // one long per partition at construction — the audited bounded
@@ -139,7 +139,8 @@ class ContractSpec extends SparkSpec {
     val sharedFrame = Set(
       "cosine_neardup", "semdedup", "doc_rarity_score", "tf_cosine_pairs",
       "proto_outliers", "jaccard_prefix_join", "rrf_fusion", "acf_lags",
-      "theil_sen_trend", "seasonal_decompose", "paragraph_dedup")
+      "theil_sen_trend", "seasonal_decompose", "paragraph_dedup",
+      "doc_surprisal_bits")
     // Write-lifecycle queries: the operator under test IS a write + read
     // back (partitioned layout pruning, multi-format round-trip).
     val writeLifecycle = Set("partition_pruned_counts", "multi_format_union")
@@ -180,11 +181,21 @@ class ContractSpec extends SparkSpec {
     // and the ContextCleaner reclaims them when the frame is GC'd.
     val names = Seq("bfs_hops", "sssp_weighted", "k_core", "closeness_centrality",
       "pagerank_integer", "label_propagation", "link_prediction",
-      "dedup_clusters", "dedup_keep_best")
+      "dedup_clusters", "dedup_keep_best", "stress_centrality")
     def run(n: String): Unit = SparkEntry.queries(n)(spark, sf)
       .write.format("noop").mode("overwrite").save()
-    def persistedNonCkpt: Int = spark.sparkContext.getPersistentRDDs
-      .values.count(r => !r.isCheckpointed)
+    // Count AFTER a GC pass: a lazily-checkpointed frame whose
+    // materialization never fired (e.g. a superstep round AQE folded
+    // away) is reclaimed by the ContextCleaner only once GC runs, so an
+    // un-collected straggler from an EARLIER suite would otherwise flip
+    // this count nondeterministically. The frames retire() is auditing
+    // are STRONGLY held in the builders' generation maps — GC cannot
+    // launder a missing unpersist.
+    def persistedNonCkpt: Int = {
+      System.gc()
+      Thread.sleep(1500)
+      spark.sparkContext.getPersistentRDDs.values.count(r => !r.isCheckpointed)
+    }
     names.foreach(run) // shared layers (graph_edges, clusters, ...) build once
     names.foreach(run) // steady state: every retire() key now has a generation
     val before = persistedNonCkpt

@@ -137,4 +137,37 @@ class TextAnalysisSpec extends SparkSpec {
       })
     assert(repAll === expRep.toLong)
   }
+
+  test("doc_surprisal_bits matches a JVM bit-length replay") {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val docToks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val ctf = docToks.values.flatten.groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    val nTotal = ctf.values.sum
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val bits = ctf.map { case (t, c) => t -> (bitlen(nTotal) - bitlen(c)) }
+
+    val scored = docToks.collect { case (id, ts) if ts.nonEmpty =>
+      id -> (ts.size.toLong, ts.map(bits).sum, ts.map(bits).max)
+    }
+    val cb = scored.values.map(_._2).sum
+    val cn = scored.values.map(_._1).sum
+
+    val got = TextAnalysis.queries("doc_surprisal_bits")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet === scored.keySet)
+    for ((id, (n, tb, mb)) <- scored) {
+      val row = got(id)
+      assert(row.getAs[Long]("n_tokens") === n, s"doc $id n_tokens")
+      assert(row.getAs[Long]("total_bits") === tb, s"doc $id total_bits")
+      assert(row.getAs[Long]("max_bits") === mb, s"doc $id max_bits")
+      assert(row.getAs[Double]("bits_per_token") === tb.toDouble / n.toDouble)
+      assert(row.getAs[Boolean]("high_surprisal") === (tb * cn * 16 > cb * n * 17))
+    }
+    // both flag classes must exist or the threshold test is vacuous
+    assert(got.values.exists(_.getAs[Boolean]("high_surprisal")))
+    assert(got.values.exists(!_.getAs[Boolean]("high_surprisal")))
+  }
 }

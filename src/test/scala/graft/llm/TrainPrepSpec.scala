@@ -163,4 +163,39 @@ class TrainPrepSpec extends SparkSpec {
     for (((_, _), grp) <- rows.groupBy(r => (r._1, r._8)))
       assert(grp.map(_._9).sorted.toSeq === (1L to grp.length).toSeq)
   }
+
+  test("fim_transform spans reassemble to the original document") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TrainPrep.queries("fim_transform")(spark, sf).collect()
+    assert(out.length === docs.size) // one output row per document
+    var psm = 0
+    out.foreach { r =>
+      val text = docs(r.getLong(0))
+      val n = r.getLong(1)
+      assert(n === text.length.toLong)
+      if (r.getString(2) == "psm") {
+        psm += 1
+        val p1 = r.getLong(3).toInt; val p2 = r.getLong(4).toInt
+        val f = r.getString(5)
+        // slice the sentinel stream by ARITHMETIC (sentinels are 9 chars;
+        // span lengths are p1 / n−p2 / p2−p1), then pin each span to the
+        // original — proves the transform is information-preserving
+        val pre = f.substring(9, 9 + p1)
+        val sufStart = 9 + p1 + 9
+        val suf = f.substring(sufStart, sufStart + (n.toInt - p2))
+        val mid = f.substring(sufStart + (n.toInt - p2) + 9)
+        assert(pre === text.substring(0, p1))
+        assert(mid === text.substring(p1, p2))
+        assert(suf === text.substring(p2))
+        assert(pre.nonEmpty && mid.nonEmpty && suf.nonEmpty)
+        assert(f.length === n.toInt + 27)
+      } else {
+        assert(r.getString(5) === text)
+        assert(n < 30)
+        assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+    assert(psm > 0, "no document long enough to split — the test is vacuous")
+  }
 }

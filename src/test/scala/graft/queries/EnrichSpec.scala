@@ -355,4 +355,28 @@ class EnrichSpec extends SparkSpec {
     // well within 15% (a sign/scale bug lands far outside)
     assert(math.abs(r.getAs[Double]("rel_err")) < 0.15, s"rel_err ${r.getAs[Double]("rel_err")}")
   }
+
+  test("hhi_concentration matches a brute-force share computation") {
+    val brand = graft.Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vols = graft.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => ((brand(r.getLong(0)), r.getLong(1)), r.getDouble(2).toLong))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val out = Enrich.queries("hhi_concentration")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val byBrand = vols.groupBy(_._1._1)
+    assert(out.keySet === byBrand.keySet)
+    for ((b, sup) <- byBrand) {
+      val vs = sup.values.toSeq
+      val total = vs.sum
+      val num = vs.map(v => v * v).sum
+      val hhi = num.toDouble / (total * total).toDouble
+      assert(out(b) === ((vs.size.toLong, total, num, hhi, num * 4 > total * total)), s"brand $b")
+    }
+    // shares must be non-degenerate: some brand strictly between the
+    // monopoly (1.0) and perfectly-split (1/n) extremes
+    assert(out.values.exists { case (n, _, _, h, _) => h > 1.0 / n && h < 1.0 })
+  }
 }

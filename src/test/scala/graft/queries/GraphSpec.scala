@@ -155,4 +155,105 @@ class GraphSpec extends SparkSpec {
     // a seed must reach beyond itself or the replay is vacuous
     assert(expect.values.exists(_._2 > 0L))
   }
+
+  test("stress_centrality matches a driver-side two-pass Brandes replay") {
+    val out = Graph.queries("stress_centrality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // stress runs on the WIDE (4×-domain) graph — the narrow one is
+    // near-complete at sf0.001, leaving no interior shortest paths
+    val nSuppW = Tables.supplier(spark, sf).count()
+    val undW = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % (nSuppW * 4)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val adjMap = (undW ++ undW.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).distinct }
+    val R = 3
+    val seeds = Tables.supplier(spark, sf).select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).filter(_ <= 4)
+    assert(seeds.nonEmpty)
+    val stress = scala.collection.mutable.Map.empty[Long, Long]
+    for (s0 <- seeds) {
+      // forward: BFS levels with shortest-path counts σ
+      var dist = Map(s0 -> 0)
+      var sigma = Map(s0 -> 1L)
+      var frontier = Seq(s0)
+      for (h <- 1 to R) {
+        val offers = frontier.flatMap(u =>
+          adjMap.getOrElse(u, Array.empty[Long]).map(v => (v, sigma(u))))
+        val nxt = offers.groupBy(_._1)
+          .collect { case (v, g) if !dist.contains(v) => v -> g.map(_._2).sum }
+        dist ++= nxt.keys.map(_ -> h)
+        sigma ++= nxt
+        frontier = nxt.keys.toSeq
+      }
+      // backward: continuation counts c(v) = Σ_succ (c(w) + 1)
+      val call = scala.collection.mutable.Map.empty[Long, Long]
+      dist.collect { case (v, d) if d == R => v }.foreach(call(_) = 0L)
+      for (l <- (R - 1) to 0 by -1) {
+        for (v <- dist.collect { case (n, d) if d == l => n }) {
+          val succ = adjMap.getOrElse(v, Array.empty[Long])
+            .filter(w => dist.get(w).contains(l + 1))
+          call(v) = succ.map(w => call(w) + 1L).sum
+        }
+      }
+      for ((v, _) <- dist if v != s0)
+        stress(v) = stress.getOrElse(v, 0L) + sigma(v) * call(v)
+    }
+    assert(out === stress.toMap)
+    // interior nodes must carry real path mass or the replay is vacuous
+    assert(stress.values.exists(_ > 0L))
+  }
+
+  test("clustering_coefficient matches a brute-force triangle census") {
+    val out = Graph.queries("clustering_coefficient")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val sym = symAdj()
+    val edgeSet = sym.filter(e => e._1 < e._2).toSet
+    val adjMap = sym.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).distinct.sorted }
+    for ((v, nbs) <- adjMap) {
+      val d = nbs.size.toLong
+      val t = (for {
+        i <- nbs.indices; j <- (i + 1) until nbs.size
+        if edgeSet((nbs(i), nbs(j)))
+      } yield 1).size.toLong
+      val lcc = if (d >= 2) 2.0 * t / (d * (d - 1)).toDouble else 0.0
+      assert(out(v) === ((d, t, lcc)), s"node $v")
+    }
+    assert(out.keySet === adjMap.keySet)
+    // the graph must actually close triangles or the census is vacuous
+    assert(out.values.exists(_._2 > 0L))
+  }
+
+  test("degree_assortativity matches the brute-force Newman formula") {
+    val row = Graph.queries("degree_assortativity")(spark, sf).collect().head
+    val nSupp = Tables.supplier(spark, sf).count()
+    val und = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_suppkey").as("x"), (col("l_partkey") % (nSupp * 4)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val sym = und ++ und.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val m = sym.length.toLong
+    val s1 = sym.map(e => deg(e._1)).sum
+    val s2 = sym.map(e => deg(e._1) * deg(e._1)).sum
+    val s11 = sym.map(e => deg(e._1) * deg(e._2)).sum
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((m, s1, s2, s11)))
+    val r = (m.toDouble * s11.toDouble - s1.toDouble * s1.toDouble) /
+      (m.toDouble * s2.toDouble - s1.toDouble * s1.toDouble)
+    assert(row.getDouble(4) === r)
+    // the 4×-wide domain exists precisely so degrees are skewed enough
+    // for the correlation to be defined (the shared graph is near-regular)
+    assert(!r.isNaN)
+  }
 }
