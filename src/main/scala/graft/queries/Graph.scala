@@ -512,13 +512,20 @@ e$r AS (
         lit(0).as("dist"))
     var frontier = visited.select("seed", "node")
     for (h <- 1 to CcRounds) {
-      // shuffle_hash on the visited anti-join: the visited set grows with
-      // the BFS wavefront (seeds × reached nodes) — never broadcastable at
-      // real graph sizes, and an AQE broadcast build of its union chain is
-      // a separate job per round (the k_core cascade, 50deb5a)
+      // NO join-strategy hint on the visited anti-join: visited is lazily
+      // checkpointed EVERY round, so an AQE broadcast build reads the
+      // checkpoint blocks — the 50deb5a cascade (each broadcast re-deriving
+      // every unmaterialized earlier round) cannot occur here, and forcing
+      // shuffle_hash instead costs two extra full shuffles per round
+      // (measured 0.8 → 2.3 s warm at sf0.1/32 threads, round 14). At real
+      // graph sizes AQE's runtime stats see a node-scale visited set and
+      // pick the shuffled join on their own — that, not a compile-time
+      // hint, is the scale posture. k_core is DIFFERENT: its per-round
+      // survivor frames are derived, never checkpointed, so it keeps the
+      // hints.
       val next = frontier.join(sym, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited.hint("shuffle_hash"), Seq("seed", "node"), "left_anti")
+        .join(visited, Seq("seed", "node"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       gen += next
       visited = visited.unionByName(next.withColumn("dist", lit(h)))
@@ -600,27 +607,36 @@ FROM v$CcRounds GROUP BY node"""
     var frontier = visited.select("seed", "node", "sigma")
     for (h <- 1 to StressRounds) {
       // σ(new node) = Σ σ(frontier predecessors): aggregate BEFORE the
-      // visited anti-join so every level-(h−1) predecessor contributes;
-      // shuffle_hash on the growing visited set (the closeness/k_core
-      // 50deb5a discipline — an AQE broadcast build of its union chain
-      // would be a separate job per round)
+      // visited anti-join so every level-(h−1) predecessor contributes.
+      // No join hint: visited is checkpointed every round (see the
+      // closeness loop note — broadcast builds read checkpoint blocks,
+      // and AQE flips to a shuffled join on its own once the visited
+      // set outgrows the broadcast threshold at real graph sizes).
       val next = frontier.join(sym, col("node") === col("src"))
         .select(col("seed"), col("dst"), col("sigma"))
         .groupBy("seed", "dst").agg(sum("sigma").as("sigma"))
         .withColumnRenamed("dst", "node")
-        .join(visited.select("seed", "node").hint("shuffle_hash"),
-          Seq("seed", "node"), "left_anti")
+        .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       gen += next
       visited = visited
         .unionByName(next.withColumn("dist", lit(h))
           .select("seed", "node", "dist", "sigma"))
-        .localCheckpoint(false)
       frontier = next.select("seed", "node", "sigma")
     }
-    // backward pass: continuation counts, deepest level first; the lazily
-    // checkpointed visited frame is the one materialization all four
-    // level filters and the final join share
+    // ONE lazy checkpoint after the (statically bounded) forward loop —
+    // not per round: [[StressRounds]] is a compile-time constant, so the
+    // un-truncated plan depth is bounded and the per-round checkpoints
+    // were pure job overhead (each materialization is its own AQE job
+    // chain; dropping them + the per-level backward persists cut the
+    // query from ~40 jobs / 11.8 s to single digits at sf0.1/32 threads).
+    // Loops with DATA-DEPENDENT round counts (the CC label loop) still
+    // need periodic truncation — this is the bounded-rounds special case.
+    visited = visited.localCheckpoint(false)
+    // backward pass: continuation counts, deepest level first, composed
+    // as ONE lazy plan — every level filter reads the single checkpointed
+    // visited frame, and the doubly-consumed cont_l subtrees dedupe via
+    // AQE exchange reuse instead of per-level persisted frames
     var cont = visited.filter(col("dist") === StressRounds)
       .select(col("seed"), col("node"), lit(0L).as("c"))
     var acc = cont
@@ -628,13 +644,11 @@ FROM v$CcRounds GROUP BY node"""
       val cur = visited.filter(col("dist") === l).select("seed", "node")
       val contrib = cur.join(sym, col("node") === col("src"))
         .select(col("seed"), col("node"), col("dst"))
-        .join(cont.select(col("seed"), col("node").as("dst"), col("c"))
-          .hint("shuffle_hash"), Seq("seed", "dst"))
+        .join(cont.select(col("seed"), col("node").as("dst"), col("c")),
+          Seq("seed", "dst"))
         .groupBy("seed", "node").agg(sum(col("c") + 1).as("c"))
       cont = cur.join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), coalesce(col("c"), lit(0L)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      gen += cont
       acc = acc.unionByName(cont)
     }
     retire("stress_centrality", gen.toSeq)
