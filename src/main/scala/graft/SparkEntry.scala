@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model._
-import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Relational, ScaleOps, Stats, Temporal, Windowed}
+import graft.queries.{Analytics, Diagnostics, Enrich, Graph, Linkage, Relational, ScaleOps, Stats, Temporal, Windowed}
 import graft.llm.{AnnRecall, BatchPrep, CorpusClean, CorpusQuality, IvfAnn, KMeans, KnnLabel, LangModel, Lexicon, Multimodal, Pca, Perceptron, PhraseIndex, PqAnn, Retrieval, SemDeDup, Similarity, Stump, TextAnalysis, TextDedup, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -146,7 +146,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     iotQueries ++ Relational.queries ++ Temporal.queries ++ Analytics.queries ++
-      Windowed.queries ++ Diagnostics.queries ++ Graph.queries ++
+      Windowed.queries ++ Diagnostics.queries ++ Graph.queries ++ Linkage.queries ++
       TextAnalysis.queries ++ TextDedup.queries ++ LangModel.queries ++
       CorpusClean.queries ++ CorpusQuality.queries ++ TrainPrep.queries ++
       KMeans.queries ++
@@ -161,7 +161,7 @@ object SparkEntry {
     * queries get the driver's weaker rows-only check). */
   def oracleSql: Map[String, String] =
     iotOracle ++ Relational.oracles ++ Temporal.oracles ++ Analytics.oracles ++
-      Windowed.oracles ++ Diagnostics.oracles ++ Graph.oracles ++
+      Windowed.oracles ++ Diagnostics.oracles ++ Graph.oracles ++ Linkage.oracles ++
       TextAnalysis.oracles ++ TextDedup.oracles ++ LangModel.oracles ++
       CorpusClean.oracles ++
       CorpusQuality.oracles ++ TrainPrep.oracles ++

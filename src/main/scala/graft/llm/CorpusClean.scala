@@ -243,10 +243,83 @@ FROM scored"""
         .as("kappa"))
   }
 
+  /** Classifier evaluation against the Gopher rule battery as ground
+    * truth: confusion counts, precision/recall/F1 (exact rationals, one
+    * division each), and AUC via the Mann-Whitney rank identity
+    * AUC = (Σ rank(pos) − P(P+1)/2) / (P·N) over the ascending-score
+    * ranking. The global ranking uses the DISTRIBUTED exact rank
+    * ([[graft.operators.Ranks.globalRowNumber]], range-partitioned sort +
+    * partition offsets — never an unpartitioned row_number window), so the
+    * metric computes at corpus scale; everything after the rank is ONE
+    * grand aggregate of integer sums. Score ties rank by doc_id on both
+    * engines (the convention stands in for midrank tie handling — the
+    * tie-break is pinned rather than averaged, identically on both
+    * sides). Degenerate denominators (no predicted positives, no actual
+    * positives/negatives) pin the metric to 0.0 with the SAME CASE in the
+    * oracle — the [[filterAgreementKappa]] discipline. */
+  def classifierEval(s: SparkSession, d: String): DataFrame = {
+    val labels = CorpusQuality.queries("doc_quality_rules")(s, d)
+      .select(col("doc_id"), col("quality_keep"))
+    val clf = classifierScores(s, d)
+      .select(col("doc_id"), col("keep").as("pred_keep"), col("score"))
+    val joined = labels.join(clf, "doc_id")
+    val ranked = graft.operators.Ranks.globalRowNumber(
+      joined, Seq(col("score"), col("doc_id")), "r")
+    def cnt(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
+    val c = ranked.agg(
+      count(lit(1)).as("n"),
+      cnt(col("quality_keep") && col("pred_keep")).as("tp"),
+      cnt(!col("quality_keep") && col("pred_keep")).as("fp"),
+      cnt(col("quality_keep") && !col("pred_keep")).as("fn"),
+      cnt(!col("quality_keep") && !col("pred_keep")).as("tn"),
+      sum(when(col("quality_keep"), col("r")).otherwise(0L)).as("rank_sum_pos"))
+    val p = col("tp") + col("fn"); val neg = col("fp") + col("tn")
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    c.select(
+      col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
+      // doubled numerator/denominator keep p(p+1)/2 in integer space
+      // (Column `/` on BIGINTs is a double divide in Spark)
+      ratio(lit(2L) * col("rank_sum_pos") - p * (p + 1L), lit(2L) * p * neg)
+        .as("auc"))
+  }
+
+  /** Calibration (reliability) table of the linear classifier against the
+    * Gopher labels: the [-1, 1] score axis in 10 fixed-width bins, per bin
+    * the doc count, mean predicted score (confidence — summed as exact
+    * fixed-point BIGINTs, one final division) and empirical positive rate.
+    * One scan + one 10-row groupBy — partial-aggregable end to end; the
+    * bin id is a floor over the same one-division double both engines
+    * compute identically. */
+  def scoreCalibration(s: SparkSession, d: String): DataFrame = {
+    val labels = CorpusQuality.queries("doc_quality_rules")(s, d)
+      .select(col("doc_id"), col("quality_keep"))
+    val clf = classifierScores(s, d).select(col("doc_id"), col("score"))
+    labels.join(clf, "doc_id")
+      .withColumn("bin",
+        least(floor((col("score") + lit(1.0)) * lit(5.0)), lit(9L)).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("score") * 1e6, 0).cast("long")).as("conf_num"),
+        sum(when(col("quality_keep"), 1L).otherwise(0L)).as("n_pos"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        (col("conf_num").cast("double") / col("n").cast("double") / 1e6)
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> ((s, d) => clean(s, d)),
     "corpus_yield_funnel" -> ((s, d) => yieldFunnel(s, d)),
     "filter_agreement_kappa" -> ((s, d) => filterAgreementKappa(s, d)),
+    "classifier_eval" -> ((s, d) => classifierEval(s, d)),
+    "score_calibration" -> ((s, d) => scoreCalibration(s, d)),
     // Learned-filter ranking surface: the 50 highest-scoring documents
     // under the hashed linear classifier (TakeOrdered top-k, never a
     // global sort).
@@ -378,6 +451,67 @@ SELECT n, both_keep, rules_only, clf_only, both_drop,
      - ((both_keep + rules_only) * (both_keep + clf_only)
       + (clf_only + both_drop) * (rules_only + both_drop)) AS DOUBLE)
   END AS kappa
-FROM c""")
+FROM c""",
+
+    // Mirrors [[classifierEval]]: the same ascending-(score, doc_id)
+    // ranking (a global window is fine in the one-shot oracle), integer
+    // confusion counts and rank sums, the same doubled Mann-Whitney AUC
+    // rational, the same CASE-pinned degenerate denominators.
+    "classifier_eval" -> s"""
+WITH rules AS (
+  SELECT doc_id, quality_keep FROM (${CorpusQuality.oracles("doc_quality_rules")})
+),
+clf AS (
+  SELECT doc_id, keep AS pred_keep, score FROM ($classifierSql)
+),
+ranked AS (
+  SELECT doc_id, quality_keep, pred_keep,
+    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS r
+  FROM rules JOIN clf USING (doc_id)
+),
+c AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN quality_keep AND pred_keep THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN NOT quality_keep AND pred_keep THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN quality_keep AND NOT pred_keep THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT quality_keep AND NOT pred_keep THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(sum(CASE WHEN quality_keep THEN r ELSE 0 END) AS BIGINT) AS rank_sum_pos
+  FROM ranked
+)
+SELECT n, tp, fp, fn, tn,
+  CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+  CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+  CASE WHEN 2*tp + fp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+    ELSE CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) END AS f1,
+  CASE WHEN 2 * (tp + fn) * (fp + tn) = 0 THEN CAST(0.0 AS DOUBLE)
+    ELSE CAST(2*rank_sum_pos - (tp + fn) * (tp + fn + 1) AS DOUBLE)
+      / CAST(2 * (tp + fn) * (fp + tn) AS DOUBLE) END AS auc
+FROM c""",
+
+    // Mirrors [[scoreCalibration]]: the same bin arithmetic over the same
+    // one-division score, fixed-point BIGINT confidence sums, identical
+    // final division chains.
+    "score_calibration" -> s"""
+WITH rules AS (
+  SELECT doc_id, quality_keep FROM (${CorpusQuality.oracles("doc_quality_rules")})
+),
+clf AS (
+  SELECT doc_id, score FROM ($classifierSql)
+),
+b AS (
+  SELECT least(CAST(floor((score + 1.0) * 5.0) AS BIGINT), 9) AS bin,
+    quality_keep, score
+  FROM rules JOIN clf USING (doc_id)
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CAST(round(score * 1e6, 0) AS BIGINT)) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) / 1e6 AS mean_score,
+  CAST(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS frac_pos
+FROM b GROUP BY bin""")
   }
 }

@@ -255,7 +255,70 @@ FROM customer"""
         col("i.invalid_value"), col("i.severity"))
   }
 
+  /** Whole-distribution key-skew inequality as the exact Gini coefficient
+    * of the l_partkey frequency distribution — the shuffle-planning
+    * diagnostic that [[keySkewReport]]'s top-5 ratio view cannot give
+    * (a 0.05 Gini says hash partitioning is safe; 0.7 says salt).
+    *
+    * Never ranks raw keys: with counts c sorted ascending and 1-based
+    * rank i, Gini = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc), and because the
+    * rank sum is invariant under permutations of TIED counts, it reduces
+    * exactly to blocks over the frequency-of-frequencies table: a block
+    * of m keys sharing count c after M lower-ranked keys contributes
+    * c·(m·M + m(m+1)/2). So the plan is: per-key counts (one shuffle),
+    * counts-of-counts (second tiny shuffle), a cumulative window over the
+    * BOUNDED distinct-count table (PlanShapeSpec aggBounded — the
+    * frequency-of-frequencies domain, a few hundred rows at any sf), one
+    * grand aggregate of BIGINT sums, one division.
+    *
+    * Int64 bound: the doubled rank sum is ≤ 2·c̄·n² for n distinct keys of
+    * mean count c̄ — safe to n ≈ 10⁹ keys at c̄ ≈ 30; past that, promote
+    * the two block products to [[graft.expr.Sum128]] (same plan shape). */
+  private def keySkewGini(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.lineitem(s, d).groupBy("l_partkey")
+      .agg(count(lit(1)).as("c"))
+    val byC = cnts.groupBy("c").agg(count(lit(1)).as("m"))
+    val wb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = byC
+      .withColumn("mcum", coalesce(sum(col("m")).over(wb), lit(0L)))
+      // doubled block rank-sum keeps m(m+1)/2 integer (Column `/` on
+      // BIGINTs is a double divide)
+      .withColumn("s1x2",
+        col("c") * (lit(2L) * col("m") * col("mcum") +
+          col("m") * (col("m") + 1L)))
+    blocks
+      .agg(sum(col("m")).as("n"), sum(col("c") * col("m")).as("t"),
+        sum(col("s1x2")).as("s1x2"))
+      .select(
+        col("n").as("n_keys"), col("t").as("total_rows"),
+        (col("s1x2") - (col("n") + 1L) * col("t")).as("gini_num"),
+        (col("n") * col("t")).as("gini_den"),
+        ((col("s1x2") - (col("n") + 1L) * col("t")).cast("double") /
+          (col("n") * col("t")).cast("double")).as("gini"))
+  }
+
+  private val keySkewGiniSql: String = """
+WITH cnts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+), byc AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnts GROUP BY 1
+), blocks AS (
+  SELECT c, m,
+    COALESCE(SUM(m) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mcum
+  FROM byc
+), agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(c * m) AS BIGINT) AS t,
+    CAST(SUM(c * (2 * m * mcum + m * (m + 1))) AS BIGINT) AS s1x2
+  FROM blocks
+)
+SELECT n AS n_keys, t AS total_rows,
+  s1x2 - (n + 1) * t AS gini_num, n * t AS gini_den,
+  CAST(s1x2 - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE) AS gini
+FROM agg"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "key_skew_gini"       -> ((s, d) => keySkewGini(s, d)),
     "ooo_audit"           -> ((s, d) => oooAudit(s, d)),
     "gdpr_cascade"        -> ((s, d) => gdprCascade(s, d)),
     "backfill_gaps"       -> ((s, d) => backfillGaps(s, d)),
@@ -575,6 +638,7 @@ FROM customer"""
   }
 
   def oracles: Map[String, String] = Map(
+    "key_skew_gini"       -> keySkewGiniSql,
     "ooo_audit"           -> oooSql,
     "gdpr_cascade"        -> gdprSql,
     "backfill_gaps"       -> backfillSql,

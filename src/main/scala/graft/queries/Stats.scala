@@ -737,7 +737,67 @@ SELECT targets.g AS event_type, targets.pct, targets.n, targets.k,
   CAST(rk.q AS DOUBLE) / 1e6 AS value
 FROM targets JOIN rk ON rk.g = targets.g AND rk.rn = targets.k"""
 
+  // ----------------------------------------------- quantile_normalize --
+
+  /** Quantile normalization: map every purchase-event value onto the
+    * click-event value DISTRIBUTION by relative rank — the feature-prep
+    * transform that forces one column's distribution onto a reference
+    * (microarray normalization, rank-based feature scaling). Source rank
+    * r of n maps to reference index ceil(r·m/n) ∈ [1, m], computed as the
+    * exact integer (r·m + n − 1) div n; the mapped value is the reference
+    * value at that rank. Both rankings use the DISTRIBUTED exact rank
+    * ([[graft.operators.Ranks.globalRowNumber]] — range-partitioned sort
+    * + partition offsets, never a single-task global window), the counts
+    * stay in-plan as broadcast 1-row frames, and the mapping is one
+    * integer equi-join — every stage shuffles on keys, nothing collects.
+    * Rank ties on equal values order by event_id on both engines; the
+    * mapped value at a given index is invariant to tie order anyway
+    * (tied rows carry the same value). */
+  def quantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), round(col("value") * 1e6, 0).cast("long").as("q"))
+    val src = graft.operators.Ranks.globalRowNumber(
+      side("purchase"), Seq(col("q"), col("event_id")), "r")
+    val ref = graft.operators.Ranks.globalRowNumber(
+      side("click"), Seq(col("q"), col("event_id")), "rr")
+      .select(col("rr"), col("q").as("q_ref"))
+    val n = side("purchase").agg(count(lit(1)).as("n"))
+    val m = side("click").agg(count(lit(1)).as("m"))
+    src.crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .withColumn("idx", expr("(r * m + n - 1) div n"))
+      .join(ref, col("idx") === col("rr"))
+      .select(col("event_id"), col("q"), col("r"), col("idx"),
+        col("q_ref"),
+        (col("q_ref").cast("double") / 1e6).as("normalized_value"))
+  }
+
+  val quantileNormalizeSql: String = """
+WITH src AS (
+  SELECT event_id, CAST(round(value * 1e6, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+), ref AS (
+  SELECT event_id, CAST(round(value * 1e6, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+), sr AS (
+  SELECT event_id, q,
+    CAST(row_number() OVER (ORDER BY q, event_id) AS BIGINT) AS r
+  FROM src
+), rr AS (
+  SELECT CAST(row_number() OVER (ORDER BY q, event_id) AS BIGINT) AS rr,
+    q AS q_ref
+  FROM ref
+), c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM src) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM ref) AS m
+)
+SELECT sr.event_id, sr.q, sr.r, (sr.r * c.m + c.n - 1) // c.n AS idx,
+  rr.q_ref, CAST(rr.q_ref AS DOUBLE) / 1e6 AS normalized_value
+FROM sr CROSS JOIN c
+JOIN rr ON (sr.r * c.m + c.n - 1) // c.n = rr.rr"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_normalize" -> ((s, d) => quantileNormalize(s, d)),
     "exact_median_twopass" -> ((s, d) => exactMedianTwoPass(s, d)),
     "trimmed_stats" -> ((s, d) => trimmedStats(s, d)),
     "grouped_quantiles_exact" -> ((s, d) => groupedQuantilesExact(s, d)),
@@ -751,6 +811,7 @@ FROM targets JOIN rk ON rk.g = targets.g AND rk.rn = targets.k"""
   )
 
   def oracles: Map[String, String] = Map(
+    "quantile_normalize" -> quantileNormalizeSql,
     "exact_median_twopass" -> exactMedianSql,
     "trimmed_stats" -> trimmedStatsSql,
     "grouped_quantiles_exact" -> groupedQuantilesSql,

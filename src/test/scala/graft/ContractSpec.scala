@@ -25,6 +25,7 @@ class ContractSpec extends SparkSpec {
       "Windowed" -> Windowed.queries.size,
       "Diagnostics" -> Diagnostics.queries.size,
       "Graph" -> Graph.queries.size,
+      "Linkage" -> graft.queries.Linkage.queries.size,
       "TextAnalysis" -> TextAnalysis.queries.size,
       "TextDedup" -> TextDedup.queries.size,
       "LangModel" -> LangModel.queries.size,
@@ -132,7 +133,8 @@ class ContractSpec extends SparkSpec {
     // leaves.)
     val ranksBased = Set(
       "corpus_budget_select", "epoch_shuffle", "length_batching",
-      "resume_page", "rfm_segments", "spearman_rho", "score_decile_lift")
+      "resume_page", "rfm_segments", "spearman_rho", "score_decile_lift",
+      "quantile_normalize", "classifier_eval")
     // Shared-frame eager checkpoint: a frame feeding several plan branches
     // is leafed once at construction, so the branch-shared compute runs
     // once instead of per-branch at action time.

@@ -215,4 +215,61 @@ class CorpusQualitySpec extends SparkSpec {
       assert(bp.filter(col("keep")).head().getAs[Long]("doc_id") === firstDoc)
     } finally df.unpersist()
   }
+
+  /** Driver-side (label, pred, score) triples joining the Gopher rules
+    * with the classifier — the shared ground truth for the eval and
+    * calibration replays. */
+  private def labeledScores(): Seq[(Boolean, Boolean, Double, Long)] = {
+    val labels = CorpusQuality.queries("doc_quality_rules")(spark, sf)
+      .select("doc_id", "quality_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    CorpusClean.classifierScores(spark, sf)
+      .select("doc_id", "keep", "score").collect()
+      .map(r => (labels(r.getLong(0)), r.getBoolean(1), r.getDouble(2), r.getLong(0)))
+      .toSeq
+  }
+
+  test("classifier_eval matches a driver recount incl. the rank-identity AUC") {
+    val row = CorpusClean.queries("classifier_eval")(spark, sf).head()
+    val xs = labeledScores()
+    val tp = xs.count { case (l, p, _, _) => l && p }.toLong
+    val fp = xs.count { case (l, p, _, _) => !l && p }.toLong
+    val fn = xs.count { case (l, p, _, _) => l && !p }.toLong
+    val tn = xs.count { case (l, p, _, _) => !l && !p }.toLong
+    assert((row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("fn"), row.getAs[Long]("tn")) === ((tp, fp, fn, tn)))
+    assert(row.getAs[Double]("precision") === tp.toDouble / (tp + fp).toDouble)
+    assert(row.getAs[Double]("recall") === tp.toDouble / (tp + fn).toDouble)
+    assert(row.getAs[Double]("f1") ===
+      (2 * tp).toDouble / (2 * tp + fp + fn).toDouble)
+    // AUC: ascending (score, doc_id) ranks, Mann-Whitney identity
+    val rankSumPos = xs.sortBy { case (_, _, s, id) => (s, id) }.zipWithIndex
+      .collect { case ((l, _, _, _), i) if l => i + 1L }.sum
+    val (p, neg) = (tp + fn, fp + tn)
+    assert(row.getAs[Double]("auc") ===
+      (2 * rankSumPos - p * (p + 1)).toDouble / (2 * p * neg).toDouble)
+    // both classes exist, so none of the denominators were degenerate
+    assert(p > 0 && neg > 0 && tp + fp > 0)
+  }
+
+  test("score_calibration bins partition the corpus and recount exactly") {
+    val rows = CorpusClean.queries("score_calibration")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getAs[Double]("mean_score"), r.getAs[Double]("frac_pos")))).toMap
+    val xs = labeledScores()
+    val byBin = xs.groupBy { case (_, _, s, _) =>
+      math.min(math.floor((s + 1.0) * 5.0).toLong, 9L) }
+    assert(rows.keySet === byBin.keySet)
+    assert(rows.values.map(_._1).sum === xs.length.toLong)
+    for ((bin, g) <- byBin) {
+      val (n, nPos, meanScore, fracPos) = rows(bin)
+      assert(n === g.length.toLong, s"bin $bin n")
+      assert(nPos === g.count(_._1).toLong, s"bin $bin n_pos")
+      // HALF_UP, matching Spark/DuckDB round(x, 0) — not rint's half-even
+      val confNum = g.map { case (_, _, s, _) =>
+        BigDecimal(s * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.sum
+      assert(meanScore === confNum.toDouble / n.toDouble / 1e6, s"bin $bin conf")
+      assert(fracPos === nPos.toDouble / n.toDouble, s"bin $bin frac")
+    }
+  }
 }

@@ -291,4 +291,22 @@ class DiagnosticsSpec extends SparkSpec {
     // the audit is vacuous if every group matches the global distribution
     assert(rows.values.exists(_._4 > 0.0))
   }
+
+  test("key_skew_gini matches the driver-side Lorenz rank formula") {
+    val row = Diagnostics.queries("key_skew_gini")(spark, sf).head()
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy("l_partkey").count().collect().map(_.getLong(1)).sorted
+    val n = counts.length.toLong
+    val t = counts.sum
+    // direct 1-based rank sum over the fully sorted counts — the naive
+    // formula the blocked frequency-of-frequencies plan must reproduce
+    val s1 = counts.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    assert(row.getAs[Long]("n_keys") === n)
+    assert(row.getAs[Long]("total_rows") === t)
+    assert(row.getAs[Long]("gini_num") === 2L * s1 - (n + 1L) * t)
+    assert(row.getAs[Long]("gini_den") === n * t)
+    val g = row.getAs[Double]("gini")
+    assert(g === (2L * s1 - (n + 1L) * t).toDouble / (n * t).toDouble)
+    assert(g >= 0.0 && g < 1.0)
+  }
 }

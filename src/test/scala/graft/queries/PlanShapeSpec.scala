@@ -479,6 +479,10 @@ class PlanShapeSpec extends SparkSpec {
   // eagerly inside the localCheckpointed bpe_vocab layer build, so the
   // registered plans carry no Window at all.)
   private val aggBounded = Set(
+    // key_skew_gini (round 14): the cumulative window runs over the
+    // frequency-of-frequencies table (groupBy of a groupBy) — bounded by
+    // the distinct multiplicity values, a few hundred rows at any sf
+    "key_skew_gini",
     "resume_page", "skyline_parts", "yoy_revenue",
     "benford_digits", "chi_square_independence", "drift_tvd",
     "group_kfold", "ks_statistic", "mannwhitney_u",

@@ -216,4 +216,29 @@ class StatsSpec extends SparkSpec {
     assert(byG.forall { case (g, _) =>
       Seq(50, 90, 99).map(p => rows((g, p))._2).distinct.size == 3 })
   }
+
+  test("quantile_normalize matches the driver-side rank mapping") {
+    val rows = Stats.queries("quantile_normalize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    def side(t: String) = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type") === t)
+      .select(col("event_id"), round(col("value") * 1e6, 0).cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val src = side("purchase").sortBy { case (id, q) => (q, id) }
+    val ref = side("click").sortBy { case (id, q) => (q, id) }.map(_._2)
+    val (n, m) = (src.length.toLong, ref.length.toLong)
+    assert(rows.size === src.length && n > 0 && m > 0)
+    for (((id, q), i) <- src.zipWithIndex) {
+      val r = i + 1L
+      val idx = (r * m + n - 1) / n
+      val (qq, rr, ii, qref) = rows(id)
+      assert(qq === q && rr === r && ii === idx, s"event $id")
+      assert(qref === ref((idx - 1).toInt), s"event $id mapped value")
+    }
+    // the mapping is monotone in rank and lands inside the reference range
+    val byRank = rows.values.toSeq.sortBy(_._2).map(_._4)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    assert(byRank.head >= ref.min && byRank.last === ref.max)
+  }
 }
