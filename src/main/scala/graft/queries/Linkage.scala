@@ -27,45 +27,59 @@ import graft.Tables
   */
 object Linkage {
 
-  /** All distance-≤1 customer-name pairs (c1 < c2) with the verified
-    * distance. Candidates from the deletion-neighborhood equi-join;
-    * verification with Spark's threshold-bounded levenshtein. */
+  /** All distance-1 DISTINCT-name pairs (name1 < name2) with the verified
+    * distance, each name's row multiplicity, and the recovered id-level
+    * pair cardinality n1·n2. Candidates from the deletion-neighborhood
+    * equi-join; verification with Spark's threshold-bounded levenshtein.
+    *
+    * Dedupe-before-join (the `editdist_simjoin` lesson, measured here
+    * too): the id-level pair set is inherently quadratic in value
+    * multiplicity — on the 10-replica scale tier the id-level variant ran
+    * 391 s at sf1 vs 3 s for this collapsed plan, because every name
+    * repeats 10× and each fuzzy match fans out 100×. The join runs over
+    * DISTINCT names (the value domain, which replication does not grow);
+    * pair_count = n1·n2 reports the id-level cardinality without
+    * materializing it. */
   def symspellFuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val names = Tables.customer(s, d)
-      .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+      .groupBy(col("c_name").as("nm")).agg(count(lit(1)).as("n"))
     // neighborhood = the name itself plus every 1-deletion variant
     val dels = names
       .withColumn("p", explode(sequence(lit(1), length(col("nm")))))
-      .select(col("k"), col("nm"),
+      .select(col("nm"), col("n"),
         expr("concat(substr(nm, 1, p - 1), substr(nm, p + 1, length(nm)))")
           .as("variant"))
-    val index = names.select(col("k"), col("nm"), col("nm").as("variant"))
+    val index = names.select(col("nm"), col("n"), col("nm").as("variant"))
       .unionByName(dels)
     val left  = index.select(col("variant"),
-      col("k").as("c1"), col("nm").as("name1"))
+      col("nm").as("name1"), col("n").as("n1"))
     val right = index.select(col("variant"),
-      col("k").as("c2"), col("nm").as("name2"))
+      col("nm").as("name2"), col("n").as("n2"))
     left.join(right, "variant")
-      .filter(col("c1") < col("c2"))
-      .select("c1", "c2", "name1", "name2")
+      .filter(col("name1") < col("name2"))
+      .select("name1", "name2", "n1", "n2")
       .distinct()
       // 2-arg bounded form: abandons each comparison past the threshold
       .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
       .filter(col("dist") >= 0)
-      .select(col("c1"), col("c2"), col("name1"), col("name2"),
-        col("dist").cast("long").as("dist"))
+      .select(col("name1"), col("name2"),
+        col("dist").cast("long").as("dist"),
+        col("n1"), col("n2"), (col("n1") * col("n2")).as("pair_count"))
   }
 
   // The one-shot oracle may brute-force what the engine must block: at
-  // sf0.01 the all-pairs comparison is 1500²/2 cheap C calls in DuckDB,
-  // and its completeness is what PROVES the deletion neighborhood missed
-  // nothing.
+  // sf0.01 the all-pairs comparison over distinct names is cheap C calls
+  // in DuckDB, and its completeness is what PROVES the deletion
+  // neighborhood missed nothing.
   private val symspellSql: String = """
-SELECT a.c_custkey AS c1, b.c_custkey AS c2,
-  a.c_name AS name1, b.c_name AS name2,
-  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+WITH names AS (
+  SELECT c_name AS nm, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1
+)
+SELECT a.nm AS name1, b.nm AS name2,
+  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+  a.n AS n1, b.n AS n2, a.n * b.n AS pair_count
+FROM names a JOIN names b ON a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 1"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "symspell_fuzzy_join" -> ((s, d) => symspellFuzzyJoin(s, d))

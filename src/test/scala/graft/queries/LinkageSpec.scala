@@ -24,17 +24,21 @@ class LinkageSpec extends SparkSpec {
 
   test("symspell_fuzzy_join equals the brute-force levenshtein<=1 all-pairs") {
     val got = Linkage.queries("symspell_fuzzy_join")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toSet
-    val names = Tables.customer(spark, sf)
-      .select("c_custkey", "c_name").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("dist"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("pair_count"))).toSet
+    val counts = Tables.customer(spark, sf)
+      .select("c_name").collect().map(_.getString(0))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    val names = counts.keys.toSeq
     val want = (for {
-      (k1, n1) <- names; (k2, n2) <- names if k1 < k2
+      n1 <- names; n2 <- names if n1 < n2
       d = lev(n1, n2) if d <= 1
-    } yield (k1, k2, d.toLong)).toSet
+    } yield (n1, n2, d.toLong, counts(n1), counts(n2),
+      counts(n1) * counts(n2))).toSet
     assert(got.nonEmpty, "distance-1 neighbors must exist in the id-typo domain")
     assert(got === want)
-    // no same-key or reflexive rows survive the c1 < c2 guard
-    assert(got.forall { case (a, b, _) => a < b })
+    // no reflexive rows survive the name1 < name2 guard
+    assert(got.forall { case (a, b, _, _, _, _) => a < b })
   }
 }
