@@ -78,7 +78,7 @@ object CorpusClean {
       .withColumn("keep", col("margin") >= 0L)
   }
 
-  private def classifierSql: String = {
+  private[llm] def classifierSql: String = {
     val ts = Text.tokensSql("text")
     // the token-array alias must differ from ngramsAllSql's internal `w`
     // alias — DuckDB treats a same-named outer column as a self-reference

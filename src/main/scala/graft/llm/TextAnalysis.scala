@@ -21,6 +21,30 @@ object TextAnalysis {
   private val T  = Text.tokens(col("text"))
   private val TS = Text.tokensSql("text")
 
+  /** lang_id's oracle — a val so langid_confusion can reuse it as a CTE. */
+  private val langIdSql: String = {
+    val scores = Text.LangMarkers.map { case (lang, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(",")
+      s"CAST(len(list_filter(toks, t -> t IN ($in))) AS INT) AS score_$lang"
+    }.mkString(",\n    ")
+    s"""
+WITH base AS (SELECT doc_id, lang, $TS AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang,
+    $scores
+  FROM base
+)
+SELECT doc_id, lang AS labeled_lang,
+  score_en, score_de, score_fr, score_es, score_zh,
+  CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 AND score_zh = 0 THEN 'unknown'
+       WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+       WHEN score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+       WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+       WHEN score_es >= score_zh THEN 'es'
+       ELSE 'zh' END AS predicted_lang
+FROM m"""
+  }
+
   /** BPE-ish pretokenizer pattern: letter runs | single digits | any other
     * non-space symbol (GPT-2-style pretokenization simplified to what both
     * Java and RE2 regex engines treat identically). */
@@ -131,6 +155,28 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
           .when(es >= zh, "es")
           .otherwise("zh").as("predicted_lang")
       )
+    }),
+
+    // Language-ID confusion matrix: labeled vs predicted language with
+    // per-cell counts and the exact recall/precision rationals — the
+    // language-filter quality gate before a corpus-wide langid filter is
+    // trusted. One grouped count over the lang_id projection (≤ |langs|²
+    // cells) plus two broadcast-sized marginal joins.
+    "langid_confusion" -> ((s, d) => {
+      val cm = TextAnalysis.queries("lang_id")(s, d)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+      val lt = cm.groupBy("labeled_lang").agg(sum(col("n")).as("label_total"))
+      val pt = cm.groupBy("predicted_lang").agg(sum(col("n")).as("pred_total"))
+      cm.join(broadcast(lt), "labeled_lang")
+        .join(broadcast(pt), "predicted_lang")
+        .select(
+          col("labeled_lang"), col("predicted_lang"), col("n"),
+          col("label_total"), col("pred_total"),
+          (col("n").cast("double") / col("label_total").cast("double"))
+            .as("recall"),
+          (col("n").cast("double") / col("pred_total").cast("double"))
+            .as("precision"))
     }),
 
     // Document fingerprints: exact sha256 (content + normalized) and the
@@ -754,28 +800,25 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS tokens_per_char
 FROM documents""",
 
-      "lang_id" -> {
-        val scores = Text.LangMarkers.map { case (lang, markers) =>
-          val in = markers.map(m => s"'$m'").mkString(",")
-          s"CAST(len(list_filter(toks, t -> t IN ($in))) AS INT) AS score_$lang"
-        }.mkString(",\n    ")
-        s"""
-WITH base AS (SELECT doc_id, lang, $TS AS toks FROM documents),
-m AS (
-  SELECT doc_id, lang,
-    $scores
-  FROM base
+      "lang_id" -> langIdSql,
+
+      // Mirrors langid_confusion: the lang_id oracle as a subquery, one
+      // grouped count, two broadcast-sized total joins, exact divisions.
+      "langid_confusion" -> s"""
+WITH li AS (
+  SELECT labeled_lang, predicted_lang FROM ($langIdSql)
+), cm AS (
+  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY 1, 2
+), lt AS (
+  SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS label_total FROM cm GROUP BY 1
+), pt AS (
+  SELECT predicted_lang, CAST(sum(n) AS BIGINT) AS pred_total FROM cm GROUP BY 1
 )
-SELECT doc_id, lang AS labeled_lang,
-  score_en, score_de, score_fr, score_es, score_zh,
-  CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 AND score_es = 0 AND score_zh = 0 THEN 'unknown'
-       WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_zh THEN 'en'
-       WHEN score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de'
-       WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
-       WHEN score_es >= score_zh THEN 'es'
-       ELSE 'zh' END AS predicted_lang
-FROM m"""
-      },
+SELECT cm.labeled_lang, cm.predicted_lang, cm.n, lt.label_total, pt.pred_total,
+  CAST(cm.n AS DOUBLE) / CAST(lt.label_total AS DOUBLE) AS recall,
+  CAST(cm.n AS DOUBLE) / CAST(pt.pred_total AS DOUBLE) AS precision
+FROM cm JOIN lt USING (labeled_lang) JOIN pt USING (predicted_lang)""",
 
       "doc_fingerprints" -> s"""
 SELECT doc_id,

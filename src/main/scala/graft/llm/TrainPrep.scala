@@ -185,6 +185,89 @@ UNION ALL SELECT 3, 'train_split', (SELECT CAST(count(*) AS BIGINT) FROM texp_tr
 UNION ALL SELECT 4, 'export_rows', (SELECT CAST(count(*) AS BIGINT) FROM texp)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T5-style span corruption: mask one deterministic token span per
+    // document (chained-LCG start/length, the fim_transform idiom at
+    // token level) and emit the (input-with-sentinel, target) pair. Pure
+    // per-row array slicing — zero shuffles, linear with the scan at any
+    // corpus size. Docs under 8 tokens pass through unmasked ('raw').
+    "span_corruption" -> ((s, d) => {
+      val r1 = hashOf(col("doc_id"))
+      val r2 = hashOf(r1)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        // span start in [2, n-4] keeps a non-empty prefix; length in
+        // [2, 4] then always fits (n - s >= 4), so neither side of the
+        // sentinel is ever empty — no '' concat edge to mismatch on
+        .withColumn("sp", when(col("n") >= 8, lit(2L) + r1 % (col("n") - 5L)))
+        .withColumn("ln", when(col("n") >= 8, lit(2L) + r2 % 3L))
+      base.select(
+        col("doc_id"), col("n").as("n_tokens"),
+        when(col("n") >= 8, "corrupt").otherwise("raw").as("mode"),
+        col("sp"), col("ln"),
+        when(col("n") >= 8,
+          concat(
+            concat_ws(" ", slice(col("toks"), lit(1), (col("sp") - 1L).cast("int"))),
+            lit(" <extra_id_0> "),
+            concat_ws(" ", slice(col("toks"), (col("sp") + col("ln")).cast("int"),
+              (col("n") - col("sp") - col("ln") + 1L).cast("int")))))
+          .otherwise(concat_ws(" ", col("toks"))).as("input_text"),
+        when(col("n") >= 8,
+          concat(lit("<extra_id_0> "),
+            concat_ws(" ", slice(col("toks"), col("sp").cast("int"),
+              col("ln").cast("int")))))
+          .otherwise(lit("")).as("target_text"))
+    }),
+
+    // DPO/RLHF preference-pair assembly: per source shard, the highest-
+    // and lowest-scoring documents under the linear quality classifier
+    // become the (chosen, rejected) pair. Two row_number windows over the
+    // SAME source partition (one shuffle); ties pin by doc_id in opposite
+    // directions so the pair is distinct whenever the shard has >= 2 docs.
+    "preference_pairs" -> ((s, d) => {
+      val scored = CorpusClean.classifierScores(s, d)
+        .select(col("doc_id"), col("score"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+      val hi = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val lo = Window.partitionBy("source")
+        .orderBy(col("score").asc, col("doc_id").desc)
+      val ranked = scored
+        .withColumn("rn_hi", row_number().over(hi))
+        .withColumn("rn_lo", row_number().over(lo))
+        .withColumn("n_docs", count(lit(1)).over(
+          Window.partitionBy("source")))
+        .filter(col("n_docs") >= 2L)
+      val chosen = ranked.filter(col("rn_hi") === 1)
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("doc_id").as("chosen_doc"), col("score").as("chosen_score"))
+      val rejected = ranked.filter(col("rn_lo") === 1)
+        .select(col("source"), col("doc_id").as("rejected_doc"),
+          col("score").as("rejected_score"))
+      chosen.join(rejected, "source")
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+    }),
+
+    // Shard manifest — the integrity record a training job checks before
+    // reading a shard: per shard (doc_id mod 8), row count, id range,
+    // total characters, and an order-independent XOR fold of the
+    // per-document rolling hashes (bit_xor never overflows and any
+    // dropped/duplicated/altered doc flips it). One 8-row groupBy,
+    // fully partial-aggregable.
+    "shard_manifest" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8L).as("shard"),
+          col("n_chars"), Text.rollingHash(Text.tokens(col("text"))).as("rh"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("n_chars")).as("n_chars_total"),
+          expr("bit_xor(rh)").as("xor_checksum"))
+    }),
+
     // Deterministic negative sampling for contrastive training: each doc
     // gets 3 pseudo-random partner docs via an arithmetic hash of
     // (doc_id, k) mapped into the dense id space, bumped by one when the
@@ -387,6 +470,67 @@ UNION ALL SELECT 4, 'export_rows', (SELECT CAST(count(*) AS BIGINT) FROM texp)""
   def oracles: Map[String, String] = {
     val h = hashSql("doc_id")
     Map(
+      // Mirrors span_corruption: the same chained LCG, DuckDB 1-based
+      // inclusive list slices standing in for Spark's slice(start, len).
+      "span_corruption" -> s"""
+WITH b AS (
+  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n, $h AS r1 FROM b
+), p AS (
+  SELECT doc_id, toks, n,
+    CASE WHEN n >= 8 THEN 2 + r1 % (n - 5) END AS sp,
+    CASE WHEN n >= 8
+      THEN 2 + ((r1 * 1103515245 + 12345) % 2147483647) % 3 END AS ln
+  FROM c
+)
+SELECT doc_id, n AS n_tokens,
+  CASE WHEN n >= 8 THEN 'corrupt' ELSE 'raw' END AS mode,
+  CAST(sp AS BIGINT) AS sp, CAST(ln AS BIGINT) AS ln,
+  CASE WHEN n >= 8 THEN
+    array_to_string(toks[1 : CAST(sp - 1 AS INT)], ' ')
+    || ' <extra_id_0> '
+    || array_to_string(toks[CAST(sp + ln AS INT) : CAST(n AS INT)], ' ')
+  ELSE array_to_string(toks, ' ') END AS input_text,
+  CASE WHEN n >= 8 THEN
+    '<extra_id_0> ' || array_to_string(toks[CAST(sp AS INT) : CAST(sp + ln - 1 AS INT)], ' ')
+  ELSE '' END AS target_text
+FROM p""",
+
+      // Mirrors preference_pairs: the classifier-score CTE, two opposed
+      // row_number windows per source, the same >= 2 docs gate.
+      "preference_pairs" -> s"""
+WITH clf AS (
+  SELECT doc_id, score FROM (${CorpusClean.classifierSql})
+), scored AS (
+  SELECT c.doc_id, c.score, d.source
+  FROM clf c JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn_hi,
+    row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id DESC) AS rn_lo,
+    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM scored
+)
+SELECT a.source, a.n_docs,
+  a.doc_id AS chosen_doc, a.score AS chosen_score,
+  b.doc_id AS rejected_doc, b.score AS rejected_score,
+  a.score - b.score AS margin
+FROM ranked a JOIN ranked b
+  ON a.source = b.source AND a.rn_hi = 1 AND b.rn_lo = 1
+WHERE a.n_docs >= 2""",
+
+      // Mirrors shard_manifest: the same rolling hash and xor fold.
+      "shard_manifest" -> s"""
+SELECT doc_id % 8 AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS min_doc,
+  CAST(max(doc_id) AS BIGINT) AS max_doc,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+  CAST(bit_xor(${Text.rollingHashSql(Text.tokensSql("text"))}) AS BIGINT) AS xor_checksum
+FROM documents
+GROUP BY 1""",
+
       "sft_pairs" -> """
 WITH c AS (
   SELECT source, doc_id, substring(text, 1, 80) AS clip FROM documents

@@ -317,7 +317,63 @@ SELECT n AS n_keys, t AS total_rows,
   CAST(s1x2 - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE) AS gini
 FROM agg"""
 
+  /** Temporal train/test leakage audit: split the event stream at 80% of
+    * the covered time RANGE (an exact integer cutoff that stays in-plan
+    * as a broadcast 1-row frame — the drift_tvd pattern) and report how
+    * many users straddle the boundary. User overlap between a temporal
+    * train split and its evaluation window is the classic silent leak in
+    * behavioral-model training. One scan, one user-keyed groupBy, one
+    * grand aggregate — partial-aggregable end to end. */
+  private def splitLeakageAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val cut = ev.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .select(expr("lo + ((hi - lo) div 5) * 4").as("cutoff"))
+    val per = ev.crossJoin(broadcast(cut))
+      .groupBy("user_id", "cutoff")
+      .agg(
+        sum(when(col("t") < col("cutoff"), 1L).otherwise(0L)).as("tr"),
+        sum(when(col("t") >= col("cutoff"), 1L).otherwise(0L)).as("te"))
+    per.groupBy("cutoff")
+      .agg(
+        sum(col("tr")).as("n_train_events"),
+        sum(col("te")).as("n_test_events"),
+        sum(when(col("tr") > 0L, 1L).otherwise(0L)).as("n_users_train"),
+        sum(when(col("te") > 0L, 1L).otherwise(0L)).as("n_users_test"),
+        sum(when(col("tr") > 0L && col("te") > 0L, 1L).otherwise(0L))
+          .as("n_users_both"))
+      .select(
+        col("cutoff"), col("n_train_events"), col("n_test_events"),
+        col("n_users_train"), col("n_users_test"), col("n_users_both"),
+        when(col("n_users_test") === 0L, lit(0.0))
+          .otherwise(col("n_users_both").cast("double") /
+            col("n_users_test").cast("double")).as("leakage_rate"))
+  }
+
+  private val splitLeakageSql: String = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+), c AS (
+  SELECT min(t) + ((max(t) - min(t)) // 5) * 4 AS cutoff FROM e
+), p AS (
+  SELECT user_id, cutoff,
+    CAST(sum(CASE WHEN t < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+    CAST(sum(CASE WHEN t >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS te
+  FROM e CROSS JOIN c GROUP BY 1, 2
+)
+SELECT CAST(cutoff AS BIGINT) AS cutoff,
+  CAST(sum(tr) AS BIGINT) AS n_train_events,
+  CAST(sum(te) AS BIGINT) AS n_test_events,
+  CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_train,
+  CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_test,
+  CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_both,
+  CASE WHEN sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0.0 AS DOUBLE)
+    ELSE CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS DOUBLE) END AS leakage_rate
+FROM p GROUP BY cutoff"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage_audit" -> ((s, d) => splitLeakageAudit(s, d)),
     "key_skew_gini"       -> ((s, d) => keySkewGini(s, d)),
     "ooo_audit"           -> ((s, d) => oooAudit(s, d)),
     "gdpr_cascade"        -> ((s, d) => gdprCascade(s, d)),
@@ -638,6 +694,7 @@ FROM agg"""
   }
 
   def oracles: Map[String, String] = Map(
+    "split_leakage_audit" -> splitLeakageSql,
     "key_skew_gini"       -> keySkewGiniSql,
     "ooo_audit"           -> oooSql,
     "gdpr_cascade"        -> gdprSql,

@@ -170,4 +170,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.exists(_.getAs[Boolean]("high_surprisal")))
     assert(got.values.exists(!_.getAs[Boolean]("high_surprisal")))
   }
+
+  test("langid_confusion recounts the lang_id projection exactly") {
+    val cells = TextAnalysis.queries("langid_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getAs[Double]("recall"),
+        r.getAs[Double]("precision")))).toMap
+    val pairs = TextAnalysis.queries("lang_id")(spark, sf)
+      .select("labeled_lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byCell = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val lt = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val pt = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    assert(cells.keySet === byCell.keySet)
+    for ((k @ (l, p), n) <- byCell) {
+      val (nn, ltot, ptot, rec, prec) = cells(k)
+      assert(nn === n && ltot === lt(l) && ptot === pt(p), k)
+      assert(rec === n.toDouble / lt(l).toDouble)
+      assert(prec === n.toDouble / pt(p).toDouble)
+    }
+    // every cell count sums to the corpus and the diagonal is non-empty
+    assert(cells.values.map(_._1).sum === pairs.length.toLong)
+    assert(cells.keys.exists { case (l, p) => l == p })
+  }
 }

@@ -198,4 +198,76 @@ class TrainPrepSpec extends SparkSpec {
     }
     assert(psm > 0, "no document long enough to split — the test is vacuous")
   }
+
+  test("span_corruption: sentinel splice reassembles the original tokens") {
+    val rows = TrainPrep.queries("span_corruption")(spark, sf).collect()
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var corrupted = 0
+    for (r <- rows) {
+      val (id, n, mode) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val toks = texts(id).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      assert(n === toks.length.toLong)
+      val input = r.getString(5); val target = r.getString(6)
+      if (mode == "corrupt") {
+        corrupted += 1
+        val (sp, ln) = (r.getLong(3), r.getLong(4))
+        assert(sp >= 2 && sp <= n - 4 && ln >= 2 && ln <= 4 && sp + ln <= n)
+        // input prefix + target span + input suffix == original stream
+        val Array(pre, suf) = input.split(" <extra_id_0> ", 2)
+        assert(target.startsWith("<extra_id_0> "))
+        val mid = target.stripPrefix("<extra_id_0> ")
+        assert((pre + " " + mid + " " + suf) === toks.mkString(" "))
+        assert(mid.split(" ").length === ln.toInt)
+      } else {
+        assert(n < 8 && r.isNullAt(3) && r.isNullAt(4))
+        assert(input === toks.mkString(" ") && target === "")
+      }
+    }
+    assert(corrupted > 0, "no corruptible docs — vacuous")
+  }
+
+  test("preference_pairs picks each source's extreme classifier scores") {
+    val rows = TrainPrep.queries("preference_pairs")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val scored = CorpusClean.classifierScores(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = scored.groupBy { case (id, _) => srcOf(id) }
+    assert(rows.keySet === bySrc.filter(_._2.length >= 2).keySet)
+    for ((src, docs) <- bySrc if docs.length >= 2) {
+      val chosen = docs.minBy { case (id, sc) => (-sc, id) }
+      val rejected = docs.minBy { case (id, sc) => (sc, -id) }
+      val (n, cd, cs, rd, rs, margin) = rows(src)
+      assert(n === docs.length.toLong)
+      assert((cd, cs) === chosen && (rd, rs) === rejected, src)
+      assert(margin === cs - rs && margin >= 0.0)
+      assert(cd !== rd, "chosen and rejected must differ")
+    }
+  }
+
+  test("shard_manifest recounts per shard and xor detects a mutation") {
+    val rows = TrainPrep.queries("shard_manifest")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        Text.rollingHash(Text.tokens(col("text"))).as("rh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byShard = docs.groupBy(_._1 % 8L)
+    assert(rows.keySet === byShard.keySet)
+    for ((sh, g) <- byShard) {
+      val (n, lo, hi, chars, x) = rows(sh)
+      assert(n === g.length.toLong && lo === g.map(_._1).min && hi === g.map(_._1).max)
+      assert(chars === g.map(_._2).sum)
+      assert(x === g.map(_._3).reduce(_ ^ _))
+      // dropping any one doc flips the fold (xor self-inverse)
+      assert((x ^ g.head._3) !== x)
+    }
+  }
 }

@@ -309,4 +309,27 @@ class DiagnosticsSpec extends SparkSpec {
     assert(g === (2L * s1 - (n + 1L) * t).toDouble / (n * t).toDouble)
     assert(g >= 0.0 && g < 1.0)
   }
+
+  test("split_leakage_audit matches a driver replay of the 80% range cut") {
+    val row = Diagnostics.queries("split_leakage_audit")(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val cutoff = lo + ((hi - lo) / 5L) * 4L
+    assert(row.getAs[Long]("cutoff") === cutoff)
+    val byUser = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.count(_._2 < cutoff).toLong, xs.count(_._2 >= cutoff).toLong) }
+    assert(row.getAs[Long]("n_train_events") === byUser.map(_._2).sum)
+    assert(row.getAs[Long]("n_test_events") === byUser.map(_._3).sum)
+    val (uTr, uTe, uBoth) = (byUser.count(_._2 > 0).toLong,
+      byUser.count(_._3 > 0).toLong,
+      byUser.count(x => x._2 > 0 && x._3 > 0).toLong)
+    assert(row.getAs[Long]("n_users_train") === uTr)
+    assert(row.getAs[Long]("n_users_test") === uTe)
+    assert(row.getAs[Long]("n_users_both") === uBoth)
+    assert(row.getAs[Double]("leakage_rate") === uBoth.toDouble / uTe.toDouble)
+    // the audit must be non-vacuous: events on both sides of the cut
+    assert(uTr > 0 && uTe > 0)
+  }
 }
