@@ -98,6 +98,37 @@ object Similarity {
       rankTopK(scored, TopK)
     }),
 
+    // Mutual nearest neighbors between two disjoint vector pools — the
+    // bitext-mining / cross-corpus alignment primitive (a pair survives
+    // only when each side is the other's argmax). CONTRACT: both pools
+    // are BOUNDED samples (every-50th offsets 0 and 25, the
+    // ann_topk_cosine budget) so the scored-pair count is N²/2500; at
+    // index scale the candidate set comes from the IVF/LSH buckets
+    // instead of a cross join and the mutual check is unchanged. Both
+    // argmax passes are bounded-heap TopK(1) over ONE lazily
+    // checkpointed scored frame (the cross join runs once, not twice);
+    // the mutual filter is an equi-join of two Q-row frames.
+    "mutual_nn_pairs" -> ((s, d) => {
+      val e = withNorm(s, d)
+      val a = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ae"), col("nrm").as("an"))
+      val b = e.filter(col("vec_id") % 50 === 25)
+        .select(col("vec_id").as("b_id"), col("embedding").as("be"), col("nrm").as("bn"))
+      val scored = a.crossJoin(b)
+        .withColumn("cosine", dot(col("ae"), col("be")) / (col("an") * col("bn")))
+        .select("a_id", "b_id", "cosine")
+        .localCheckpoint(false)
+      val bestB = graft.plans.TopK.perKeyRanked(scored,
+          Seq("a_id"), Seq("cosine" -> false, "b_id" -> true), 1, rankCol = "r")
+        .select(col("a_id"), col("b_id"), col("cosine"))
+      val bestA = graft.plans.TopK.perKeyRanked(scored,
+          Seq("b_id"), Seq("cosine" -> false, "a_id" -> true), 1, rankCol = "r")
+        .select(col("a_id").as("ba_id"), col("b_id").as("bb_id"))
+      bestB.join(bestA,
+        col("a_id") === col("ba_id") && col("b_id") === col("bb_id"))
+        .select("a_id", "b_id", "cosine")
+    }),
+
     // Label-partitioned exact top-k: the same scoring kernel, but the
     // candidate set is pruned to the query's namespace (label) — the
     // cross join becomes an EQUI-join on the partition key, cutting the
@@ -283,6 +314,23 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= $TopK""",
+
+    "mutual_nn_pairs" -> s"""
+WITH e AS (
+  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+  FROM e a JOIN e b ON a.vec_id % 50 = 0 AND b.vec_id % 50 = 25
+),
+ranked AS (
+  SELECT a_id, b_id, cosine,
+    row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS ra,
+    row_number() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rb
+  FROM scored
+)
+SELECT a_id, b_id, cosine FROM ranked WHERE ra = 1 AND rb = 1""",
 
     "ann_partitioned_topk" -> s"""
 WITH e AS (

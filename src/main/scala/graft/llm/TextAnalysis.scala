@@ -179,6 +179,85 @@ FROM (SELECT doc_id, $TS AS toks FROM documents)"""
             .as("precision"))
     }),
 
+    // Content-defined chunking + chunk-level dedup stats — the
+    // storage-dedup primitive (rsync/LBFS-style): chunk boundaries cut
+    // where a 4-token rolling Karp-Rabin window hash hits 0 mod 17 (plus
+    // the forced end-of-doc boundary), so an insertion only reshapes the
+    // chunks around the edit while every other boundary — and hash —
+    // survives, unlike fixed-size chunking where one shifted token
+    // invalidates every later chunk. Per-row HOF work is O(tokens·4)
+    // inside codegen (codes materialized once — the token_bigrams
+    // lesson); the only shuffle is the grouped count over (hash, len)
+    // chunk identities, map-side combinable. Output: the corpus-level
+    // dedup ledger (total vs distinct chunks, token savings).
+    "cdc_chunk_dedup" -> ((s, d) => {
+      val P = 1000000007L
+      val win = lit(17L)
+      val chunks = Tables.documents(s, d)
+        .withColumn("toks", T)
+        .withColumn("codes", transform(col("toks"), t => Text.tokenCode(t)))
+        .withColumn("n", size(col("codes")))
+        // the window hash is computed INLINE in the boundary lambda, once
+        // per position — as a separate single-reference array column,
+        // CollapseProject inlines the whole transform into the filter's
+        // element_at and re-builds the array PER POSITION (measured 547 s
+        // vs ~2 s at sf0.1 — the O(n²·w) variant of the token_bigrams
+        // inlining lesson). The ≤4-term window unrolls to element_at
+        // reads + one closing % P, bit-identical to the running-mod fold:
+        // token codes are < 2^11, so every pre-mod intermediate is < 2^32
+        // and the per-step mod of the fold can only fire on the last step
+        // (measured 15.3 s -> 1.9 s vs the per-position slice+aggregate)
+        .withColumn("ends", when(col("n") >= 1,
+          filter(sequence(lit(1), col("n")), i => {
+            def e(j: Column) = element_at(col("codes"), j.cast("int"))
+            val h = when(i >= 4,
+                ((e(i - 3) * 131L + e(i - 2)) * 131L + e(i - 1)) * 131L + e(i))
+              .when(i === 3, (e(i - 2) * 131L + e(i - 1)) * 131L + e(i))
+              .when(i === 2, e(i - 1) * 131L + e(i))
+              .otherwise(e(i))
+            i === col("n") || (h % P) % win === 0
+          })).otherwise(array().cast("array<int>")))
+        .select("codes", "ends")
+        // lazy-checkpoint barrier (the score_decile_lift idiom), and it is
+        // load-bearing three times over: (a) without it CollapseProject
+        // inlines the single-referenced codes — with its toks regex
+        // split — into the chunk lambda, rebuilding both arrays PER CHUNK
+        // (O(n²/17), measured 29 s for this stage at sf0.1 vs ~3 s);
+        // (b) the explode-first alternative (posexplode(ends), then
+        // slice) makes codes a real attribute but COPIES the full codes
+        // array into every chunk row through the Generate — same
+        // quadratic, as bytes instead of evals (measured 26 s); (c) the
+        // non-empty filter must sit PAST the barrier — below it,
+        // predicate pushdown drags the filter (with the whole ends
+        // expression inlined, element_at rebuilding codes per position)
+        // under the projections and the PREDICATE is the O(n²) monster
+        // (measured 29 s vs 4 s for the barrier scan). Past the barrier
+        // both arrays are attributes read O(1) inside the lambda, and
+        // only the small (hash, len) structs flow onward.
+        .localCheckpoint(false)
+        .filter(size(col("ends")) > 0)
+        .select(explode(transform(sequence(lit(1), size(col("ends"))), k => {
+          val st = when(k === 1, lit(1))
+            .otherwise(element_at(col("ends"), (k - 1).cast("int")) + 1)
+          val en = element_at(col("ends"), k.cast("int"))
+          struct(
+            aggregate(slice(col("codes"), st.cast("int"), (en - st + 1).cast("int")),
+              lit(0L), (a, c) => (a * 131L + c) % P).as("h"),
+            (en - st + 1).cast("long").as("l"))
+        })).as("ck"))
+        .select(col("ck.h").as("h"), col("ck.l").as("l"))
+      chunks.groupBy("h", "l")
+        .agg(count(lit(1)).as("m"))
+        .agg(
+          sum(col("m")).as("total_chunks"),
+          count(lit(1)).as("distinct_chunks"),
+          sum(col("m") * col("l")).as("total_tokens"),
+          sum(col("l")).as("stored_tokens"))
+        .withColumn("dedup_ratio",
+          lit(1.0) - col("stored_tokens").cast("double") /
+            col("total_tokens").cast("double"))
+    }),
+
     // Document fingerprints: exact sha256 (content + normalized) and the
     // polynomial rolling hash (F11 retargeted at documents).
     "doc_fingerprints" -> ((s, d) => {
@@ -819,6 +898,40 @@ SELECT cm.labeled_lang, cm.predicted_lang, cm.n, lt.label_total, pt.pred_total,
   CAST(cm.n AS DOUBLE) / CAST(lt.label_total AS DOUBLE) AS recall,
   CAST(cm.n AS DOUBLE) / CAST(pt.pred_total AS DOUBLE) AS precision
 FROM cm JOIN lt USING (labeled_lang) JOIN pt USING (predicted_lang)""",
+
+      // Mirrors cdc_chunk_dedup: the same 4-token window hash, boundary
+      // rule, and per-chunk polynomial hash as DuckDB list lambdas.
+      "cdc_chunk_dedup" -> s"""
+WITH base AS (
+  SELECT list_transform($TS, t -> CAST(length(t)*31 + ascii(t) AS BIGINT)) AS codes,
+    CAST(len($TS) AS INT) AS n
+  FROM documents
+), be AS (
+  SELECT codes, n,
+    CASE WHEN n >= 1 THEN list_filter(generate_series(1, n), i ->
+      i = n OR list_reduce(
+        [CAST(0 AS BIGINT)] || array_slice(codes, greatest(i - 3, 1), i),
+        (a, b) -> (a * 131 + b) % 1000000007) % 17 = 0)
+    ELSE CAST([] AS BIGINT[]) END AS ends
+  FROM base
+), ch AS (
+  SELECT unnest(list_transform(generate_series(1, len(ends)), k -> struct_pack(
+      h := list_reduce(
+        [CAST(0 AS BIGINT)] || array_slice(codes,
+          CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END, ends[k]),
+        (a, b) -> (a * 131 + b) % 1000000007),
+      l := CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 AS BIGINT)
+    ))) AS ck
+  FROM be WHERE len(ends) > 0
+), per AS (
+  SELECT ck.h AS h, ck.l AS l, CAST(count(*) AS BIGINT) AS m FROM ch GROUP BY 1, 2
+)
+SELECT CAST(sum(m) AS BIGINT) AS total_chunks,
+  CAST(count(*) AS BIGINT) AS distinct_chunks,
+  CAST(sum(m * l) AS BIGINT) AS total_tokens,
+  CAST(sum(l) AS BIGINT) AS stored_tokens,
+  1.0 - CAST(sum(l) AS DOUBLE) / CAST(sum(m * l) AS DOUBLE) AS dedup_ratio
+FROM per""",
 
       "doc_fingerprints" -> s"""
 SELECT doc_id,

@@ -317,6 +317,115 @@ SELECT n AS n_keys, t AS total_rows,
   CAST(s1x2 - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE) AS gini
 FROM agg"""
 
+  /** Referential-integrity audit across every FK edge of the star schema
+    * (the relationship half of a schema-test suite, generalized from the
+    * single `dq_expectations` relationship check): one row per edge with
+    * child row count, NULL-FK count, and orphan count (non-null FK with
+    * no parent). Scale shape: each CHILD table is scanned ONCE however
+    * many edges leave it — the three lineitem edges ride one scan with
+    * three left joins against key-projected parents (parent keys are
+    * unique, so no fan-out) and one conditional aggregate; a literal
+    * test-per-edge runner would issue three full fact scans. Dim parents
+    * (nation, region) are broadcast; the big parents shuffle on the join
+    * key, which is exactly the co-partitioning a bucketed layout would
+    * make free. */
+  private def fkIntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.expr.Exact.cntIf
+    def row(rel: String, agg: DataFrame): DataFrame =
+      agg.select(lit(rel).as("relation"), col("child_rows"), col("null_fk"),
+        col("orphan_rows"),
+        (col("null_fk") === 0L && col("orphan_rows") === 0L).as("ref_ok"))
+    // lineitem: three FK edges, ONE scan; the 1-row aggregate unpivots
+    // into three edge rows via stack (the dq_expectations idiom) so the
+    // shared compute stays one lazy plan branch — no checkpoint needed
+    val liEdges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(Tables.part(s, d).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(Tables.supplier(s, d).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        cntIf(col("l_orderkey").isNull).as("no"),
+        cntIf(col("l_orderkey").isNotNull && col("o_orderkey").isNull).as("oo"),
+        cntIf(col("l_partkey").isNull).as("np"),
+        cntIf(col("l_partkey").isNotNull && col("p_partkey").isNull).as("op"),
+        cntIf(col("l_suppkey").isNull).as("ns"),
+        cntIf(col("l_suppkey").isNotNull && col("s_suppkey").isNull).as("os"))
+      .select(expr(
+        "stack(3, " +
+          "'lineitem->orders', n, no, oo, " +
+          "'lineitem->part', n, np, op, " +
+          "'lineitem->supplier', n, ns, os) " +
+          "AS (relation, child_rows, null_fk, orphan_rows)"))
+      .select(col("relation"), col("child_rows"), col("null_fk"),
+        col("orphan_rows"),
+        (col("null_fk") === 0L && col("orphan_rows") === 0L).as("ref_ok"))
+    def edge(rel: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val par = parent.select(col(pk))
+      row(rel, child.select(col(fk))
+        .join(if (bcast) broadcast(par) else par, col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          cntIf(col(fk).isNull).as("null_fk"),
+          cntIf(col(fk).isNotNull && col(pk).isNull).as("orphan_rows")))
+    }
+    liEdges
+      .unionByName(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = false))
+      .unionByName(edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true))
+      .unionByName(edge("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true))
+      .unionByName(edge("nation->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey", bcast = true))
+  }
+
+  private val fkIntegritySql: String = """
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no,
+    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oo,
+    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS op,
+    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+    CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS os
+  FROM lineitem l
+  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), cn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+    CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND nt.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
+  FROM customer c LEFT JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+), sn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+    CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND nt.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
+  FROM supplier s LEFT JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+), nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+    CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
+  FROM nation nt LEFT JOIN region r ON nt.n_regionkey = r.r_regionkey
+)
+SELECT 'lineitem->orders' AS relation, n AS child_rows, no AS null_fk,
+  oo AS orphan_rows, (no = 0 AND oo = 0) AS ref_ok FROM li
+UNION ALL SELECT 'lineitem->part', n, np, op, (np = 0 AND op = 0) FROM li
+UNION ALL SELECT 'lineitem->supplier', n, ns, os, (ns = 0 AND os = 0) FROM li
+UNION ALL SELECT 'orders->customer', n, nf, orf, (nf = 0 AND orf = 0) FROM oc
+UNION ALL SELECT 'customer->nation', n, nf, orf, (nf = 0 AND orf = 0) FROM cn
+UNION ALL SELECT 'supplier->nation', n, nf, orf, (nf = 0 AND orf = 0) FROM sn
+UNION ALL SELECT 'nation->region', n, nf, orf, (nf = 0 AND orf = 0) FROM nr"""
+
   /** Temporal train/test leakage audit: split the event stream at 80% of
     * the covered time RANGE (an exact integer cutoff that stays in-plan
     * as a broadcast 1-row frame — the drift_tvd pattern) and report how
@@ -374,6 +483,7 @@ FROM p GROUP BY cutoff"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_leakage_audit" -> ((s, d) => splitLeakageAudit(s, d)),
+    "fk_integrity_audit"  -> ((s, d) => fkIntegrityAudit(s, d)),
     "key_skew_gini"       -> ((s, d) => keySkewGini(s, d)),
     "ooo_audit"           -> ((s, d) => oooAudit(s, d)),
     "gdpr_cascade"        -> ((s, d) => gdprCascade(s, d)),
@@ -695,6 +805,7 @@ FROM p GROUP BY cutoff"""
 
   def oracles: Map[String, String] = Map(
     "split_leakage_audit" -> splitLeakageSql,
+    "fk_integrity_audit"  -> fkIntegritySql,
     "key_skew_gini"       -> keySkewGiniSql,
     "ooo_audit"           -> oooSql,
     "gdpr_cascade"        -> gdprSql,

@@ -61,6 +61,43 @@ object Enrich {
       col("n").cast("double") / sum(col("n")).over(rowTotal).cast("double"))
   }
 
+  /** Top-20 3-step event paths (the path-mining / Sankey feed next to the
+    * 1-step [[transitionMatrix]]): per-user ordered windows emit each
+    * consecutive event-type triple, one grouped count per path plus an
+    * exact distinct-user count, and the top slice is a physical
+    * TakeOrderedAndProject under the deterministic (count DESC, users
+    * DESC, path) total order — never a global sort of all paths. Scale:
+    * the window partitions by user (no global ordering), the path
+    * domain is at most |types|³ after the first map-side combine. */
+  def eventPathsTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"),
+        col("user_id"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  val eventPathsSql: String = """
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path,
+  CAST(count(*) AS BIGINT) AS n_paths,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, n_users DESC, path
+LIMIT 20"""
+
   val transitionSql: String = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -1052,6 +1089,7 @@ FROM vol GROUP BY p_brand"""
     "funnel_within_hour"         -> ((s, d) => funnelWithinHour(s, d)),
     "entity_match_blocked"       -> ((s, d) => entityMatchBlocked(s, d)),
     "transition_matrix"          -> ((s, d) => transitionMatrix(s, d)),
+    "event_paths_topk"           -> ((s, d) => eventPathsTopK(s, d)),
     "cdc_apply"                  -> ((s, d) => cdcApply(s, d)),
     "rfm_segments"               -> ((s, d) => rfmSegments(s, d)),
     "geo_grid_join"              -> ((s, d) => geoGridJoin(s, d)),
@@ -1074,6 +1112,7 @@ FROM vol GROUP BY p_brand"""
     "funnel_within_hour"         -> funnelSql,
     "entity_match_blocked"       -> entityMatchSql,
     "transition_matrix"          -> transitionSql,
+    "event_paths_topk"           -> eventPathsSql,
     "cdc_apply"                  -> cdcSql,
     "rfm_segments"               -> rfmSql,
     "geo_grid_join"              -> geoSql,

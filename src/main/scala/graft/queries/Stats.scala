@@ -796,12 +796,79 @@ SELECT sr.event_id, sr.q, sr.r, (sr.r * c.m + c.n - 1) // c.n AS idx,
 FROM sr CROSS JOIN c
 JOIN rr ON (sr.r * c.m + c.n - 1) // c.n = rr.rr"""
 
+  // ----------------------------------------------------- kendall_tau --
+
+  /** Kendall rank correlation (τ-b, tie-corrected) between monthly revenue
+    * and monthly shipped quantity. Concordance is quadratic in the series
+    * length, so the pair enumeration runs over the BOUNDED month grid
+    * (length = calendar span, not row count): the scalable work is the
+    * one map-side-combinable groupBy over lineitem; the self-join rides
+    * the bounded aggregate with a broadcast side, and one grand aggregate
+    * folds exact BIGINT concordant/discordant/tie counts. τ-b's closing
+    * sqrt runs on tiny exact integers — the [[spearmanRho]] discipline.
+    * (An O(n log n) inversion count replaces the self-join when the
+    * series itself grows with the data.) */
+  def kendallTau(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .groupBy("month")
+      .agg(sum("cents").as("x"), sum("qty").as("y"))
+      .localCheckpoint(false) // bounded grid; feeds both join sides + n
+    val m1 = monthly.select(col("month").as("mo1"), col("x").as("x1"), col("y").as("y1"))
+    val m2 = monthly.select(col("month").as("mo2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = m1.join(broadcast(m2), col("mo1") < col("mo2"))
+      .agg(
+        graft.expr.Exact.cntIf(
+          (col("x1") < col("x2") && col("y1") < col("y2")) ||
+          (col("x1") > col("x2") && col("y1") > col("y2"))).as("concordant"),
+        graft.expr.Exact.cntIf(
+          (col("x1") < col("x2") && col("y1") > col("y2")) ||
+          (col("x1") > col("x2") && col("y1") < col("y2"))).as("discordant"),
+        graft.expr.Exact.cntIf(col("x1") === col("x2")).as("ties_x"),
+        graft.expr.Exact.cntIf(col("y1") === col("y2")).as("ties_y"))
+    val n = monthly.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(n))
+      .withColumn("n0", expr("n * (n - 1) div 2")) // BIGINT div, not `/` (double)
+      .select(col("n"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          sqrt(((col("n0") - col("ties_x")) * (col("n0") - col("ties_y")))
+            .cast("double"))).as("tau_b"))
+  }
+
+  val kendallSql: String = """
+WITH monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x,
+    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT
+    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM monthly a JOIN monthly b ON a.month < b.month
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0
+  FROM monthly
+)
+SELECT n, concordant, discordant, ties_x, ties_y,
+  CAST(concordant - discordant AS DOUBLE)
+    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)) AS tau_b
+FROM pairs CROSS JOIN nn"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantile_normalize" -> ((s, d) => quantileNormalize(s, d)),
     "exact_median_twopass" -> ((s, d) => exactMedianTwoPass(s, d)),
     "trimmed_stats" -> ((s, d) => trimmedStats(s, d)),
     "grouped_quantiles_exact" -> ((s, d) => groupedQuantilesExact(s, d)),
     "grouped_median_twopass" -> ((s, d) => groupedMedianTwoPass(s, d)),
+    "kendall_tau"   -> ((s, d) => kendallTau(s, d)),
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
     "spearman_rho"  -> ((s, d) => spearmanRho(s, d)),
@@ -816,6 +883,7 @@ JOIN rr ON (sr.r * c.m + c.n - 1) // c.n = rr.rr"""
     "trimmed_stats" -> trimmedStatsSql,
     "grouped_quantiles_exact" -> groupedQuantilesSql,
     "grouped_median_twopass" -> groupedMedianSql,
+    "kendall_tau"   -> kendallSql,
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,
     "spearman_rho"  -> spearmanSql,

@@ -119,10 +119,13 @@ class ContractSpec extends SparkSpec {
     // rounds; under AQE, producing the checkpointed RDD materializes the
     // superstep's stages at construction — the work is the query's own
     // supersteps moved earlier, never redundant.
+    // (stress_centrality left the list after 8c69475 cut its construction
+    // jobs: the forward/backward frames are lazy once the shared graph
+    // layer is warm, which the un-instrumented first pass guarantees.)
     val supersteps = Set(
       "pagerank_integer", "bfs_hops", "sssp_weighted", "label_propagation",
       "perceptron_steps", "bpe_merges_batch", "link_prediction",
-      "k_core", "closeness_centrality", "stress_centrality")
+      "k_core", "closeness_centrality")
     // Ranks-based distributed ranking (globalRowNumber/globalNtile/
     // globalRunningSum/groupedRowNumber): the two-phase prefix sum reads
     // one long per partition at construction — the audited bounded
@@ -142,7 +145,8 @@ class ContractSpec extends SparkSpec {
       "cosine_neardup", "semdedup", "doc_rarity_score", "tf_cosine_pairs",
       "proto_outliers", "jaccard_prefix_join", "rrf_fusion", "acf_lags",
       "theil_sen_trend", "seasonal_decompose", "paragraph_dedup",
-      "doc_surprisal_bits")
+      "doc_surprisal_bits", "kendall_tau", "mutual_nn_pairs",
+      "cdc_chunk_dedup")
     // Write-lifecycle queries: the operator under test IS a write + read
     // back (partitioned layout pruning, multi-format round-trip).
     val writeLifecycle = Set("partition_pruned_counts", "multi_format_union")

@@ -128,4 +128,29 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.queries("cosine_neardup")(spark, sf).collect()
     assert(rows.nonEmpty)
   }
+
+  test("mutual_nn_pairs equals the brute-force mutual-argmax replay") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val a = vecs.filter(_._1 % 50 == 0)
+    val b = vecs.filter(_._1 % 50 == 25)
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      Similarity.dotJvm(x, y) / (Similarity.normJvm(x) * Similarity.normJvm(y))
+    // argmax with the query's (cosine DESC, id ASC) tie order
+    def best(q: Array[Float], pool: Array[(Long, Array[Float])]): Long =
+      pool.map { case (id, v) => (id, cos(q, v)) }
+        .minBy { case (id, c) => (-c, id) }._1
+    val expect = (for {
+      (aid, av) <- a
+      bid = best(av, b)
+      if best(vecs.toMap.apply(bid), a) == aid
+    } yield (aid, bid)).toSet
+    val got = Similarity.queries("mutual_nn_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(a.nonEmpty && b.nonEmpty)
+    // mutual pairs are a matching: no id repeats on either side
+    assert(got.map(_._1).size === got.size && got.map(_._2).size === got.size)
+  }
 }

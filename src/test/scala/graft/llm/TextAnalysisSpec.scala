@@ -193,4 +193,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cells.values.map(_._1).sum === pairs.length.toLong)
     assert(cells.keys.exists { case (l, p) => l == p })
   }
+
+  test("cdc_chunk_dedup matches a driver-side chunking replay") {
+    val P = 1000000007L
+    def chunksOf(text: String): Seq[(Long, Long)] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val codes = toks.map(t => t.length.toLong * 31 + t.head.toInt)
+      val n = codes.length
+      if (n == 0) return Seq.empty
+      val ends = (1 to n).filter { i =>
+        val h = codes.slice(math.max(i - 4, 0), i)
+          .foldLeft(0L)((a, c) => (a * 131 + c) % P)
+        i == n || h % 17 == 0
+      }
+      ends.zip(1 +: ends.dropRight(1).map(_ + 1)).map { case (en, st) =>
+        val h = codes.slice(st - 1, en).foldLeft(0L)((a, c) => (a * 131 + c) % P)
+        (h, (en - st + 1).toLong)
+      }
+    }
+    val all = graft.Tables.documents(spark, sf)
+      .select("text").collect().flatMap(r => chunksOf(r.getString(0)))
+    val per = all.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val total = per.values.sum
+    val stored = per.keys.toSeq.map(_._2).sum // toSeq: Set.map would dedup lengths
+    val totalToks = per.map { case ((_, l), m) => l * m }.sum
+    val row = TextAnalysis.queries("cdc_chunk_dedup")(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((total, per.size.toLong, totalToks, stored)))
+    assert(row.getDouble(4) === 1.0 - stored.toDouble / totalToks.toDouble)
+    // real dedup signal: duplicated chunks exist and chunking is non-trivial
+    // (multi-token average chunk, more than one chunk per doc on average)
+    assert(per.size.toLong < total && totalToks > total && total > 400)
+  }
 }

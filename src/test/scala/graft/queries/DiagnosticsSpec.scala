@@ -35,6 +35,37 @@ class DiagnosticsSpec extends SparkSpec {
     assert(rows(2)._1 <= rows(3)._1 && rows(3)._1 <= rows(5)._1)
   }
 
+  test("fk_integrity_audit matches driver-side orphan recounts on every edge") {
+    val out = Diagnostics.queries("fk_integrity_audit")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      df.select(col(c).cast("long")).collect().map(_.getLong(0)).toSet
+    val orderKeys = keys(graft.Tables.orders(spark, sf), "o_orderkey")
+    val partKeys = keys(graft.Tables.part(spark, sf), "p_partkey")
+    val suppKeys = keys(graft.Tables.supplier(spark, sf), "s_suppkey")
+    val custKeys = keys(graft.Tables.customer(spark, sf), "c_custkey")
+    val natKeys = keys(graft.Tables.nation(spark, sf), "n_nationkey")
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def check(rel: String, n: Long, orphans: Long): Unit = {
+      assert(out(rel) === ((n, 0L, orphans, orphans == 0L)), rel)
+    }
+    check("lineitem->orders", li.length.toLong,
+      li.count(t => !orderKeys(t._1)).toLong)
+    check("lineitem->part", li.length.toLong,
+      li.count(t => !partKeys(t._2)).toLong)
+    check("lineitem->supplier", li.length.toLong,
+      li.count(t => !suppKeys(t._3)).toLong)
+    val oc = graft.Tables.orders(spark, sf).select("o_custkey").collect().map(_.getLong(0))
+    check("orders->customer", oc.length.toLong, oc.count(k => !custKeys(k)).toLong)
+    val cn = graft.Tables.customer(spark, sf).select(col("c_nationkey").cast("long"))
+      .collect().map(_.getLong(0))
+    check("customer->nation", cn.length.toLong, cn.count(k => !natKeys(k)).toLong)
+    assert(out.keySet.size === 7 && out.keySet.contains("nation->region"))
+  }
+
   test("benford_digits: fractions sum to 1 and digits are 1..9") {
     val rows: Seq[Row] =
       Diagnostics.queries("benford_digits")(spark, sf).collect().toSeq

@@ -379,4 +379,28 @@ class EnrichSpec extends SparkSpec {
     // monopoly (1.0) and perfectly-split (1/n) extremes
     assert(out.values.exists { case (n, _, _, h, _) => h > 1.0 / n && h < 1.0 })
   }
+
+  test("event_paths_topk matches a driver-side sequence replay") {
+    // ts collected as unix MICROS (not Timestamp.getTime millis): the
+    // query's window orders by full-precision ts (the rle_compress_stats
+    // lesson)
+    val seqs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+    val triples = seqs.toSeq.flatMap { g =>
+      val types = g.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).filter(_.length == 3)
+        .map(w => (w.mkString(">"), g.head._1))
+    }
+    val expect = triples.groupBy(_._1)
+      .map { case (p, g) => (p, g.size.toLong, g.map(_._2).distinct.size.toLong) }
+      .toSeq.sortBy { case (p, n, u) => (-n, -u, p) }.take(20)
+    val got = Enrich.queries("event_paths_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.size === 20 && got.head._2 >= got.last._2)
+  }
 }

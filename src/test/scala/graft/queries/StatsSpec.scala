@@ -241,4 +241,32 @@ class StatsSpec extends SparkSpec {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
     assert(byRank.head >= ref.min && byRank.last === ref.max)
   }
+
+  test("kendall_tau matches a driver-side O(n^2) concordance count") {
+    val monthly = graft.Tables.lineitem(spark, sf)
+      .select(date_trunc("month", col("l_shipdate")).cast("long").as("mo"),
+        col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100).toLong, math.floor(r.getDouble(2)).toLong))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => (g.map(_._2).sum, g.map(_._3).sum) }
+    var (c, dd, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- monthly.indices; j <- (i + 1) until monthly.length) {
+      val ((x1, y1), (x2, y2)) = (monthly(i), monthly(j))
+      if (x1 == x2) tx += 1
+      if (y1 == y2) ty += 1
+      if ((x1 < x2 && y1 < y2) || (x1 > x2 && y1 > y2)) c += 1
+      else if ((x1 < x2 && y1 > y2) || (x1 > x2 && y1 < y2)) dd += 1
+    }
+    val n = monthly.length.toLong
+    val n0 = n * (n - 1) / 2
+    val row = Stats.queries("kendall_tau")(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) === ((n, c, dd, tx, ty)))
+    assert(row.getDouble(5) ===
+      (c - dd).toDouble / math.sqrt(((n0 - tx) * (n0 - ty)).toDouble))
+    // the correlation must be informative, not a degenerate endpoint
+    assert(n >= 10 && c > 0 && dd > 0)
+  }
 }
