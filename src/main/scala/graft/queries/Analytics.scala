@@ -363,6 +363,50 @@ object Analytics {
       } finally s.conf.set(graft.plans.RewriteBandJoin.ConfKey, "false")
     }),
 
+    // Kaplan-Meier survival curve over customer order-activity lifetimes
+    // (the censoring-aware churn readout beside the cohort matrices): a
+    // customer's lifetime is last-order-month − first-order-month; the
+    // death (churn) is OBSERVED only when the customer has been silent
+    // for the 3-month horizon before corpus end, otherwise the lifetime
+    // is right-censored — the estimator S(t) = Π_{m≤t} (1 − deaths_m /
+    // at_risk_m) discounts censored customers from the risk set without
+    // counting them as churn (a naive churn-rate readout would). Scale
+    // shape: one customer-keyed groupBy is the only corpus-sized work;
+    // the KM product runs on the lifetime-month grid, BOUNDED by the
+    // covered calendar span — at_risk is a reverse cumulative sum and
+    // the product is a fold over the ordered factor list, both over grid
+    // rows only (whitelisted bounded global window). Both engines fold
+    // factors in identical (lifetime-ascending) order, so the float
+    // product is bit-identical.
+    "km_survival" -> ((s, d) => {
+      import graft.expr.Exact
+      val ev = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("om"))
+      val horizon = ev.agg(max(col("om")).as("max_m"))
+      val perUser = ev.groupBy("o_custkey")
+        .agg(min(col("om")).as("first_m"), max(col("om")).as("last_m"))
+        .crossJoin(broadcast(horizon))
+        .select((col("last_m") - col("first_m")).as("lifetime"),
+          (col("last_m") <= col("max_m") - 3).as("death"))
+      val grid = perUser.groupBy("lifetime")
+        .agg(count(lit(1)).as("n_at"), Exact.cntIf(col("death")).as("deaths"))
+      val wFwd = Window.orderBy("lifetime")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy("lifetime")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("at_risk", sum("n_at").over(wFwd))
+        .withColumn("factor",
+          (col("at_risk") - col("deaths")).cast("double") /
+            col("at_risk").cast("double"))
+        .withColumn("facs", collect_list(col("factor")).over(wCum))
+        .select(col("lifetime").as("lifetime_months"),
+          col("n_at").as("n_with_lifetime"), col("at_risk"), col("deaths"),
+          (col("n_at") - col("deaths")).as("censored"),
+          aggregate(col("facs"), lit(1.0), (a, x) => a * x).as("survival"))
+    }),
+
     // Cohort retention (MONTHLY matrix): customers bucketed by first-order
     // month, activity counted by months-since-cohort. Month indices are
     // exact integers (year·12+month) so the bucketing is engine-independent.
@@ -2109,6 +2153,39 @@ SELECT * FROM (
     ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank_in_brand
   FROM part
 ) WHERE rank_in_brand <= 5""",
+
+    "km_survival" -> """
+WITH ev AS (
+  SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS om
+  FROM orders
+), h AS (
+  SELECT max(om) AS max_m FROM ev
+), pu AS (
+  SELECT min(om) AS first_m, max(om) AS last_m
+  FROM ev GROUP BY o_custkey
+), pl AS (
+  SELECT last_m - first_m AS lifetime,
+    (last_m <= max_m - 3) AS death
+  FROM pu CROSS JOIN h
+), grid AS (
+  SELECT lifetime, CAST(count(*) AS BIGINT) AS n_at,
+    CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+  FROM pl GROUP BY 1
+), k AS (
+  SELECT lifetime, n_at, deaths,
+    CAST(sum(n_at) OVER (ORDER BY lifetime
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+  FROM grid
+), f AS (
+  SELECT lifetime, n_at, deaths, at_risk,
+    CAST(at_risk - deaths AS DOUBLE) / CAST(at_risk AS DOUBLE) AS factor
+  FROM k
+)
+SELECT lifetime AS lifetime_months, n_at AS n_with_lifetime, at_risk, deaths,
+  n_at - deaths AS censored,
+  list_reduce([CAST(1.0 AS DOUBLE)] || list(factor) OVER (ORDER BY lifetime
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), (a, b) -> a * b) AS survival
+FROM f""",
 
     "cohort_retention_monthly" -> """
 WITH om AS (

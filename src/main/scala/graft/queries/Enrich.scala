@@ -61,6 +61,71 @@ object Enrich {
       col("n").cast("double") / sum(col("n")).over(rowTotal).cast("double"))
   }
 
+  /** Stationary distribution of the event-type Markov chain: six
+    * fixed-point power-iteration steps x ← xP over the transition counts
+    * behind [[transitionMatrix]], entirely in SCALED BIGINT arithmetic
+    * (xv·c div r per edge — no floats until the final readout, so both
+    * engines truncate identically). The chain state is BOUNDED by the
+    * event-type domain: after the one per-user window + grouped count
+    * over the corpus (the only scalable work), every iteration is a join
+    * of a |types|-row vector against a |types|²-row matrix — the matrix
+    * is lazily checkpointed once and each superstep is broadcast-sized.
+    * Scale for the integer products: xv ≤ 10⁹ and c ≤ corpus rows, so
+    * xv·c stays under 2⁶³ through ~10⁹-row transition cells. Mass
+    * routed to types with no outgoing edges leaves the domain (dropped
+    * by the inner join) — deterministic and mirrored in the oracle. */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val Iters = 6
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("c"))
+    val withR = trans
+      .withColumn("r", sum("c").over(Window.partitionBy("from_type")))
+      .localCheckpoint(false) // |types|² rows; leafs the corpus scan once
+    val types = withR.select(col("from_type").as("event_type")).distinct()
+    val x0 = types
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+      .select(col("event_type"), expr("1000000000L div k").as("xv"))
+    val xFinal = (1 to Iters).foldLeft(x0) { (x, _) =>
+      x.join(withR, col("event_type") === col("from_type"))
+        .select(col("to_type"), expr("(xv * c) div r").as("m"))
+        .groupBy("to_type").agg(sum("m").as("xv"))
+        .select(col("to_type").as("event_type"), col("xv"))
+    }
+    xFinal.select(col("event_type"), col("xv").as("stationary_scaled"),
+      (col("xv").cast("double") / lit(1.0e9)).as("stationary"))
+  }
+
+  val markovSql: String = {
+    val iters = (1 to 6).map { i =>
+      s"x$i AS (SELECT t.to_type AS event_type, CAST(sum((x.xv * t.c) // t.r) AS BIGINT) AS xv FROM x${i - 1} x JOIN trr t ON x.event_type = t.from_type GROUP BY 1)"
+    }.mkString(",\n")
+    s"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), trr AS (
+  SELECT from_type, to_type, c,
+    CAST(sum(c) OVER (PARTITION BY from_type) AS BIGINT) AS r
+  FROM tr
+), x0 AS (
+  SELECT from_type AS event_type,
+    CAST(1000000000 // (SELECT count(DISTINCT from_type) FROM trr) AS BIGINT) AS xv
+  FROM (SELECT DISTINCT from_type FROM trr)
+),
+$iters
+SELECT event_type, xv AS stationary_scaled,
+  CAST(xv AS DOUBLE) / 1000000000.0 AS stationary FROM x6"""
+  }
+
   /** Top-20 3-step event paths (the path-mining / Sankey feed next to the
     * 1-step [[transitionMatrix]]): per-user ordered windows emit each
     * consecutive event-type triple, one grouped count per path plus an
@@ -1090,6 +1155,7 @@ FROM vol GROUP BY p_brand"""
     "entity_match_blocked"       -> ((s, d) => entityMatchBlocked(s, d)),
     "transition_matrix"          -> ((s, d) => transitionMatrix(s, d)),
     "event_paths_topk"           -> ((s, d) => eventPathsTopK(s, d)),
+    "markov_stationary"          -> ((s, d) => markovStationary(s, d)),
     "cdc_apply"                  -> ((s, d) => cdcApply(s, d)),
     "rfm_segments"               -> ((s, d) => rfmSegments(s, d)),
     "geo_grid_join"              -> ((s, d) => geoGridJoin(s, d)),
@@ -1113,6 +1179,7 @@ FROM vol GROUP BY p_brand"""
     "entity_match_blocked"       -> entityMatchSql,
     "transition_matrix"          -> transitionSql,
     "event_paths_topk"           -> eventPathsSql,
+    "markov_stationary"          -> markovSql,
     "cdc_apply"                  -> cdcSql,
     "rfm_segments"               -> rfmSql,
     "geo_grid_join"              -> geoSql,

@@ -796,6 +796,137 @@ SELECT sr.event_id, sr.q, sr.r, (sr.r * c.m + c.n - 1) // c.n AS idx,
 FROM sr CROSS JOIN c
 JOIN rr ON (sr.r * c.m + c.n - 1) // c.n = rr.rr"""
 
+  // ------------------------------------------------- cuped_adjustment --
+
+  /** CUPED variance reduction for an A/B readout (Deng et al., WSDM'13):
+    * the experiment metric is each user's post-period spend, the
+    * covariate is the same user's PRE-period spend, and the adjusted
+    * metric Y − θ(X − X̄) removes the between-user variance the
+    * pre-period already explains. θ = cov(X,Y)/var(X) is computed from
+    * exact pooled moments; the report shows, per variant (user_id % 2),
+    * the raw and adjusted means and the variance reduction the
+    * adjustment buys. Scale shape: one scan with the in-plan midpoint
+    * cutoff (the split_leakage_audit pattern), one user-keyed groupBy,
+    * one 2-row moments groupBy (per-user products stay exact: cents ≤
+    * ~5·10⁶ per user, squares ≤ 2⁵³, summed on the int128 [[Sum128]]
+    * path), then closed-form doubles — no second pass over the data, no
+    * per-user join-back (the adjusted aggregates expand algebraically:
+    * Σadj = Sy − θ(Sx − n·X̄), var(Y−θX) = var Y − 2θcov + θ²var X).
+    * The 2-row moments frame is lazily checkpointed: theta needs the
+    * pooled sums of exactly those rows. */
+  def cupedAdjustment(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val cut = ev.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("cutoff"))
+    val perUser = ev.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("t") < col("cutoff"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("t") >= col("cutoff"), col("cents")).otherwise(0L)).as("y"))
+      .select(col("user_id") % 2 as "variant", col("x"), col("y"))
+    val m = perUser.groupBy("variant")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        graft.expr.Sum128.sum128((col("x") * col("x")).cast("double"), 0).as("sxx"),
+        graft.expr.Sum128.sum128((col("y") * col("y")).cast("double"), 0).as("syy"),
+        graft.expr.Sum128.sum128((col("x") * col("y")).cast("double"), 0).as("sxy"))
+      .localCheckpoint(false) // 2 rows; feeds both the pooled θ and the report
+    val g = m.agg(sum("n").as("gn"), sum("sx").as("gsx"), sum("sy").as("gsy"),
+        sum("sxx").as("gsxx"), sum("sxy").as("gsxy"))
+      .select(col("gn"), col("gsx"), col("gsy"),
+        (col("gn").cast("double") * col("gsxy") -
+          col("gsx").cast("double") * col("gsy").cast("double")).as("num"),
+        (col("gn").cast("double") * col("gsxx") -
+          col("gsx").cast("double") * col("gsx").cast("double")).as("den"))
+      .select(col("gn"), col("gsx"),
+        when(col("den") === 0.0, lit(0.0))
+          .otherwise(col("num") / col("den")).as("theta"))
+    m.crossJoin(broadcast(g))
+      .withColumn("mean_x_g", col("gsx").cast("double") / col("gn").cast("double"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("mean_post", col("sy").cast("double") / col("nn"))
+      .withColumn("mean_adj",
+        (col("sy").cast("double") - col("theta") *
+          (col("sx").cast("double") - col("nn") * col("mean_x_g"))) / col("nn"))
+      .withColumn("var_post",
+        col("syy") / col("nn") - (col("sy").cast("double") / col("nn")) *
+          (col("sy").cast("double") / col("nn")))
+      .withColumn("cov_v",
+        col("sxy") / col("nn") - (col("sx").cast("double") / col("nn")) *
+          (col("sy").cast("double") / col("nn")))
+      .withColumn("var_x",
+        col("sxx") / col("nn") - (col("sx").cast("double") / col("nn")) *
+          (col("sx").cast("double") / col("nn")))
+      .withColumn("var_adj",
+        col("var_post") - (lit(2.0) * col("theta")) * col("cov_v") +
+          (col("theta") * col("theta")) * col("var_x"))
+      .withColumn("var_reduction",
+        when(col("var_post") === 0.0, lit(0.0))
+          .otherwise(lit(1.0) - col("var_adj") / col("var_post")))
+      .select(col("variant"), col("n").as("n_users"), col("theta"),
+        col("mean_post"), col("mean_adj"), col("var_post"), col("var_adj"),
+        col("var_reduction"))
+  }
+
+  val cupedSql: String = {
+    val sxx = graft.expr.Sum128.sql("x * x", 0)
+    val syy = graft.expr.Sum128.sql("y * y", 0)
+    val sxy = graft.expr.Sum128.sql("x * y", 0)
+    s"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT min(t) + (max(t) - min(t)) // 2 AS cutoff FROM ev
+), pu AS (
+  SELECT user_id % 2 AS variant,
+    CAST(sum(CASE WHEN t < cutoff THEN cents ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN t >= cutoff THEN cents ELSE 0 END) AS BIGINT) AS y
+  FROM ev CROSS JOIN c GROUP BY user_id, cutoff
+), m AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    $sxx AS sxx, $syy AS syy, $sxy AS sxy
+  FROM pu GROUP BY variant
+), g AS (
+  SELECT gn, gsx,
+    CASE WHEN den = 0.0 THEN 0.0 ELSE num / den END AS theta
+  FROM (
+    SELECT gn, gsx,
+      CAST(gn AS DOUBLE) * gsxy - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE) AS num,
+      CAST(gn AS DOUBLE) * gsxx - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) AS den
+    FROM (
+      SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(sx) AS BIGINT) AS gsx,
+        CAST(sum(sy) AS BIGINT) AS gsy, sum(sxx) AS gsxx, sum(sxy) AS gsxy
+      FROM m))
+), e2 AS (
+  SELECT m.variant, m.n, g.theta,
+    CAST(g.gsx AS DOUBLE) / CAST(g.gn AS DOUBLE) AS mean_x_g,
+    CAST(m.n AS DOUBLE) AS nn,
+    m.sx, m.sy, m.sxx, m.syy, m.sxy
+  FROM m CROSS JOIN g
+), e3 AS (
+  SELECT variant, n, theta, nn,
+    CAST(sy AS DOUBLE) / nn AS mean_post,
+    (CAST(sy AS DOUBLE) - theta * (CAST(sx AS DOUBLE) - nn * mean_x_g)) / nn AS mean_adj,
+    syy / nn - (CAST(sy AS DOUBLE) / nn) * (CAST(sy AS DOUBLE) / nn) AS var_post,
+    sxy / nn - (CAST(sx AS DOUBLE) / nn) * (CAST(sy AS DOUBLE) / nn) AS cov_v,
+    sxx / nn - (CAST(sx AS DOUBLE) / nn) * (CAST(sx AS DOUBLE) / nn) AS var_x
+  FROM e2
+)
+SELECT variant, n AS n_users, theta, mean_post, mean_adj, var_post,
+  var_post - (2.0 * theta) * cov_v + (theta * theta) * var_x AS var_adj,
+  CASE WHEN var_post = 0.0 THEN 0.0
+    ELSE 1.0 - (var_post - (2.0 * theta) * cov_v + (theta * theta) * var_x) / var_post
+  END AS var_reduction
+FROM e3"""
+  }
+
   // ----------------------------------------------------- kendall_tau --
 
   /** Kendall rank correlation (τ-b, tie-corrected) between monthly revenue
@@ -868,6 +999,7 @@ FROM pairs CROSS JOIN nn"""
     "trimmed_stats" -> ((s, d) => trimmedStats(s, d)),
     "grouped_quantiles_exact" -> ((s, d) => groupedQuantilesExact(s, d)),
     "grouped_median_twopass" -> ((s, d) => groupedMedianTwoPass(s, d)),
+    "cuped_adjustment" -> ((s, d) => cupedAdjustment(s, d)),
     "kendall_tau"   -> ((s, d) => kendallTau(s, d)),
     "ks_statistic"  -> ((s, d) => ksStatistic(s, d)),
     "mannwhitney_u" -> ((s, d) => mannWhitneyU(s, d)),
@@ -883,6 +1015,7 @@ FROM pairs CROSS JOIN nn"""
     "trimmed_stats" -> trimmedStatsSql,
     "grouped_quantiles_exact" -> groupedQuantilesSql,
     "grouped_median_twopass" -> groupedMedianSql,
+    "cuped_adjustment" -> cupedSql,
     "kendall_tau"   -> kendallSql,
     "ks_statistic"  -> ksSql,
     "mannwhitney_u" -> mannWhitneySql,

@@ -146,7 +146,8 @@ class ContractSpec extends SparkSpec {
       "proto_outliers", "jaccard_prefix_join", "rrf_fusion", "acf_lags",
       "theil_sen_trend", "seasonal_decompose", "paragraph_dedup",
       "doc_surprisal_bits", "kendall_tau", "mutual_nn_pairs",
-      "cdc_chunk_dedup")
+      "cdc_chunk_dedup", "markov_stationary", "cuped_adjustment",
+      "kcenter_coreset")
     // Write-lifecycle queries: the operator under test IS a write + read
     // back (partitioned layout pruning, multi-format round-trip).
     val writeLifecycle = Set("partition_pruned_counts", "multi_format_union")

@@ -60,4 +60,38 @@ class KMeansSpec extends SparkSpec {
     assert(out.filter(col("neg_doc_id") < 0 || col("neg_doc_id") >= nDocs).count() == 0)
     assert(out.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
   }
+
+  test("kcenter_coreset matches a driver-side greedy farthest-point replay") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val dx = a(i).toDouble - b(i).toDouble; acc += dx * dx; i += 1
+      }
+      acc
+    }
+    var centers = Vector(vecs.head._1)
+    var expect = Vector((1, vecs.head._1, Option.empty[Double]))
+    for (r <- 2 to KMeans.KCenters) {
+      val cands = vecs.map { case (id, v) =>
+        (id, centers.map(c => sq(v, vecs.find(_._1 == c).get._2)).min)
+      }
+      val (bid, bd) = cands.minBy { case (id, d) => (-d, id) }
+      centers :+= bid
+      expect :+= ((r, bid, Some(bd)))
+    }
+    val got = collectCenters(KMeans.queries("kcenter_coreset")(spark, sf))
+    assert(got === expect)
+    // radii shrink (or tie) as coverage grows
+    val radii = expect.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
+
+  private def collectCenters(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+      .sortBy(_._1).toVector
 }

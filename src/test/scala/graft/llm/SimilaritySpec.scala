@@ -129,6 +129,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("ann_matryoshka_recall matches a brute-force prefix replay") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def topk(l: Int): Map[Long, Set[Long]] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val ap = a.take(l); val bp = b.take(l)
+        Similarity.dotJvm(ap, bp) / (Similarity.normJvm(ap) * Similarity.normJvm(bp))
+      }
+      vecs.filter(_._1 % 50 == 0).map { case (q, qv) =>
+        q -> vecs.filter(_._1 != q)
+          .map { case (c, cv) => (c, cos(qv, cv)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      }.toMap
+    }
+    val exact = topk(64)
+    val nExact = exact.values.map(_.size).sum
+    val got = AnnRecall.queries("ann_matryoshka_recall")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet === Set(8, 16, 32))
+    for (l <- Seq(8, 16, 32)) {
+      val approx = topk(l)
+      val hits = approx.map { case (q, s) => (s intersect exact(q)).size }.sum
+      val returned = approx.values.map(_.size).sum
+      val (nr, nh, ne, rec) = got(l)
+      assert((nr, nh, ne) === ((returned.toLong, hits.toLong, nExact.toLong)), s"L=$l")
+      assert(rec === hits.toDouble / nExact.toDouble)
+    }
+    // the audit must show truncation actually costs recall somewhere
+    assert(got(8)._4 < 1.0 && got(32)._4 <= 1.0)
+  }
+
   test("mutual_nn_pairs equals the brute-force mutual-argmax replay") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()

@@ -65,4 +65,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.agg(sum(col("n_delta"))).head.getLong(0) > 0)
     assert(out.agg(sum(col("n_old"))).head.getLong(0) > 0)
   }
+
+  test("km_survival matches a driver-side Kaplan-Meier replay") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("om"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val maxM = rows.map(_._2).max
+    val perUser = rows.groupBy(_._1).values.toSeq.map { g =>
+      val fm = g.map(_._2).min
+      val lm = g.map(_._2).max
+      (lm - fm, lm <= maxM - 3)
+    }
+    val grid = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, g) =>
+      (l, g.size.toLong, g.count(_._2).toLong)
+    }
+    val n = perUser.size.toLong
+    var before = 0L
+    var surv = 1.0
+    val expect = grid.map { case (l, nAt, deaths) =>
+      val atRisk = n - before
+      before += nAt
+      surv = surv * ((atRisk - deaths).toDouble / atRisk.toDouble)
+      (l, nAt, atRisk, deaths, nAt - deaths, surv)
+    }
+    val got = Analytics.queries("km_survival")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(got === expect)
+    // survival is monotone non-increasing and both censoring and deaths occur
+    assert(got.map(_._6).zip(got.map(_._6).tail).forall { case (a, b) => b <= a })
+    assert(got.map(_._4).sum > 0 && got.map(_._5).sum > 0)
+  }
 }

@@ -380,6 +380,33 @@ class EnrichSpec extends SparkSpec {
     assert(out.values.exists { case (n, _, _, h, _) => h > 1.0 / n && h < 1.0 })
   }
 
+  test("markov_stationary matches a driver-side fixed-point power iteration") {
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = rows.groupBy(_._1).values.toSeq.flatMap { g =>
+      val types = g.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(2).filter(_.length == 2).map(w => (w(0), w(1)))
+    }.groupBy(identity).map { case ((f, t), g) => (f, t, g.size.toLong) }.toSeq
+    val rowSum = trans.groupBy(_._1).map { case (f, g) => f -> g.map(_._3).sum }
+    val domain = rowSum.keys.toSeq.sorted
+    var x: Map[String, Long] = domain.map(_ -> 1000000000L / domain.size).toMap
+    for (_ <- 1 to 6) {
+      x = trans.flatMap { case (f, t, c) =>
+        x.get(f).map(xv => t -> (xv * c) / rowSum(f))
+      }.groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    }
+    val got = Enrich.queries("markov_stationary")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === x)
+    // mass approximately conserved (truncation only loses scaled ulps)
+    val total = x.values.sum
+    assert(total > 990000000L && total <= 1000000000L)
+    assert(x.size > 1)
+  }
+
   test("event_paths_topk matches a driver-side sequence replay") {
     // ts collected as unix MICROS (not Timestamp.getTime millis): the
     // query's window orders by full-precision ts (the rle_compress_stats

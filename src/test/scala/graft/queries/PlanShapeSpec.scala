@@ -483,6 +483,10 @@ class PlanShapeSpec extends SparkSpec {
     // frequency-of-frequencies table (groupBy of a groupBy) — bounded by
     // the distinct multiplicity values, a few hundred rows at any sf
     "key_skew_gini",
+    // km_survival (round 14): the reverse-cumulative at_risk sum and the
+    // KM factor fold run over the lifetime-day grid (a grouped reduction
+    // of per-user lifetimes) — bounded by the covered calendar span
+    "km_survival",
     "resume_page", "skyline_parts", "yoy_revenue",
     "benford_digits", "chi_square_independence", "drift_tvd",
     "group_kfold", "ks_statistic", "mannwhitney_u",
@@ -692,7 +696,8 @@ class PlanShapeSpec extends SparkSpec {
     val audited = Map(
       "cosine_neardup" -> "size-gated broadcast triangle: vector side capped at 32 MB, else the block-grid equi-join path (PlanShapeSpec pins the fallback)",
       "kmeans_step" -> "centroid dim is the K-row literal filter vec_id < 8 — model-sized by the predicate",
-      "theil_sen_trend" -> "both sides are the localCheckpointed WEEKLY AGGREGATE (calendar-bounded; the checkpoint hides the Aggregate from the walk)")
+      "theil_sen_trend" -> "both sides are the localCheckpointed WEEKLY AGGREGATE (calendar-bounded; the checkpoint hides the Aggregate from the walk)",
+      "kendall_tau" -> "both sides are the localCheckpointed MONTHLY AGGREGATE (calendar-bounded; the checkpoint hides the Aggregate from the walk)")
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: LocalRelation | _: Range | _: GlobalLimit => true
       case other => other.children.exists(bounded)

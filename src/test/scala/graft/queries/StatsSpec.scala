@@ -242,6 +242,54 @@ class StatsSpec extends SparkSpec {
     assert(byRank.head >= ref.min && byRank.last === ref.max)
   }
 
+  test("cuped_adjustment matches a driver-side moments replay") {
+    val rows = graft.Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    val cutoff = lo + (hi - lo) / 2
+    val perUser = rows.groupBy(_._1).toSeq.map { case (u, g) =>
+      (u % 2, g.filter(_._2 < cutoff).map(_._3).sum,
+        g.filter(_._2 >= cutoff).map(_._3).sum)
+    }
+    case class M(n: Long, sx: Long, sy: Long, sxx: Double, syy: Double, sxy: Double)
+    val ms = perUser.groupBy(_._1).map { case (v, g) =>
+      v -> M(g.size.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(e => (e._2 * e._2).toDouble).sum,
+        g.map(e => (e._3 * e._3).toDouble).sum,
+        g.map(e => (e._2 * e._3).toDouble).sum)
+    }
+    val gn = ms.values.map(_.n).sum; val gsx = ms.values.map(_.sx).sum
+    val gsy = ms.values.map(_.sy).sum
+    val gsxx = ms.values.map(_.sxx).sum; val gsxy = ms.values.map(_.sxy).sum
+    val num = gn.toDouble * gsxy - gsx.toDouble * gsy.toDouble
+    val den = gn.toDouble * gsxx - gsx.toDouble * gsx.toDouble
+    val theta = if (den == 0.0) 0.0 else num / den
+    val meanXg = gsx.toDouble / gn.toDouble
+    val got = Stats.queries("cuped_adjustment")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === ms.keySet)
+    for ((v, m) <- ms) {
+      val r = got(v); val nn = m.n.toDouble
+      assert(r.getLong(1) === m.n)
+      assert(math.abs(r.getDouble(2) - theta) < 1e-12 * math.max(1.0, math.abs(theta)))
+      assert(r.getDouble(3) === m.sy.toDouble / nn)
+      val meanAdj = (m.sy.toDouble - theta * (m.sx.toDouble - nn * meanXg)) / nn
+      assert(math.abs(r.getDouble(4) - meanAdj) < 1e-9 * math.max(1.0, math.abs(meanAdj)))
+      val varPost = m.syy / nn - (m.sy.toDouble / nn) * (m.sy.toDouble / nn)
+      val covV = m.sxy / nn - (m.sx.toDouble / nn) * (m.sy.toDouble / nn)
+      val varX = m.sxx / nn - (m.sx.toDouble / nn) * (m.sx.toDouble / nn)
+      val varAdj = varPost - (2.0 * theta) * covV + (theta * theta) * varX
+      assert(math.abs(r.getDouble(5) - varPost) < 1e-6 * varPost)
+      assert(math.abs(r.getDouble(6) - varAdj) < 1e-6 * math.max(1.0, varAdj))
+      // reduction bounded (pooled θ on a per-variant readout can dip
+      // slightly negative when pre/post spend are weakly correlated)
+      assert(r.getDouble(7) > -0.5 && r.getDouble(7) < 1.0)
+      assert(varAdj >= 0.0)
+    }
+  }
+
   test("kendall_tau matches a driver-side O(n^2) concordance count") {
     val monthly = graft.Tables.lineitem(spark, sf)
       .select(date_trunc("month", col("l_shipdate")).cast("long").as("mo"),
