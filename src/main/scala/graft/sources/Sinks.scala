@@ -134,14 +134,28 @@ object Sinks {
     val conn = java.sql.DriverManager.getConnection(url, properties)
     try {
       val st = conn.createStatement()
-      val targetExists =
-        try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
-        catch { case _: java.sql.SQLException => false }
-      if (!targetExists)
-        st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
       // Spark's JDBC writer creates columns QUOTED (case-sensitive in
       // Derby/Postgres) — qualify with quoted identifiers to match
       def q(c: String) = "\"" + c + "\""
+      val targetExists =
+        try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+        catch { case _: java.sql.SQLException => false }
+      if (!targetExists) {
+        st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        // index the merge keys: without it the matched-row DELETE's
+        // correlated EXISTS is a nested-loop over |target|×|stage| —
+        // measured as a multi-hour wedge at the sf10 tier (500k strided
+        // rows), where the indexed probe finishes in seconds. (A PRIMARY
+        // KEY would be the production choice, but Spark's JDBC writer
+        // creates nullable columns and Derby/Postgres reject PKs on
+        // them; a plain index gives the same probe.)
+        st.executeUpdate(
+          s"CREATE INDEX ${table}_mk ON $table (${keys.map(q).mkString(", ")})")
+      }
+      // the stage side of the EXISTS probe needs the same index — it is
+      // re-created by every batch's overwrite, so index it per batch
+      st.executeUpdate(
+        s"CREATE INDEX ${stage}_mk ON $stage (${keys.map(q).mkString(", ")})")
       val pred = keys.map(k => s"$stage.${q(k)} = $table.${q(k)}").mkString(" AND ")
       // delete-matched + insert are ONE transaction: autocommitting them
       // separately leaves a window where a crash after the DELETE loses
