@@ -20,6 +20,19 @@ object SessionCache {
 
   private val store =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Any), Any]
+  /** Storage level each [[layer]] value carried right after its builder
+    * ran (NONE entries are never recorded). Lets a hit re-assert the
+    * persistence: `spark.catalog.clearCache()` (or any cacheQuery
+    * eviction) drops the CacheManager REGISTRATION of a memoized layer
+    * frame while this cache keeps handing the frame out — without the
+    * re-persist every consumer silently recomputes the layer from
+    * source for the rest of the session (the r14 order-dependent
+    * ContractSpec failure: stress_centrality re-ran the whole wide-graph
+    * build at every construction once a clearCache landed between suite
+    * runs). Re-persisting only re-registers; blocks repopulate lazily on
+    * the next consumer's execution — a one-time cost, not a rebuild. */
+  private val builtLevel = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Any), org.apache.spark.storage.StorageLevel]
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
 
@@ -36,6 +49,7 @@ object SessionCache {
     * stopping the suite's shared context (SessionCacheSpec). */
   private[graft] def evict(s: SparkSession): Unit = {
     store.keys.iterator.filter(_._1 eq s).foreach(store.remove)
+    builtLevel.keys.iterator.filter(_._1 eq s).foreach(builtLevel.remove)
     hooked.remove(s)
   }
 
@@ -57,11 +71,28 @@ object SessionCache {
     * posture), now with session-end eviction in one place. */
   def layer[V](name: String, s: SparkSession, key: Any)(mk: => V): V = {
     hook(s)
-    store.get((s, (name, key))) match {
-      case Some(v) => LayerMetrics.reuse(name); v.asInstanceOf[V]
+    val k = (s, (name, key))
+    store.get(k) match {
+      case Some(v) =>
+        LayerMetrics.reuse(name)
+        v match { // self-heal a dropped persist registration (see builtLevel)
+          case df: org.apache.spark.sql.Dataset[_] =>
+            builtLevel.get(k).foreach { lvl =>
+              if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+                df.persist(lvl)
+            }
+          case _ =>
+        }
+        v.asInstanceOf[V]
       case None =>
-        store.getOrElseUpdate((s, (name, key)), LayerMetrics.build(name)(mk))
-          .asInstanceOf[V]
+        val v = store.getOrElseUpdate(k, LayerMetrics.build(name)(mk))
+        v match {
+          case df: org.apache.spark.sql.Dataset[_]
+              if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+            builtLevel.put(k, df.storageLevel)
+          case _ =>
+        }
+        v.asInstanceOf[V]
     }
   }
 }

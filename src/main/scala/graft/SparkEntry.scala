@@ -118,6 +118,29 @@ object SparkEntry {
       graft.streaming.StreamGate.recordState("stream_exec_iot_chain", q)
       s.read.parquet(mart)
     }),
+    // The INCREMENTAL flavor of the flagship chain (VERDICT r14 #7): same
+    // events stream, same oracle (the batch mart SQL, hash-checked), but
+    // each micro-batch does O(batch) state maintenance — winner-state
+    // upsert with retraction deltas + exact moment partials — and the
+    // mart materializes once from state (streaming/IncrementalMart).
+    // Batch 0 is delivered twice: the compare-and-set winner delta and
+    // the batch-keyed partials write must both be fixpoints.
+    "stream_exec_iot_incremental" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
+      val root = graft.streaming.StreamGate.tempDir("iot_incr_")
+      val q = Tables.eventsStream(s, d).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IncrementalMart.applyBatch(s, batch, batchId, root)
+          if (batchId == 0)
+            graft.streaming.IncrementalMart.applyBatch(s, batch, batchId, root)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_iot_incremental", q)
+      graft.streaming.IncrementalMart.materialize(s, root)
+    }),
     // U2: 3-way UNION ALL of per-layer row counts (the reference's ops
     // stats query, run-pipeline.sh:89-109)
     "ops_row_counts" -> ((s, d) => {
@@ -135,6 +158,7 @@ object SparkEntry {
     "int_anomalies"       -> IotOracle.intAnomalies,
     "mart_readings"       -> IotOracle.martReadings,
     "stream_exec_iot_chain" -> IotOracle.martReadings,
+    "stream_exec_iot_incremental" -> IotOracle.martReadings,
     "mart_summary"        -> IotOracle.martSummary,
     "summary_by_load"     -> IotOracle.summaryByLoad,
     "summary_by_device"   -> IotOracle.summaryByDevice,

@@ -36,8 +36,8 @@ object Exact {
     * the quantization is value-aligned — it drops no real information —
     * and the identical `round(x·10^s)` happens on both engines. See
     * [[Sum128]] for the accumulator and the parity argument. */
-  private val SumScale = 6
-  private val SqScale  = 4
+  private[graft] val SumScale = 6
+  private[graft] val SqScale  = 4
 
   /** Order-independent SUM over a double column, returned as double. */
   def dsum(c: Column): Column = Sum128.sum128(c, SumScale)

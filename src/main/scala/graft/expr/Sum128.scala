@@ -130,6 +130,45 @@ case class Sum128(
     copy(child = newChild)
 }
 
+/** Scalar twin of [[Sum128]]'s per-row quantization: round_half_away(x ·
+  * 10^scale) as a long, byte-identical to what the aggregate accumulates.
+  * Purpose: INCREMENTAL maintenance of Exact statistics — a pipeline that
+  * stores per-key partials (n, Σq₆(x), Σq₄(x²)) as exact integers can
+  * merge/retract them across batches with plain integer sums and
+  * reconstruct `Exact.davg`/`Exact.dstd` bit for bit (the divide sequence
+  * is replayed at read time), which is what lets a streaming mart match
+  * the batch oracle's hash without re-aggregating history. */
+case class Quant128(child: Expression, scale: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_quant128"
+
+  private val factor = math.pow(10.0, scale)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val scaled = v.asInstanceOf[Double] * factor
+    if (scaled >= 0) Math.round(scaled) else -Math.round(-scaled)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("scaled")
+      s"""
+         |double $s = $x * ${factor}D;
+         |${ev.value} = ($s >= 0) ? Math.round($s) : -Math.round(-$s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Sum128 {
   /** Column-API entry point: exact fixed-point sum at the given scale. */
   def sum128(c: Column, scale: Int): Column =
@@ -140,4 +179,8 @@ object Sum128 {
     * the VARCHAR hop, then the same final divide. */
   def sql(e: String, scale: Int): String =
     s"(CAST(CAST(SUM(CAST(round(($e) * 1e$scale) AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1e$scale)"
+
+  /** Column entry point for [[Quant128]]. */
+  def quant(c: Column, scale: Int): Column =
+    Bridge.column(Quant128(Bridge.expression(c), scale))
 }

@@ -41,25 +41,23 @@ object Anomalies {
       .drop("rn")
   }
 
-  def fromStaging(staging: DataFrame): DataFrame = {
-    // `valid` fans out to five consumers (global/device/location/env stats
-    // + the probe side). Spark reuses the dedup-window *exchange* across
-    // them but re-executes the window sort per consumer branch — persist
-    // the post-window result once instead (it is strictly smaller than the
-    // input and bounded by the events table at any SF).
-    val valid = validReadings(staging)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val t = col("temperature_celsius").cast("double")
+  /** The four stat dims of the intermediate model — separable so the
+    * incremental maintenance path (streaming/IncrementalMart) can build
+    * them from merged partials instead of re-aggregating history. */
+  final case class StatDims(global: DataFrame, device: DataFrame,
+      location: DataFrame, env: DataFrame)
 
-    // A1-A4: all four stats scopes (global / device / location /
-    // environment) in ONE grouping-sets aggregation — one shuffle where
-    // four separate groupBys would each shuffle `valid` again. Per-group
-    // values are identical to per-scope groupBys (Exact aggregates are
-    // order-independent); the reference's per-scope WHERE/HAVING guards
-    // (int_temperature_anomalies.sql:28-74) are applied per grouping id
-    // after the aggregate. grouping_id bit = 1 means the column is
-    // grouped OUT: global=7 (111), device=3 (011), location=5 (101),
-    // environment=6 (110).
+  /** A1-A4: all four stats scopes (global / device / location /
+    * environment) in ONE grouping-sets aggregation — one shuffle where
+    * four separate groupBys would each shuffle `valid` again. Per-group
+    * values are identical to per-scope groupBys (Exact aggregates are
+    * order-independent); the reference's per-scope WHERE/HAVING guards
+    * (int_temperature_anomalies.sql:28-74) are applied per grouping id
+    * after the aggregate. grouping_id bit = 1 means the column is
+    * grouped OUT: global=7 (111), device=3 (011), location=5 (101),
+    * environment=6 (110). */
+  def statsOf(valid: DataFrame): StatDims = {
+    val t = col("temperature_celsius").cast("double")
     val statsAll = valid
       .groupingSets(
         Seq(Seq.empty, Seq(col("device_id")), Seq(col("location")), Seq(col("environment_type"))),
@@ -69,27 +67,44 @@ object Anomalies {
         Exact.dstd(t).as("stddev_temp"),
         count(lit(1)).as("cnt"),
         grouping_id().as("gid"))
-    val globalStats = statsAll.filter(col("gid") === 7)
-      .select(col("mean_temp").as("global_mean_temp"), col("stddev_temp").as("global_stddev_temp"))
-    val deviceStats = statsAll
-      .filter(col("gid") === 3 && col("cnt") >= 5)
-      .select(col("device_id"), col("mean_temp").as("device_mean_temp"),
-        col("stddev_temp").as("device_stddev_temp"), col("cnt").as("device_reading_count"))
-    val locationStats = statsAll
-      .filter(col("gid") === 5 && col("location").isNotNull && col("cnt") >= 10)
-      .select(col("location"), col("mean_temp").as("location_mean_temp"),
-        col("stddev_temp").as("location_stddev_temp"))
-    val envStats = statsAll
-      .filter(col("gid") === 6 && col("environment_type").isNotNull && col("cnt") >= 5)
-      .select(col("environment_type"), col("mean_temp").as("environment_mean_temp"),
-        col("stddev_temp").as("environment_stddev_temp"))
+    StatDims(
+      global = statsAll.filter(col("gid") === 7)
+        .select(col("mean_temp").as("global_mean_temp"),
+          col("stddev_temp").as("global_stddev_temp")),
+      device = statsAll
+        .filter(col("gid") === 3 && col("cnt") >= 5)
+        .select(col("device_id"), col("mean_temp").as("device_mean_temp"),
+          col("stddev_temp").as("device_stddev_temp"), col("cnt").as("device_reading_count")),
+      location = statsAll
+        .filter(col("gid") === 5 && col("location").isNotNull && col("cnt") >= 10)
+        .select(col("location"), col("mean_temp").as("location_mean_temp"),
+          col("stddev_temp").as("location_stddev_temp")),
+      env = statsAll
+        .filter(col("gid") === 6 && col("environment_type").isNotNull && col("cnt") >= 5)
+        .select(col("environment_type"), col("mean_temp").as("environment_mean_temp"),
+          col("stddev_temp").as("environment_stddev_temp")))
+  }
 
-    // J1-J4 (reference: int_temperature_anomalies.sql:119-122)
+  def fromStaging(staging: DataFrame): DataFrame = {
+    // `valid` fans out to five consumers (global/device/location/env stats
+    // + the probe side). Spark reuses the dedup-window *exchange* across
+    // them but re-executes the window sort per consumer branch — persist
+    // the post-window result once instead (it is strictly smaller than the
+    // input and bounded by the events table at any SF).
+    val valid = validReadings(staging)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreValid(valid, statsOf(valid))
+  }
+
+  /** J1-J4 + P12/P14/P15 over an already-deduped valid set and the four
+    * stat dims (reference: int_temperature_anomalies.sql:119-166). */
+  def scoreValid(valid: DataFrame, stats: StatDims): DataFrame = {
+    val t = col("temperature_celsius").cast("double")
     val joined = valid
-      .crossJoin(broadcast(globalStats))
-      .join(broadcast(deviceStats), Seq("device_id"), "left")
-      .join(broadcast(locationStats), Seq("location"), "left")
-      .join(broadcast(envStats), Seq("environment_type"), "left")
+      .crossJoin(broadcast(stats.global))
+      .join(broadcast(stats.device), Seq("device_id"), "left")
+      .join(broadcast(stats.location), Seq("location"), "left")
+      .join(broadcast(stats.env), Seq("environment_type"), "left")
 
     // P14 z-scores via the macro-layer builders (M1,
     // reference: int_temperature_anomalies.sql:85-113; macro form

@@ -323,9 +323,10 @@ FROM agg"""
     * child row count, NULL-FK count, and orphan count (non-null FK with
     * no parent). Scale shape: each CHILD table is scanned ONCE however
     * many edges leave it — the three lineitem edges ride one scan with
-    * three left joins against key-projected parents (parent keys are
-    * unique, so no fan-out) and one conditional aggregate; a literal
-    * test-per-edge runner would issue three full fact scans. Dim parents
+    * three left joins against DISTINCT key-projected parents (never
+    * trusting parent-key uniqueness — see the in-body note) and one
+    * conditional aggregate; a literal test-per-edge runner would issue
+    * three full fact scans. Dim parents
     * (nation, region) are broadcast; the big parents shuffle on the join
     * key, which is exactly the co-partitioning a bucketed layout would
     * make free. */
@@ -338,13 +339,19 @@ FROM agg"""
     // lineitem: three FK edges, ONE scan; the 1-row aggregate unpivots
     // into three edge rows via stack (the dq_expectations idiom) so the
     // shared compute stays one lazy plan branch — no checkpoint needed
+    // Parent keys are DISTINCT-ed before each probe join (ADVICE r14): an
+    // integrity audit cannot assume the parent side is clean — a
+    // duplicated parent key would fan the left join out and silently
+    // inflate child_rows/null_fk/orphan counts on every edge sharing the
+    // scan. The distinct is partial-aggregable and rides the same shuffle
+    // key as the join.
     val liEdges = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey")),
+      .join(Tables.orders(s, d).select(col("o_orderkey")).distinct(),
         col("l_orderkey") === col("o_orderkey"), "left")
-      .join(Tables.part(s, d).select(col("p_partkey")),
+      .join(Tables.part(s, d).select(col("p_partkey")).distinct(),
         col("l_partkey") === col("p_partkey"), "left")
-      .join(Tables.supplier(s, d).select(col("s_suppkey")),
+      .join(Tables.supplier(s, d).select(col("s_suppkey")).distinct(),
         col("l_suppkey") === col("s_suppkey"), "left")
       .agg(
         count(lit(1)).as("n"),
@@ -365,7 +372,7 @@ FROM agg"""
         (col("null_fk") === 0L && col("orphan_rows") === 0L).as("ref_ok"))
     def edge(rel: String, child: DataFrame, fk: String,
              parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
-      val par = parent.select(col(pk))
+      val par = parent.select(col(pk)).distinct()
       row(rel, child.select(col(fk))
         .join(if (bcast) broadcast(par) else par, col(fk) === col(pk), "left")
         .agg(count(lit(1)).as("child_rows"),
@@ -393,29 +400,29 @@ WITH li AS (
     CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns,
     CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS os
   FROM lineitem l
-  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-  LEFT JOIN part p ON l.l_partkey = p.p_partkey
-  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
+  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON l.l_suppkey = s.s_suppkey
 ), oc AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
     CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
-  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
 ), cn AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
     CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
     CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND nt.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
-  FROM customer c LEFT JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) nt ON c.c_nationkey = nt.n_nationkey
 ), sn AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
     CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
     CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND nt.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
-  FROM supplier s LEFT JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+  FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) nt ON s.s_nationkey = nt.n_nationkey
 ), nr AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
     CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nf,
     CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orf
-  FROM nation nt LEFT JOIN region r ON nt.n_regionkey = r.r_regionkey
+  FROM nation nt LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r ON nt.n_regionkey = r.r_regionkey
 )
 SELECT 'lineitem->orders' AS relation, n AS child_rows, no AS null_fk,
   oo AS orphan_rows, (no = 0 AND oo = 0) AS ref_ok FROM li

@@ -23,8 +23,22 @@ object Graph {
     * retirement (the plan recomputes without the cache). */
   private val retired =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
-  private def retire(key: String, next: Seq[DataFrame]): Unit =
-    Option(retired.put(key, next)).foreach(_.foreach(_.unpersist(false)))
+  private def retire(key: String, next: Seq[DataFrame]): Unit = {
+    // Plan-aware: CacheManager entries are keyed by CANONICAL PLAN, not by
+    // Dataset reference, and a deterministic builder's generations are
+    // plan-identical — the new generation's persist() calls no-op onto the
+    // old generation's entries. Unpersisting the old frames would drop the
+    // very entries the new generation relies on (r14's order-dependent
+    // construction-audit failure: cache availability ALTERNATED with retire
+    // parity). Only frames whose plan isn't re-persisted by the new
+    // generation are truly stale; identical plans share one entry, so
+    // keeping them adds no blocks.
+    val keep = next.map(_.queryExecution.analyzed.canonicalized)
+    Option(retired.put(key, next)).foreach(_.foreach { old =>
+      if (!keep.contains(old.queryExecution.analyzed.canonicalized))
+        old.unpersist(false)
+    })
+  }
 
   /** Derived supplier graph shared with `triangle_count`
     * (Analytics.scala): sampled lineitem rows project to canonical

@@ -831,9 +831,17 @@ JOIN rr ON (sr.r * c.m + c.n - 1) // c.n = rr.rr"""
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
         sum(col("y")).as("sy"),
-        graft.expr.Sum128.sum128((col("x") * col("x")).cast("double"), 0).as("sxx"),
-        graft.expr.Sum128.sum128((col("y") * col("y")).cast("double"), 0).as("syy"),
-        graft.expr.Sum128.sum128((col("x") * col("y")).cast("double"), 0).as("sxy"))
+        // cast to double BEFORE multiplying (ADVICE r14): a Long×Long
+        // product past 2^63 wraps silently in Spark while the oracle's
+        // BIGINT multiply raises — the double product is exact for the
+        // documented ≤2^26.5 per-user cent magnitudes and degrades
+        // gracefully (identically on both engines) beyond them
+        graft.expr.Sum128.sum128(
+          col("x").cast("double") * col("x").cast("double"), 0).as("sxx"),
+        graft.expr.Sum128.sum128(
+          col("y").cast("double") * col("y").cast("double"), 0).as("syy"),
+        graft.expr.Sum128.sum128(
+          col("x").cast("double") * col("y").cast("double"), 0).as("sxy"))
       .localCheckpoint(false) // 2 rows; feeds both the pooled θ and the report
     val g = m.agg(sum("n").as("gn"), sum("sx").as("gsx"), sum("sy").as("gsy"),
         sum("sxx").as("gsxx"), sum("sxy").as("gsxy"))
@@ -873,9 +881,9 @@ JOIN rr ON (sr.r * c.m + c.n - 1) // c.n = rr.rr"""
   }
 
   val cupedSql: String = {
-    val sxx = graft.expr.Sum128.sql("x * x", 0)
-    val syy = graft.expr.Sum128.sql("y * y", 0)
-    val sxy = graft.expr.Sum128.sql("x * y", 0)
+    val sxx = graft.expr.Sum128.sql("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)", 0)
+    val syy = graft.expr.Sum128.sql("CAST(y AS DOUBLE) * CAST(y AS DOUBLE)", 0)
+    val sxy = graft.expr.Sum128.sql("CAST(x AS DOUBLE) * CAST(y AS DOUBLE)", 0)
     s"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS t,

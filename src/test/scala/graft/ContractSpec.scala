@@ -18,7 +18,7 @@ class ContractSpec extends SparkSpec {
 
   test("no cross-module query-name collision is silently dropped by the merge") {
     val moduleMaps: Seq[(String, Int)] = Seq(
-      "iot" -> 10,
+      "iot" -> 11,
       "Relational" -> Relational.queries.size,
       "Temporal" -> Temporal.queries.size,
       "Analytics" -> Analytics.queries.size,
@@ -75,7 +75,8 @@ class ContractSpec extends SparkSpec {
       "llm/IvfAnn.scala" -> 1,      // bounded codebook sample
       "llm/LangModel.scala" -> 1,   // limit(1) argmax
       "llm/Pca.scala" -> 1,         // d²-bounded Gramian (driver eigensolve)
-      "Profile.scala" -> 1)         // dev profiling main, not a query
+      "Profile.scala" -> 1,         // dev profiling main, not a query
+      "SkewGen.scala" -> 1)         // 3-row top-key report in the generator main
     val found = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .flatMap { p =>
@@ -147,7 +148,7 @@ class ContractSpec extends SparkSpec {
       "theil_sen_trend", "seasonal_decompose", "paragraph_dedup",
       "doc_surprisal_bits", "kendall_tau", "mutual_nn_pairs",
       "cdc_chunk_dedup", "markov_stationary", "cuped_adjustment",
-      "kcenter_coreset")
+      "kcenter_coreset", "kcenter_coreset_k16")
     // Write-lifecycle queries: the operator under test IS a write + read
     // back (partitioned layout pruning, multi-format round-trip).
     val writeLifecycle = Set("partition_pruned_counts", "multi_format_union")

@@ -33,4 +33,29 @@ class SessionCacheSpec extends SparkSpec {
     assert(SessionCache.layer("spec_probe", child, "k")(build()) === 3)
     SessionCache.evict(child)
   }
+
+  test("a layer frame whose persist registration was dropped re-persists on hit") {
+    // r14's order-dependent ContractSpec failure: clearCache() drops the
+    // CacheManager REGISTRATION of a memoized layer frame, but the memo
+    // keeps handing the frame out and the builder (a memo hit) never
+    // re-persists — every consumer then silently recomputes the layer
+    // from source for the rest of the session. The layer() hit path must
+    // self-heal: re-assert the storage level recorded at build time.
+    import org.apache.spark.storage.StorageLevel
+    val df = SessionCache.layer("heal_probe", spark, sf) {
+      val d = spark.range(100).toDF("n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+    assert(df.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    spark.catalog.clearCache()
+    assert(df.storageLevel === StorageLevel.NONE, "clearCache drops the registration")
+    val hit = SessionCache.layer("heal_probe", spark, sf) {
+      fail("builder must not re-run on a memo hit"); df
+    }
+    assert(hit.storageLevel === StorageLevel.MEMORY_AND_DISK,
+      "hit path must re-persist at the recorded level")
+    hit.unpersist(false)
+  }
 }
