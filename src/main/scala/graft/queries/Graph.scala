@@ -132,12 +132,14 @@ object Graph {
   // ------------------------------------------------- link_prediction --
 
   /** Common-neighbors / Jaccard link prediction over the co-purchase
-    * graph, on CAPPED neighbor lists: each part keeps only its top-10
-    * co-purchase partners (by shared-order count, part id tiebreak)
-    * before any pairwise work. The cap is the scale contract — wedge
-    * volume is then ≤ N·K² (linear in nodes, never Σdeg², which explodes
-    * on hub nodes at 100 TB; it's how production kNN-graph builders
-    * bound candidate generation). Candidates are distance-2 pairs that
+    * graph, on MUTUALLY CAPPED neighbor lists: each part keeps only its
+    * top-10 co-purchase partners (by shared-order count, part id
+    * tiebreak), and each partner then keeps only its 10 strongest
+    * members, before any pairwise work. The two-sided cap is the scale
+    * contract — wedge volume is then ≤ N·K² under any key distribution
+    * (an out-only cap leaves hub IN-degrees unbounded and wedges
+    * quadratic in them — the round-15 Zipf-tier knee; the mutual form is
+    * how production kNN-graph builders bound candidate generation). Candidates are distance-2 pairs that
     * are NOT already capped edges (left anti join); score = common
     * capped-neighbors and Jaccard cn/(deg_u+deg_w−cn) — integers and one
     * division — ranked to a deterministic top-20. Orders are strided
@@ -158,9 +160,18 @@ object Graph {
       .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
         col("e.n_orders").as("n_orders"))
     // neighbor cap via the bounded-heap TopKPerGroup operator (map-side
-    // pruned) — not a full per-node window sort over every edge
-    val adj = graft.plans.TopK.perKey(sym,
+    // pruned) — not a full per-node window sort over every edge. The cap
+    // is applied in BOTH directions (each node keeps its 10 strongest
+    // neighbors, then each neighbor keeps its 10 strongest members — the
+    // mutual-kNN discipline): an out-only cap leaves the IN-degree
+    // unbounded, and wedges through a common neighbor are C(in-degree, 2)
+    // — measured as a WEDGE on the round-15 Zipf tier, where the hot part
+    // sat in everyone's top-10 list (13 s uniform → >9 min wedged). With
+    // both caps wedge volume is ≤ N·K² under ANY key distribution.
+    val adjOut = graft.plans.TopK.perKey(sym,
         Seq("node"), Seq("n_orders" -> false, "nbr" -> true), 10)
+    val adj = graft.plans.TopK.perKey(adjOut,
+        Seq("nbr"), Seq("n_orders" -> false, "node" -> true), 10)
       .select("node", "nbr")
       // feeds four plan branches (two wedge sides, the anti join, degrees).
       // LAZY checkpoint: the plan is leafed immediately (one shared RDD
@@ -207,12 +218,18 @@ WITH op AS (
   SELECT p1 AS node, p2 AS nbr, n_orders FROM pairs
   UNION ALL
   SELECT p2 AS node, p1 AS nbr, n_orders FROM pairs
-), adj AS (
-  SELECT node, nbr FROM (
-    SELECT node, nbr,
+), adj0 AS (
+  SELECT node, nbr, n_orders FROM (
+    SELECT node, nbr, n_orders,
       row_number() OVER (PARTITION BY node ORDER BY n_orders DESC, nbr) AS rn
     FROM sym
   ) WHERE rn <= 10
+), adj AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+      row_number() OVER (PARTITION BY nbr ORDER BY n_orders DESC, node) AS rn2
+    FROM adj0
+  ) WHERE rn2 <= 10
 ), deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
 ), wedges AS (

@@ -22,11 +22,11 @@ import graft.model.{Anomalies, MartReadings, Staging}
   *     (the W1 row_number dedup as maintained state, INCLUDING invalid
   *     rows: in the batch chain an invalid row with a higher record_id
   *     shadows a valid one in its key group, so the competition must run
-  *     over all staged rows). Hash-bucketed into [[Buckets]] partitions;
-  *     a batch rewrites ONLY the buckets its keys touch (dynamic
-  *     partition overwrite) — at 100 TB the bucket count scales up and a
-  *     batch's write cost stays proportional to its key spread, not to
-  *     history.
+  *     over all staged rows). Partitioned by the key's event-time DATE;
+  *     a batch reads and rewrites ONLY the date partitions its keys touch
+  *     (static bound + dynamic partition overwrite) — at 100 TB a
+  *     time-windowed ingest touches the watermark-recent dates, so the
+  *     per-batch state cost tracks the batch's time span, not history.
   *  2. partials/batch_id=N/ — that batch's signed DELTA of the exact
   *     per-scope moment partials (n, Σq₆(t), Σq₄(t²)) for the four A1-A4
   *     stat scopes, quantized per row by [[graft.expr.Quant128]] — the
@@ -47,65 +47,166 @@ import graft.model.{Anomalies, MartReadings, Staging}
   */
 object IncrementalMart {
 
-  /** Winner-state hash buckets. Sized so the sf tiers exercise multi-file
-    * partition overwrite; a production deployment scales this with key
-    * cardinality (or replaces the bucketed table with a lakehouse format
-    * whose MERGE does the same thing transactionally). */
-  val Buckets = 64
-
-  private def bucketOf = pmod(xxhash64(col("device_id"), col("minute")), lit(Buckets))
+  /** Winner state is partitioned by the EVENT-TIME date of the dedup key's
+    * minute (late/parse-failed rows land in the null partition). Arriving
+    * micro-batches are time-clustered — the file stream delivers events in
+    * arrival order and arrival tracks event time — so a batch touches a
+    * handful of date partitions and both the state reads (pruned via a
+    * broadcast semi-join on the partition column) and the dynamic
+    * partition overwrite stay proportional to the batch's TIME SPAN, not
+    * to history. This is the standard upsert-by-time-partition layout; a
+    * first cut used `hash(key) % 64` buckets, under which every batch
+    * touched every bucket and the per-batch write was O(state) — measured
+    * SLOWER than the full-refresh gate at sf5 (61 s vs 47 s, 4 cores). */
+  /** Partition value: the key minute's date, with NULL minutes (unparsable
+    * timestamps) pinned to a sentinel date — the pruning semi-join and the
+    * equi-partitioning must agree on nulls, and SQL null never equi-joins. */
+  private def dateOf =
+    coalesce(to_date(col("minute")), to_date(lit("1900-01-01")))
 
   private val stagedCols = Seq("record_id", "device_id", "reading_timestamp",
     "temperature_celsius", "location", "environment_type", "is_valid_record",
     "data_quality_score")
 
-  /** Apply one micro-batch of raw events to the state under `root`. */
-  def applyBatch(s: SparkSession, batch: DataFrame, batchId: Long, root: String): Unit = {
+  /** The null-minute sentinel partition (see [[dateOf]]). */
+  val SentinelDate = "1900-01-01"
+
+  /** Apply one micro-batch of raw events to the state under `root`.
+    *
+    * `stateDates`: optional STATIC predicate on `win_date` bounding which
+    * state partitions this batch's keys can possibly contest — when the
+    * caller slices arrivals by event time (the gate; any production
+    * time-windowed ingest), the touched dates are known up front and a
+    * literal filter gives guaranteed partition pruning on the state read
+    * (the broadcast-semi-join prune below still applies inside the
+    * filtered scan). The predicate MUST include [[SentinelDate]]: rows
+    * whose reading_timestamp nulls out land there from every slice, so
+    * sentinel keys are the one cross-slice contention surface. */
+  private val timing = sys.env.contains("GRAFT_INCR_TIMING")
+  private def timed[T](tag: String, batchId: Long)(body: => T): T = {
+    if (!timing) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"INCR b=$batchId $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
+  /** Batch-local winner per key — the same winner the batch chain's W1
+    * row_number window picks (highest record_id per (device, minute);
+    * record_id is unique, so no tie branch), but computed as a
+    * partial-aggregable max_by groupBy: the map side combines each
+    * partition down to its distinct keys before the shuffle, where the
+    * window shape must shuffle-and-sort every row. Composing per-batch
+    * winners with the stored winner under the same order equals the
+    * global dedup. */
+  def prepareWinners(batch: DataFrame): DataFrame = {
+    val staged = Staging.fromEvents(batch)
+      .withColumn("minute", date_trunc("minute", col("reading_timestamp")))
+    staged
+      .groupBy(col("device_id"), col("minute"))
+      .agg(max_by(
+        struct((stagedCols.filterNot(Set("device_id"))).map(col): _*),
+        col("record_id")).as("win"))
+      .select(col("device_id") +: col("minute") +:
+        stagedCols.filterNot(Set("device_id")).map(n => col(s"win.$n").as(n)): _*)
+  }
+
+  /** Apply one micro-batch, windowing it once and slicing the WINNER frame
+    * by the given (slice-predicate, stateDates) pairs — the gate's path.
+    * The expensive scan + window runs once per physical batch; each slice
+    * then touches only its own state partitions. Slice predicates must
+    * partition the key space on columns of the winner frame (e.g. minute
+    * ranges): a (device, minute) key's rows can never straddle slices, so
+    * sliced application equals unsliced application exactly. */
+  def applyBatchSliced(s: SparkSession, batch: DataFrame, batchId: Long, root: String,
+      slices: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): Unit = {
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def subId(i: Int): Long = batchId * 8 + i
+    val allApplied = slices.indices.forall { i =>
+      fs.exists(new Path(s"$root/applied/batch_id=${subId(i)}")) &&
+        fs.exists(new Path(s"$root/partials/batch_id=${subId(i)}"))
+    }
+    if (!allApplied) {
+      val win = prepareWinners(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (timing) timed("win.materialize", batchId)(win.count())
+      slices.zipWithIndex.foreach { case ((p, dates), i) =>
+        applyWinners(s, win.filter(p), subId(i), root, Some(dates))
+      }
+      win.unpersist(false)
+    }
+  }
+
+  def applyBatch(s: SparkSession, batch: DataFrame, batchId: Long, root: String,
+      stateDates: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val win = prepareWinners(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    applyWinners(s, win, batchId, root, stateDates)
+    win.unpersist(false)
+  }
+
+  /** Core state update over an already-windowed winner frame. */
+  private def applyWinners(s: SparkSession, batchWin: DataFrame, batchId: Long,
+      root: String,
+      stateDates: Option[org.apache.spark.sql.Column]): Unit = timed("applyBatch", batchId) {
     val winnersDir = s"$root/winners"
     val partialsDir = s"$root/partials"
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-    // batch-local winner per key — same total order as the batch chain's
-    // W1 window (record_id desc), so composing per-batch winners with the
-    // stored winner under the same order equals the global dedup
-    val staged = Staging.fromEvents(batch)
-      .withColumn("minute", date_trunc("minute", col("reading_timestamp")))
-    val w = Window.partitionBy(col("device_id"), col("minute"))
-      .orderBy(col("record_id").desc)
-    val batchWin = staged.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fast path for re-delivery: the applied marker is created strictly
+    // AFTER the winners write, and the partials dir strictly before it —
+    // both present ⟹ every state write for this batch completed, and the
+    // compare-and-set pass below would be a pure no-op (it remains the
+    // safety net for every crash window where a marker is missing)
+    val appliedMark = new Path(s"$root/applied/batch_id=$batchId")
+    val alreadyApplied =
+      fs.exists(appliedMark) && fs.exists(new Path(s"$partialsDir/batch_id=$batchId"))
+    if (!alreadyApplied) {
 
     val hasState = fs.exists(new Path(winnersDir))
-    val old = if (hasState) s.read.parquet(winnersDir)
-              else s.emptyDataFrame // never read below when !hasState
-
-    // compare-and-set delta: +new for unseen keys; (-old, +new) where the
-    // batch winner beats the stored one. A re-delivered batch loses every
-    // comparison (record_id equal, not greater) → empty delta → fixpoint.
     val winCols = (stagedCols :+ "minute").map(col)
-    val contested =
+    // a wrong static bound is not a perf bug but a CORRECTNESS one: the
+    // dynamic overwrite of a touched partition rebuilds it from the
+    // (bounded) state read, so a key date outside the bound would wipe
+    // that partition's unrelated keys — refuse loudly instead
+    stateDates.foreach { p =>
+      val escaped = timed("guard", batchId)(
+        batchWin.select(dateOf.as("win_date")).distinct().filter(!p))
+      require(escaped.isEmpty,
+        s"stateDates bound excludes key dates present in batch $batchId — " +
+          "applying would corrupt winner state")
+    }
+    // state read pruned to the batch's event-time span: the touched-dates
+    // semi-join on the partition column prunes untouched date directories
+    val old =
+      if (!hasState) null
+      else stateDates.foldLeft(s.read.parquet(winnersDir))((d, p) => d.filter(p))
+        .join(broadcast(batchWin.select(dateOf.as("win_date")).distinct()),
+          Seq("win_date"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // compare-and-set delta in ONE join: +new for unseen keys; (-old,
+    // +new) where the batch winner beats the stored one. A re-delivered
+    // batch loses every comparison (record_id equal, not greater) →
+    // empty delta → fixpoint.
+    val joined =
       if (!hasState)
-        (stagedCols :+ "minute").foldLeft(batchWin.limit(0).select(winCols: _*)) {
-          (d, n) => d.withColumn(n + "__o", col(n))
+        (stagedCols :+ "minute").foldLeft(batchWin.select(winCols: _*)) {
+          (d, n) => d.withColumn(n + "__o", lit(null).cast(batchWin.schema(n).dataType))
         }
       else batchWin.select(winCols: _*).alias("b")
         .join(old.alias("o"),
           col("b.device_id") <=> col("o.device_id") &&
-            col("b.minute") <=> col("o.minute"))
-        .filter(col("b.record_id") > col("o.record_id"))
+            col("b.minute") <=> col("o.minute"), "left")
         .select(
           (stagedCols :+ "minute").map(n => col(s"b.$n").as(n)) ++
             (stagedCols :+ "minute").map(n => col(s"o.$n").as(n + "__o")): _*)
-    val fresh =
-      if (!hasState) batchWin.select(winCols: _*)
-      else batchWin.select(winCols: _*).alias("b")
-        .join(old.select(col("device_id"), col("minute")).alias("o"),
-          col("b.device_id") <=> col("o.device_id") &&
-            col("b.minute") <=> col("o.minute"), "left_anti")
-    val contestedC = contested
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freshC = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joinedC = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contestedC = joinedC.filter(col("record_id__o").isNotNull &&
+      col("record_id") > col("record_id__o"))
+    val freshC = joinedC.filter(col("record_id__o").isNull).select(winCols: _*)
 
     // signed stat-contribution rows: winners that are VALID readings add,
     // replaced valid winners retract; invalid winners contribute nothing
@@ -129,38 +230,52 @@ object IncrementalMart {
         col("device_id"), col("location"), col("environment_type"))
       .agg(
         sum(col("sign")).as("n"),
-        sum((Sum128.quant(col("t"), Exact.SumScale) * col("sign"))
-          .cast("decimal(38,0)")).as("s1"),
-        sum((Sum128.quant(col("t") * col("t"), Exact.SqScale) * col("sign"))
-          .cast("decimal(38,0)")).as("s2"),
+        // LONG integer sums, not decimal: BigDecimal-per-row accumulation
+        // was 4 s/slice at sf10 (the very cost Sum128 exists to avoid).
+        // Range contract: |t| ≤ 100 ⇒ q₆ ≤ 1e8, q₄ ≤ 1e8 per row — a
+        // long partial overflows only past ~9e10 rows per scope key,
+        // 10⁴× beyond the largest tier (and the merged totals share the
+        // same bound, since merging never exceeds the total row count).
+        sum(Sum128.quant(col("t"), Exact.SumScale) * col("sign")).as("s1"),
+        sum(Sum128.quant(col("t") * col("t"), Exact.SqScale) * col("sign")).as("s2"),
         grouping_id().as("gid"))
 
     // 1. partials first, keyed by batch id (idempotent skip)
     val pDst = new Path(s"$partialsDir/batch_id=$batchId")
-    if (!fs.exists(pDst)) deltaPartials.write.mode("overwrite").parquet(pDst.toString)
+    if (!fs.exists(pDst)) timed("partials", batchId)(
+      deltaPartials.write.mode("overwrite").parquet(pDst.toString))
 
-    // 2. winners: rewrite only the touched buckets. The replacement rows
-    //   for a bucket = stored rows with changed keys swapped for the new
-    //   winners, plus the fresh keys.
+    // 2. winners: rewrite only the touched date partitions. The
+    //   replacement rows for a partition = its stored rows with changed
+    //   keys swapped for the new winners, plus the fresh keys.
     val changed = contestedC.select(winCols: _*).unionByName(freshC)
-      .withColumn("bucket", bucketOf)
+      .withColumn("win_date", dateOf)
     if (!hasState) {
-      changed.write.partitionBy("bucket").mode("overwrite").parquet(winnersDir)
-    } else if (!changed.isEmpty) {
-      val touched = changed.select("bucket").distinct()
-      val kept = old.withColumn("bucket", bucketOf)
-        .join(broadcast(touched), Seq("bucket"), "left_semi")
+      // guard the FIRST write only: an empty initial write would create a
+      // schema-less winners dir (for existing state, an empty `changed`
+      // makes `touched` empty and the dynamic overwrite a natural no-op,
+      // so no extra action is spent asking)
+      if (!timed("changed.isEmpty", batchId)(changed.isEmpty))
+        timed("winners.first", batchId)(
+          changed.write.partitionBy("win_date").mode("overwrite").parquet(winnersDir))
+    } else {
+      val touched = changed.select("win_date").distinct()
+      val kept = old // already pruned to the batch's dates
+        .join(broadcast(touched), Seq("win_date"), "left_semi")
         .alias("o")
         .join(changed.alias("c"),
           col("o.device_id") <=> col("c.device_id") &&
             col("o.minute") <=> col("c.minute"), "left_anti")
-        .select((stagedCols :+ "minute" :+ "bucket").map(n => col(s"o.$n").as(n)): _*)
-      kept.unionByName(changed)
-        .write.partitionBy("bucket").mode("overwrite")
+        .select((stagedCols :+ "minute" :+ "win_date").map(n => col(s"o.$n").as(n)): _*)
+      timed("winners.merge", batchId)(kept.unionByName(changed)
+        .write.partitionBy("win_date").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .parquet(winnersDir)
+        .parquet(winnersDir))
     }
-    batchWin.unpersist(false); contestedC.unpersist(false); freshC.unpersist(false)
+    fs.mkdirs(appliedMark)
+    joinedC.unpersist(false)
+    if (old != null) old.unpersist(false)
+    }
   }
 
   /** Materialize the mart from the maintained state — the batch chain's
@@ -185,9 +300,12 @@ object IncrementalMart {
     val std = when(col("n") > 1,
       sqrt(greatest((sqD - sD * sD / nD) / (nD - lit(1.0)), lit(0.0))))
       .otherwise(lit(null).cast("double"))
+    // NOT checkpointed: the frame is tiny (one parquet read of the
+    // partials + a grouped agg) and the checkpoint's LogicalRDD would
+    // erase the aggregate lineage the non-equi-join plan audit uses to
+    // prove the global-stats cross join is 1-row-bounded
     val stats = merged
       .withColumn("mean_temp", mean).withColumn("stddev_temp", std)
-      .localCheckpoint(false) // tiny; feeds four broadcast dims
     val dims = Anomalies.StatDims(
       global = stats.filter(col("gid") === 7)
         .select(col("mean_temp").as("global_mean_temp"),

@@ -152,12 +152,18 @@ class DiagnosticsSpec extends SparkSpec {
         pairCount((s(i), s(j))) = pairCount.getOrElse((s(i), s(j)), 0L) + 1L
     }
     val sym = pairCount.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
-    val adj: Map[Long, Seq[Long]] = sym.groupBy(_._1).map { case (node, es) =>
-      node -> es.sortBy(e => (-e._3, e._2)).take(10).map(_._2)
+    // MUTUAL cap (the round-15 skew fix): out-cap to each node's 10
+    // strongest, then in-cap each neighbor's list to its 10 strongest
+    // members — same orders as the query's two TopK.perKey passes
+    val adjOut = sym.groupBy(_._1).toSeq.flatMap { case (node, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(10).map(e => (node, e._2, e._3))
     }
-    // iterator, not Map.flatMap — mapping to pairs would rebuild a Map and
-    // collapse each node to a single neighbor
-    val adjSet = adj.iterator.flatMap { case (n, ns) => ns.map(n -> _) }.toSet
+    val adjPairs = adjOut.groupBy(_._2).toSeq.flatMap { case (nbr, es) =>
+      es.sortBy(e => (-e._3, e._1)).take(10).map(e => (e._1, nbr))
+    }
+    val adj: Map[Long, Seq[Long]] = adjPairs.groupMap(_._1)(_._2)
+      .view.mapValues(_.toSeq).toMap
+    val adjSet = adjPairs.toSet
     val wedges = scala.collection.mutable.Map.empty[(Long, Long), Long]
     val byNbr = adjSet.toSeq.groupMap(_._2)(_._1)
     byNbr.values.foreach { us =>

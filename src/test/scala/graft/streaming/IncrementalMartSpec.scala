@@ -22,9 +22,15 @@ class IncrementalMartSpec extends SparkSpec {
     slices.zipWithIndex.foreach { case (b, i) =>
       IncrementalMart.applyBatch(spark, b, i.toLong, root)
     }
-    // re-deliver every batch once: all state writes must be fixpoints
+    // re-deliver every batch once under its OWN id (the applied-marker
+    // fast path) and once under a FRESH id (the compare-and-set path: no
+    // marker, winners already updated, so the delta must collapse to
+    // empty) — both must be fixpoints
     slices.zipWithIndex.foreach { case (b, i) =>
       IncrementalMart.applyBatch(spark, b, i.toLong, root)
+    }
+    slices.zipWithIndex.foreach { case (b, i) =>
+      IncrementalMart.applyBatch(spark, b, 100L + i, root)
     }
     val incr = IncrementalMart.materialize(spark, root)
     val batch = MartReadings.fromStaging(Staging.fromEvents(ev))
