@@ -47,9 +47,22 @@ object SkewGen {
         when(col(fk).isNull, lit(null))
           .otherwise(zipfRank(col(fk), n) - 1L + lit(minKey)))
 
+    /** The rank→key placement below is ARITHMETIC (minKey + rank − 1), so
+      * it is only referentially sound when the parent key domain is dense:
+      * any gap would make some ranks orphan FKs, silently breaking the
+      * "referential integrity preserved exactly" contract and the
+      * referential_integrity audit on this tier (ADVICE r15). True for the
+      * driver testdata's contiguous keys — asserted here so any other
+      * input fails at generation time instead of producing a subtly
+      * wrong tier. */
     def domain(df: DataFrame, k: String): (Long, Long) = {
-      val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long")).head()
-      (r.getLong(0), r.getLong(1) - r.getLong(0) + 1L)
+      val r = df.agg(min(col(k)).cast("long"), max(col(k)).cast("long"),
+        countDistinct(col(k))).head()
+      val (lo, hi, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(nd == hi - lo + 1L,
+        s"parent key $k is not dense: $nd distinct over [$lo, $hi] — " +
+          "arithmetic rank placement would orphan FKs")
+      (lo, hi - lo + 1L)
     }
 
     def write(name: String, df: DataFrame): Unit = {

@@ -64,6 +64,69 @@ object SparkEntry {
   private def anomOf(s: SparkSession, dir: String): DataFrame =
     martOf(s, dir).drop(martOnlyCols: _*)
 
+  /** The incremental state machine shared by the two incremental gates:
+    * the events stream is ingested ONCE per (session, dir) — each
+    * micro-batch sliced into event-time weeks and applied as O(batch)
+    * state maintenance, with batch 0 redelivered so every state write is
+    * proven a fixpoint — and both gates then materialize their mart from
+    * the same maintained state. This is the production posture (one state,
+    * many derived marts), and the same build-once-per-(session, dir)
+    * discipline as the batch layer cache.
+    *
+    * The file stream delivers whole files — single-part tiers arrive as
+    * ONE batch, which would degenerate this gate into "full chain plus
+    * state overhead". Slicing each physical batch into event-time weeks
+    * (the production arrival cadence) makes the state machine process
+    * genuinely incremental, time-clustered increments at every tier; the
+    * IncrementalMartSpec proves ANY slicing converges to the batch chain,
+    * so the slicing is a pacing choice, not a semantics one. */
+  private val incrRoots =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def incrementalStateRoot(s: SparkSession, d: String): String =
+    incrRoots.getOrElseUpdate((s, d), graft.streaming.StreamGate.scoped(s) {
+      val root = graft.streaming.StreamGate.tempDir("iot_incr_")
+      import org.apache.spark.sql.functions.{col, lit, to_date, to_timestamp}
+      def applyAll(batch: DataFrame, batchId: Long): Unit = {
+        val sentinel = col("win_date") ===
+          to_date(lit(graft.streaming.IncrementalMart.SentinelDate))
+        def tsOf(d: String) = to_timestamp(lit(d))
+        // Week slices over the dedup key's MINUTE (a winner-frame column):
+        // the physical batch is scanned and windowed ONCE and the winner
+        // frame sliced from cache (IncrementalMart.applyBatchSliced); a
+        // (device, minute) key's rows can never straddle minute-range
+        // slices, and each week contests exactly its own win_date state
+        // partitions. Null minutes (unparsable timestamps) and anything
+        // outside Jan-2024 ride the remainder slice with the sentinel
+        // partition.
+        val weeks = (0 to 4).map { i =>
+          val (lo, hi) = (i * 7 + 1, math.min(i * 7 + 8, 32))
+          val (loD, hiD) = (f"2024-01-$lo%02d", if (hi == 32) "2024-02-01" else f"2024-01-$hi%02d")
+          (col("minute").isNotNull && col("minute") >= tsOf(loD) && col("minute") < tsOf(hiD),
+            col("win_date") >= to_date(lit(loD)) && col("win_date") < to_date(lit(hiD)))
+        }
+        val remainder = (
+          col("minute").isNull || col("minute") < tsOf("2024-01-01") ||
+            col("minute") >= tsOf("2024-02-01"),
+          sentinel || col("win_date") < to_date(lit("2024-01-01")) ||
+            col("win_date") >= to_date(lit("2024-02-01")))
+        graft.streaming.IncrementalMart.applyBatchSliced(
+          s, batch, batchId, root, weeks :+ remainder)
+      }
+      val q = Tables.eventsStream(s, d).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyAll(batch, batchId)
+          // duplicate delivery: every state write must be a fixpoint
+          if (batchId == 0) applyAll(batch, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamGate.recordState("stream_exec_iot_incremental", q)
+      root
+    })
+
   /** IoT model-chain queries (reference dbt DAG re-expressed). */
   private val iotQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_readings"        -> ((s, d) => ev(s, d)),
@@ -125,56 +188,16 @@ object SparkEntry {
     // mart materializes once from state (streaming/IncrementalMart).
     // Batch 0 is delivered twice: the compare-and-set winner delta and
     // the batch-keyed partials write must both be fixpoints.
-    "stream_exec_iot_incremental" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
-      val root = graft.streaming.StreamGate.tempDir("iot_incr_")
-      // The file stream delivers whole files — single-part tiers arrive as
-      // ONE batch, which would degenerate this gate into "full chain plus
-      // state overhead". Slice each physical batch into event-time weeks
-      // (the production arrival cadence) so the state machine processes
-      // genuinely incremental, time-clustered increments at every tier;
-      // the IncrementalMartSpec proves ANY slicing converges to the batch
-      // chain, so the slicing is a pacing choice, not a semantics one.
-      import org.apache.spark.sql.functions.{col, lit, to_date, to_timestamp}
-      def applyAll(batch: DataFrame, batchId: Long): Unit = {
-        val sentinel = col("win_date") ===
-          to_date(lit(graft.streaming.IncrementalMart.SentinelDate))
-        def tsOf(d: String) = to_timestamp(lit(d))
-        // Week slices over the dedup key's MINUTE (a winner-frame column):
-        // the physical batch is scanned and windowed ONCE and the winner
-        // frame sliced from cache (IncrementalMart.applyBatchSliced); a
-        // (device, minute) key's rows can never straddle minute-range
-        // slices, and each week contests exactly its own win_date state
-        // partitions. Null minutes (unparsable timestamps) and anything
-        // outside Jan-2024 ride the remainder slice with the sentinel
-        // partition.
-        val weeks = (0 to 4).map { i =>
-          val (lo, hi) = (i * 7 + 1, math.min(i * 7 + 8, 32))
-          val (loD, hiD) = (f"2024-01-$lo%02d", if (hi == 32) "2024-02-01" else f"2024-01-$hi%02d")
-          (col("minute").isNotNull && col("minute") >= tsOf(loD) && col("minute") < tsOf(hiD),
-            col("win_date") >= to_date(lit(loD)) && col("win_date") < to_date(lit(hiD)))
-        }
-        val remainder = (
-          col("minute").isNull || col("minute") < tsOf("2024-01-01") ||
-            col("minute") >= tsOf("2024-02-01"),
-          sentinel || col("win_date") < to_date(lit("2024-01-01")) ||
-            col("win_date") >= to_date(lit("2024-02-01")))
-        graft.streaming.IncrementalMart.applyBatchSliced(
-          s, batch, batchId, root, weeks :+ remainder)
-      }
-      val q = Tables.eventsStream(s, d).writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          applyAll(batch, batchId)
-          // duplicate delivery: every state write must be a fixpoint
-          if (batchId == 0) applyAll(batch, batchId)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      graft.streaming.StreamGate.recordState("stream_exec_iot_incremental", q)
-      graft.streaming.IncrementalMart.materialize(s, root)
-    }),
+    "stream_exec_iot_incremental" -> ((s, d) =>
+      graft.streaming.IncrementalMart.materialize(s, incrementalStateRoot(s, d))),
+    // The SUMMARY reader over the SAME maintained state (VERDICT r15 #4):
+    // mart_pipeline_summary assembled purely from the summary partials —
+    // signed combo/quality/date counts + per-partition timestamp extremes
+    // — with NO scan of the winner rows. One state machine, two marts: the
+    // 100-TB shape where derived tables are views over maintained state,
+    // not per-table recomputes. Same oracle as the batch mart_summary.
+    "stream_exec_summary_incremental" -> ((s, d) =>
+      graft.streaming.IncrementalMart.materializeSummary(s, incrementalStateRoot(s, d))),
     // U2: 3-way UNION ALL of per-layer row counts (the reference's ops
     // stats query, run-pipeline.sh:89-109)
     "ops_row_counts" -> ((s, d) => {
@@ -193,6 +216,7 @@ object SparkEntry {
     "mart_readings"       -> IotOracle.martReadings,
     "stream_exec_iot_chain" -> IotOracle.martReadings,
     "stream_exec_iot_incremental" -> IotOracle.martReadings,
+    "stream_exec_summary_incremental" -> IotOracle.martSummary,
     "mart_summary"        -> IotOracle.martSummary,
     "summary_by_load"     -> IotOracle.summaryByLoad,
     "summary_by_device"   -> IotOracle.summaryByDevice,

@@ -98,7 +98,26 @@ object Anomalies {
 
   /** J1-J4 + P12/P14/P15 over an already-deduped valid set and the four
     * stat dims (reference: int_temperature_anomalies.sql:119-166). */
-  def scoreValid(valid: DataFrame, stats: StatDims): DataFrame = {
+  def scoreValid(valid: DataFrame, stats: StatDims): DataFrame =
+    scoredJoined(valid, stats).select(
+      "record_id", "device_id", "reading_timestamp", "temperature_celsius",
+      "location", "environment_type", "is_valid_record", "data_quality_score",
+      "global_mean_temp", "global_stddev_temp",
+      "device_mean_temp", "device_stddev_temp", "device_reading_count",
+      "location_mean_temp", "location_stddev_temp",
+      "environment_mean_temp", "environment_stddev_temp",
+      "global_z_score", "device_z_score", "location_z_score", "environment_z_score",
+      "is_global_anomaly", "is_device_anomaly", "is_location_anomaly",
+      "is_environment_anomaly", "is_anomaly", "anomaly_score"
+    )
+
+  /** The dim joins + scoring expressions WITHOUT the mart column
+    * projection: the anomaly flag is a pure function of (device_id,
+    * location, environment_type, temperature_celsius) given the dims, so
+    * the incremental summary path can run the identical expressions over
+    * a distinct-combination frame (keeping its count column) instead of
+    * row-level data — any frame carrying those four columns works. */
+  def scoredJoined(valid: DataFrame, stats: StatDims): DataFrame = {
     val t = col("temperature_celsius").cast("double")
     val joined = valid
       .crossJoin(broadcast(stats.global))
@@ -141,16 +160,6 @@ object Anomalies {
           coalesce(col("environment_z_score"), lit(0.0))
         ))
 
-    scored.select(
-      "record_id", "device_id", "reading_timestamp", "temperature_celsius",
-      "location", "environment_type", "is_valid_record", "data_quality_score",
-      "global_mean_temp", "global_stddev_temp",
-      "device_mean_temp", "device_stddev_temp", "device_reading_count",
-      "location_mean_temp", "location_stddev_temp",
-      "environment_mean_temp", "environment_stddev_temp",
-      "global_z_score", "device_z_score", "location_z_score", "environment_z_score",
-      "is_global_anomaly", "is_device_anomaly", "is_location_anomaly",
-      "is_environment_anomaly", "is_anomaly", "anomaly_score"
-    )
+    scored
   }
 }

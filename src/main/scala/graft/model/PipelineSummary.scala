@@ -28,6 +28,21 @@ object PipelineSummary {
     * (reference: mart_pipeline_summary.sql:68-104,138-154). The reference's
     * `summary_generated_at`/`calculated_at` (current_timestamp) are omitted:
     * nondeterministic, excluded per SURVEY §5 oracle rules. */
+  /** overall()'s output column set — the contract the incremental summary
+    * materialization (streaming/IncrementalMart.materializeSummary)
+    * projects to, so both paths stay column-identical. */
+  val overallColumns: Seq[String] = Seq(
+    "total_processed_records", "total_valid_records", "total_invalid_records",
+    "total_anomalies", "global_avg_temperature", "global_min_temperature",
+    "global_max_temperature", "global_temperature_stddev",
+    "global_avg_quality_score", "global_min_quality_score",
+    "global_max_quality_score", "total_unique_devices",
+    "total_unique_locations", "total_environment_types", "total_load_batches",
+    "earliest_reading_timestamp", "latest_reading_timestamp", "data_span_days",
+    "indoor_readings", "outdoor_readings", "unknown_environment_readings",
+    "valid_record_percentage", "anomaly_percentage", "indoor_percentage",
+    "outdoor_percentage")
+
   def overall(mart: DataFrame): DataFrame = {
     val agg = mart.agg(
       count(lit(1)).as("total_processed_records"),
@@ -63,6 +78,7 @@ object PipelineSummary {
       .withColumn("anomaly_percentage", pct("total_anomalies"))
       .withColumn("indoor_percentage", pct("indoor_readings"))
       .withColumn("outdoor_percentage", pct("outdoor_readings"))
+      .select(overallColumns.map(col): _*)
   }
 
   /** Per-load-batch stats (the reference's dead `load_level_stats` CTE,

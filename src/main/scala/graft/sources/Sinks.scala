@@ -156,6 +156,19 @@ object Sinks {
       // (ADVICE r14) — but rethrow anything that isn't the
       // duplicate-object SQLState (Derby X0Y32, Postgres 42P07,
       // H2 42S11, ANSI 42710).
+      // the index NAME carries a digest of the key-column list: with a
+      // fixed name, a caller changing `keys` for an existing table would
+      // hit the duplicate-object catch (the stale same-named index covers
+      // the OLD columns) and the memo would pin the skip — the merge
+      // silently degrading back to the nested-loop DELETE probe the index
+      // exists to prevent (ADVICE r15). A key-set change now derives a
+      // fresh name and builds a fresh index.
+      val keyDigest = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(keys.mkString(",").getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+      }
+      def idxName(t: String) = s"${t}_mk_$keyDigest"
       def indexIfAbsent(name: String, t: String): Unit = {
         val k = (url, name)
         if (!Sinks.ensuredIndexes.contains(k)) {
@@ -183,17 +196,17 @@ object Sinks {
       val stageExisted = exists(stage)
       // a freshly (re)created table starts index-less whatever this
       // process remembers — drop the memo so indexIfAbsent re-runs
-      if (!stageExisted) Sinks.ensuredIndexes.remove((url, s"${stage}_mk"))
+      if (!stageExisted) Sinks.ensuredIndexes.remove((url, idxName(stage)))
       if (stageExisted) st.executeUpdate(s"TRUNCATE TABLE $stage")
       df.dropDuplicates(keys).write
         .mode(if (stageExisted) "append" else "overwrite")
         .jdbc(url, stage, properties)
       if (!exists(table)) {
-        Sinks.ensuredIndexes.remove((url, s"${table}_mk"))
+        Sinks.ensuredIndexes.remove((url, idxName(table)))
         st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
       }
-      indexIfAbsent(s"${table}_mk", table)
-      indexIfAbsent(s"${stage}_mk", stage)
+      indexIfAbsent(idxName(table), table)
+      indexIfAbsent(idxName(stage), stage)
       val pred = keys.map(k => s"$stage.${q(k)} = $table.${q(k)}").mkString(" AND ")
       // delete-matched + insert are ONE transaction: autocommitting them
       // separately leaves a window where a crash after the DELETE loses

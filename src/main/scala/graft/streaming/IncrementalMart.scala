@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.{Exact, Sum128}
-import graft.model.{Anomalies, MartReadings, Staging}
+import graft.model.{Anomalies, MartReadings, PipelineSummary, Staging}
 
 /** Incremental maintenance of the IoT mart (VERDICT r14 #7): the
   * full-refresh streaming gate rebuilds the whole staging → anomalies →
@@ -63,6 +63,27 @@ object IncrementalMart {
     * equi-partitioning must agree on nulls, and SQL null never equi-joins. */
   private def dateOf =
     coalesce(to_date(col("minute")), to_date(lit("1900-01-01")))
+
+  /** Sentinel sub-bucket count. The sentinel date is the one cross-slice
+    * hot spot by construction: EVERY batch's unparsable-timestamp keys land
+    * there forever, so without sub-partitioning the whole sentinel
+    * partition is re-read and rewritten by every batch — unbounded I/O at
+    * 100 TB with any persistent bad-timestamp fraction. Sub-bucketing by a
+    * key hash bounds a batch's sentinel I/O to the buckets its OWN null
+    * keys hash into; dated partitions stay single-bucket (bucket 0). */
+  val SentinelBuckets = 16
+
+  /** Second-level partition value (see [[SentinelBuckets]]). */
+  private def bktOf = when(col("minute").isNull,
+      pmod(xxhash64(col("device_id")), lit(SentinelBuckets.toLong)).cast("int"))
+    .otherwise(lit(0))
+
+  /** grouping_id values of the three summary-partials families (grouping
+    * columns in order device_id, location, environment_type, t, q, rdate;
+    * bit = 1 ⟺ the column is grouped OUT). */
+  private val ComboGid = 3L  // 000011: (device, location, env, t) grouped
+  private val QGid     = 61L // 111101: (q) grouped
+  private val DateGid  = 62L // 111110: (rdate) grouped
 
   private val stagedCols = Seq("record_id", "device_id", "reading_timestamp",
     "temperature_celsius", "location", "environment_type", "is_valid_record",
@@ -122,6 +143,12 @@ object IncrementalMart {
     * sliced application equals unsliced application exactly. */
   def applyBatchSliced(s: SparkSession, batch: DataFrame, batchId: Long, root: String,
       slices: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): Unit = {
+    // the sub-id arithmetic below allocates 8 slots per physical batch —
+    // a 9th slice would silently collide with the NEXT batch's sub-id 0,
+    // whose skip-if-exists partials check would then drop a real delta
+    // (ADVICE r15); refuse loudly instead
+    require(slices.size <= 8,
+      s"applyBatchSliced supports at most 8 slices per batch, got ${slices.size}")
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     def subId(i: Int): Long = batchId * 8 + i
     val allApplied = slices.indices.forall { i =>
@@ -147,6 +174,47 @@ object IncrementalMart {
     win.unpersist(false)
   }
 
+  /** Finish (or roll back) any stage left by a crashed batch. A stage dir
+    * carrying its `_STAGED` marker holds the COMPLETE new content of every
+    * partition its batch touched — including the untouched "kept" keys —
+    * so rolling it forward (delete dest bucket, rename staged bucket in)
+    * is always safe and idempotent: buckets already moved are simply gone
+    * from the stage. A stage without the marker is an incomplete write
+    * whose batch never began committing — winners are untouched, so it
+    * rolls back by deletion and the batch's retry recomputes it. */
+  private[streaming] def recoverStages(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val stageRoot = new Path(s"$root/stage")
+    if (fs.exists(stageRoot)) fs.listStatus(stageRoot).foreach { st =>
+      if (fs.exists(new Path(st.getPath, "_STAGED")))
+        commitStage(fs, st.getPath, new Path(s"$root/winners"))
+      else fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Swap the staged partition content into the winners dir, bucket dir by
+    * bucket dir (each rename is the atomic unit), then drop the stage. */
+  private[streaming] def commitStage(fs: org.apache.hadoop.fs.FileSystem,
+      stageDir: Path, winnersDir: Path): Unit = {
+    val dataDir = new Path(stageDir, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).iterator
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("win_date="))
+        .foreach { d =>
+          val destDate = new Path(winnersDir, d.getPath.getName)
+          fs.mkdirs(destDate)
+          fs.listStatus(d.getPath).iterator
+            .filter(b => b.isDirectory && b.getPath.getName.startsWith("win_bkt="))
+            .foreach { b =>
+              val dest = new Path(destDate, b.getPath.getName)
+              if (fs.exists(dest)) fs.delete(dest, true)
+              if (!fs.rename(b.getPath, dest))
+                sys.error(s"stage commit rename failed: ${b.getPath} -> $dest")
+            }
+        }
+    fs.delete(stageDir, true)
+  }
+
   /** Core state update over an already-windowed winner frame. */
   private def applyWinners(s: SparkSession, batchWin: DataFrame, batchId: Long,
       root: String,
@@ -154,6 +222,10 @@ object IncrementalMart {
     val winnersDir = s"$root/winners"
     val partialsDir = s"$root/partials"
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // roll forward/back any stage a crashed predecessor left: the state
+    // read below must never see a partition whose old content was deleted
+    // but whose staged replacement was not yet renamed in
+    recoverStages(fs, root)
 
     // fast path for re-delivery: the applied marker is created strictly
     // AFTER the winners write, and the partials dir strictly before it —
@@ -178,13 +250,19 @@ object IncrementalMart {
         s"stateDates bound excludes key dates present in batch $batchId — " +
           "applying would corrupt winner state")
     }
-    // state read pruned to the batch's event-time span: the touched-dates
-    // semi-join on the partition column prunes untouched date directories
+    // state read pruned to the batch's event-time span AND, inside the
+    // sentinel date, to the sub-buckets the batch's own null keys hash
+    // into: the touched-(date,bucket) semi-join on the partition columns
+    // prunes untouched directories. The persists here are pure perf (old
+    // and joinedC each feed two downstream consumers) — the winners write
+    // goes to a fresh stage dir, never to the path being read, so no
+    // cache substitution is load-bearing for write-path legality.
+    val batchParts = batchWin
+      .select(dateOf.as("win_date"), bktOf.as("win_bkt")).distinct()
     val old =
       if (!hasState) null
       else stateDates.foldLeft(s.read.parquet(winnersDir))((d, p) => d.filter(p))
-        .join(broadcast(batchWin.select(dateOf.as("win_date")).distinct()),
-          Seq("win_date"), "left_semi")
+        .join(broadcast(batchParts), Seq("win_date", "win_bkt"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // compare-and-set delta in ONE join: +new for unseen keys; (-old,
@@ -209,7 +287,9 @@ object IncrementalMart {
     val freshC = joinedC.filter(col("record_id__o").isNull).select(winCols: _*)
 
     // signed stat-contribution rows: winners that are VALID readings add,
-    // replaced valid winners retract; invalid winners contribute nothing
+    // replaced valid winners retract; invalid winners contribute nothing.
+    // q and rdate ride along for the SUMMARY partials (quality-score
+    // moments, distinct load dates) — same retraction discipline.
     def contrib(df: DataFrame, suffix: String, sign: Int): DataFrame = df
       .filter(col("is_valid_record" + suffix) &&
         col("temperature_celsius" + suffix).isNotNull)
@@ -218,6 +298,8 @@ object IncrementalMart {
         col("location" + suffix).as("location"),
         col("environment_type" + suffix).as("environment_type"),
         col("temperature_celsius" + suffix).cast("double").as("t"),
+        col("data_quality_score" + suffix).as("q"),
+        to_date(col("reading_timestamp" + suffix)).as("rdate"),
         lit(sign.toLong).as("sign"))
     val deltaRows = contrib(freshC, "", 1)
       .unionByName(contrib(contestedC, "", 1))
@@ -240,37 +322,119 @@ object IncrementalMart {
         sum(Sum128.quant(col("t") * col("t"), Exact.SqScale) * col("sign")).as("s2"),
         grouping_id().as("gid"))
 
+    // SUMMARY partials (mart_pipeline_summary maintenance): three signed
+    // delta families folded into ONE grouping-sets write —
+    //  - the (device, location, env, t) COMBO counts: the anomaly flag of
+    //    a mart row is a pure function of exactly these four columns given
+    //    the stat dims, so merged combo counts let materializeSummary
+    //    count anomalies (and min/max t, the distinct device/location/env
+    //    counts, the env-class conditional counts) in O(|combos|) without
+    //    ever scanning the winner state;
+    //  - the (q) quality-score value counts: q has a handful of distinct
+    //    values (the 0.4/0.4/0.2 weighted score), so min/max/avg-of-q all
+    //    reduce to exact signed value counts;
+    //  - the (rdate) reading-date counts: COUNT(DISTINCT load day) = dates
+    //    whose merged count is positive.
+    // All are plain signed counts — retraction-safe the same way the
+    // moment partials are, written under the same batch-keyed
+    // skip-if-exists discipline.
+    val deltaSummary = deltaRows
+      .groupingSets(
+        Seq(Seq(col("device_id"), col("location"), col("environment_type"), col("t")),
+          Seq(col("q")), Seq(col("rdate"))),
+        col("device_id"), col("location"), col("environment_type"),
+        col("t"), col("q"), col("rdate"))
+      .agg(sum(col("sign")).as("cnt"), grouping_id().as("gid"))
+
     // 1. partials first, keyed by batch id (idempotent skip)
     val pDst = new Path(s"$partialsDir/batch_id=$batchId")
     if (!fs.exists(pDst)) timed("partials", batchId)(
       deltaPartials.write.mode("overwrite").parquet(pDst.toString))
+    val spDst = new Path(s"$root/spartials/batch_id=$batchId")
+    if (!fs.exists(spDst)) timed("spartials", batchId)(
+      deltaSummary.write.mode("overwrite").parquet(spDst.toString))
 
-    // 2. winners: rewrite only the touched date partitions. The
+    // 2. winners: rewrite only the touched (date, bucket) partitions. The
     //   replacement rows for a partition = its stored rows with changed
-    //   keys swapped for the new winners, plus the fresh keys.
+    //   keys swapped for the new winners, plus the fresh keys. The rewrite
+    //   is a STAGE-SWAP, not an in-place dynamic partition overwrite: the
+    //   overwrite deleted a touched partition dir before the staged rename
+    //   landed, so a driver crash in that window permanently lost the
+    //   partition's untouched kept keys while their partials remained —
+    //   materialize would silently diverge from the batch chain
+    //   (ADVICE r15). Here the complete new partition content is written
+    //   to stage/batch_id=N first, a _STAGED marker makes the commit
+    //   decision durable, and recoverStages rolls any crashed commit
+    //   forward before the next state read.
     val changed = contestedC.select(winCols: _*).unionByName(freshC)
-      .withColumn("win_date", dateOf)
+      .withColumn("win_date", dateOf).withColumn("win_bkt", bktOf)
+
+    // Per-partition ORDER-STAT state (min/max reading_timestamp): the one
+    // summary family signed counts can't carry — timestamps are near-unique
+    // per row, so a (ts → count) state would be O(rows). Instead each
+    // touched partition's extremes are RECOMPUTED from the partition's full
+    // new content (the rows are in flight for the rewrite anyway) and
+    // written as a batch-keyed delta with latest-batch-wins-per-partition
+    // read semantics; retraction is free because the snapshot is always
+    // rebuilt whole. Every touched partition gets a row (left join onto
+    // the touched set) so a rewrite that empties a partition's valid rows
+    // still overrides the stale extremes with nulls. Written BEFORE the
+    // winners commit under skip-if-exists: a crash-retry recomputes the
+    // identical frame (CAS-stable) or skips it, so every crash window
+    // converges.
+    def writeTstats(newContent: DataFrame, touched: DataFrame): Unit = {
+      val tDst = new Path(s"$root/tstats/batch_id=$batchId")
+      if (!fs.exists(tDst)) {
+        val ord = newContent
+          .filter(col("is_valid_record") && col("temperature_celsius").isNotNull)
+          .groupBy("win_date", "win_bkt")
+          .agg(min(col("reading_timestamp")).as("min_ts"),
+            max(col("reading_timestamp")).as("max_ts"))
+        timed("tstats", batchId)(
+          touched.join(ord, Seq("win_date", "win_bkt"), "left")
+            .write.mode("overwrite").parquet(tDst.toString))
+      }
+    }
+
     if (!hasState) {
       // guard the FIRST write only: an empty initial write would create a
       // schema-less winners dir (for existing state, an empty `changed`
-      // makes `touched` empty and the dynamic overwrite a natural no-op,
-      // so no extra action is spent asking)
-      if (!timed("changed.isEmpty", batchId)(changed.isEmpty))
+      // stages no partition dirs and the commit is a natural no-op, so no
+      // extra action is spent asking); a crash mid-first-write is safe
+      // without staging — there are no kept keys to lose, and the retry's
+      // compare-and-set fills in whatever subset landed
+      if (!timed("changed.isEmpty", batchId)(changed.isEmpty)) {
+        val changedC = changed
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        writeTstats(changedC, changedC.select("win_date", "win_bkt").distinct())
         timed("winners.first", batchId)(
-          changed.write.partitionBy("win_date").mode("overwrite").parquet(winnersDir))
+          changedC.write.partitionBy("win_date", "win_bkt")
+            .mode("overwrite").parquet(winnersDir))
+        changedC.unpersist(false)
+      }
     } else {
-      val touched = changed.select("win_date").distinct()
-      val kept = old // already pruned to the batch's dates
-        .join(broadcast(touched), Seq("win_date"), "left_semi")
+      val touched = changed.select("win_date", "win_bkt").distinct()
+      val kept = old // already pruned to the batch's dates/buckets
+        .join(broadcast(touched), Seq("win_date", "win_bkt"), "left_semi")
         .alias("o")
         .join(changed.alias("c"),
           col("o.device_id") <=> col("c.device_id") &&
             col("o.minute") <=> col("c.minute"), "left_anti")
-        .select((stagedCols :+ "minute" :+ "win_date").map(n => col(s"o.$n").as(n)): _*)
-      timed("winners.merge", batchId)(kept.unionByName(changed)
-        .write.partitionBy("win_date").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(winnersDir))
+        .select((stagedCols :+ "minute" :+ "win_date" :+ "win_bkt")
+          .map(n => col(s"o.$n").as(n)): _*)
+      // persisted: feeds the stage write AND the tstats recompute
+      val newContent = kept.unionByName(changed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stageDir = new Path(s"$root/stage/batch_id=$batchId")
+      fs.delete(stageDir, true) // any unmarked partial prior attempt
+      timed("winners.stage", batchId)(newContent
+        .write.partitionBy("win_date", "win_bkt").mode("overwrite")
+        .parquet(new Path(stageDir, "data").toString))
+      writeTstats(newContent, touched)
+      fs.createNewFile(new Path(stageDir, "_STAGED"))
+      timed("winners.commit", batchId)(
+        commitStage(fs, stageDir, new Path(winnersDir)))
+      newContent.unpersist(false)
     }
     fs.mkdirs(appliedMark)
     joinedC.unpersist(false)
@@ -282,17 +446,30 @@ object IncrementalMart {
     * exact result: valid = stored winners filtered to valid readings;
     * stat dims reconstructed from the merged partials by replaying
     * Exact.davg/dstd's expression shape over the exact integer sums. */
-  def materialize(s: SparkSession, root: String): DataFrame = {
-    val valid = s.read.parquet(s"$root/winners")
-      .filter(col("is_valid_record") && col("temperature_celsius").isNotNull)
-      .select(stagedCols.map(col): _*)
-    val merged = s.read.parquet(s"$root/partials")
+  /** Empty frame with an explicit schema — the missing-state fallbacks. */
+  private def emptyOf(s: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
+  /** Merged per-scope moment partials with Exact.davg / Exact.dstd's
+    * expression shapes replayed verbatim over the exact integer sums:
+    * Exact.davg = ((int128→double)/1e^SumScale) / count-as-double;
+    * Exact.dstd = sqrt(greatest((sq − s·s/n)/(n−1), 0)) with s, sq the
+    * same two divides. */
+  private def mergedStats(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val merged = (
+      if (fs.exists(new Path(s"$root/partials")))
+        s.read.parquet(s"$root/partials")
+      else emptyOf(s, "device_id" -> StringType, "location" -> StringType,
+        "environment_type" -> StringType, "n" -> LongType,
+        "s1" -> LongType, "s2" -> LongType, "gid" -> LongType))
       .groupBy("gid", "device_id", "location", "environment_type")
       .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"))
       .filter(col("n") > 0)
-    // Exact.davg = ((int128→double)/1e^SumScale) / count-as-double;
-    // Exact.dstd = sqrt(greatest((sq − s·s/n)/(n−1), 0)) with s, sq the
-    // same two divides — replayed verbatim over the merged integers
     val nD = col("n").cast("double")
     val sD = col("s1").cast("double") / lit(math.pow(10.0, Exact.SumScale))
     val sqD = col("s2").cast("double") / lit(math.pow(10.0, Exact.SqScale))
@@ -304,9 +481,37 @@ object IncrementalMart {
     // partials + a grouped agg) and the checkpoint's LogicalRDD would
     // erase the aggregate lineage the non-equi-join plan audit uses to
     // prove the global-stats cross join is 1-row-bounded
-    val stats = merged
-      .withColumn("mean_temp", mean).withColumn("stddev_temp", std)
-    val dims = Anomalies.StatDims(
+    merged.withColumn("mean_temp", mean).withColumn("stddev_temp", std)
+  }
+
+  def materialize(s: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // finish any crashed batch's staged commit before reading state
+    recoverStages(fs, root)
+    // A winners dir that was never created is a legitimate empty state
+    // (every delivered batch was empty — the first write is guarded so an
+    // empty write can't create a schema-less dir); materialize must return
+    // an empty mart with the contract schema, not throw on the missing
+    // path (ADVICE r15). Same for partials (materialize before any batch).
+    import org.apache.spark.sql.types._
+    val valid = (
+      if (fs.exists(new Path(s"$root/winners")))
+        s.read.parquet(s"$root/winners")
+      else emptyOf(s, "record_id" -> LongType, "device_id" -> StringType,
+        "reading_timestamp" -> TimestampType,
+        "temperature_celsius" -> DoubleType, "location" -> StringType,
+        "environment_type" -> StringType, "is_valid_record" -> BooleanType,
+        "data_quality_score" -> DoubleType))
+      .filter(col("is_valid_record") && col("temperature_celsius").isNotNull)
+      .select(stagedCols.map(col): _*)
+    MartReadings.fromAnomalies(
+      Anomalies.scoreValid(valid, dimsOf(mergedStats(s, root))))
+  }
+
+  /** The four stat dims replayed from merged partials — shared by the mart
+    * and summary materializations (same guards as Anomalies.statsOf). */
+  private def dimsOf(stats: DataFrame): Anomalies.StatDims =
+    Anomalies.StatDims(
       global = stats.filter(col("gid") === 7)
         .select(col("mean_temp").as("global_mean_temp"),
           col("stddev_temp").as("global_stddev_temp")),
@@ -323,6 +528,116 @@ object IncrementalMart {
         .select(col("environment_type"),
           col("mean_temp").as("environment_mean_temp"),
           col("stddev_temp").as("environment_stddev_temp")))
-    MartReadings.fromAnomalies(Anomalies.scoreValid(valid, dims))
+
+  /** Materialize `mart_pipeline_summary` (PipelineSummary.overall) FROM
+    * STATE ONLY — no winner scan (VERDICT r15 #4: without this, the
+    * incremental story produced the mart in O(state-partials) but still
+    * needed O(rows) for the summary). Inputs and their roles:
+    *
+    *  - moment partials (gid=7): total/valid counts and the exact
+    *    avg/stddev of temperature — the same replay the mart uses;
+    *  - summary combo partials: the anomaly flag of a mart row is a pure
+    *    function of (device, location, environment, t) given the dims, so
+    *    total_anomalies = Σ cnt·flag over merged combos run through the
+    *    SAME scoreValid expression; min/max t, the three distinct counts
+    *    and the env-class conditional counts are marginals of the same
+    *    state. O(|combos|) work — bounded by the key-space, not the rows;
+    *  - q value partials: min/max/avg quality score over a value domain of
+    *    a handful of points (the weighted score's reachable values), with
+    *    avg replaying Exact.davg as Σ quant(q)·cnt / Σ cnt — exact because
+    *    quantization is per-row-value and multiplication distributes;
+    *  - rdate partials: COUNT(DISTINCT load day) = days with positive
+    *    merged count;
+    *  - tstats (latest-batch-wins per partition): global min/max
+    *    reading_timestamp and the epoch span.
+    *
+    * Every derived double replays the batch expression shape verbatim, so
+    * the result hash-matches PipelineSummary.overall(batch mart). */
+  def materializeSummary(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverStages(fs, root)
+    val stats = mergedStats(s, root)
+    val dims = dimsOf(stats)
+
+    val sp = (
+      if (fs.exists(new Path(s"$root/spartials")))
+        s.read.parquet(s"$root/spartials")
+      else emptyOf(s, "device_id" -> StringType, "location" -> StringType,
+        "environment_type" -> StringType, "t" -> DoubleType,
+        "q" -> DoubleType, "rdate" -> DateType,
+        "cnt" -> LongType, "gid" -> LongType))
+
+    // anomaly flags over the merged combo state: rename t to the staged
+    // column name and run the EXACT scoring expression used by the mart
+    val combos = sp.filter(col("gid") === ComboGid)
+      .groupBy("device_id", "location", "environment_type", "t")
+      .agg(sum("cnt").as("cnt")).filter(col("cnt") > 0)
+      .withColumnRenamed("t", "temperature_celsius")
+    val scored = Anomalies.scoredJoined(combos, dims)
+    val comboAgg = scored.agg(
+      coalesce(sum(when(col("is_anomaly"), col("cnt"))), lit(0L))
+        .as("total_anomalies"),
+      min(col("temperature_celsius")).as("global_min_temperature"),
+      max(col("temperature_celsius")).as("global_max_temperature"),
+      countDistinct(col("device_id")).as("total_unique_devices"),
+      countDistinct(col("location")).as("total_unique_locations"),
+      countDistinct(col("environment_type")).as("total_environment_types"),
+      coalesce(sum(when(col("environment_type") === "Indoor", col("cnt"))),
+        lit(0L)).as("indoor_readings"),
+      coalesce(sum(when(col("environment_type") === "Outdoor", col("cnt"))),
+        lit(0L)).as("outdoor_readings"),
+      coalesce(sum(when(col("environment_type") === "Unknown", col("cnt"))),
+        lit(0L)).as("unknown_environment_readings"))
+
+    val qrows = sp.filter(col("gid") === QGid)
+      .groupBy("q").agg(sum("cnt").as("cnt")).filter(col("cnt") > 0)
+    val qAgg = qrows.agg(
+      (sum(Sum128.quant(col("q"), Exact.SumScale) * col("cnt")).cast("double")
+        / lit(math.pow(10.0, Exact.SumScale))
+        / sum(col("cnt")).cast("double")).as("global_avg_quality_score"),
+      min(col("q")).as("global_min_quality_score"),
+      max(col("q")).as("global_max_quality_score"))
+
+    val dAgg = sp.filter(col("gid") === DateGid)
+      .groupBy("rdate").agg(sum("cnt").as("cnt")).filter(col("cnt") > 0)
+      .agg(count(lit(1)).as("total_load_batches"))
+
+    val tsRows =
+      if (fs.exists(new Path(s"$root/tstats")))
+        s.read.parquet(s"$root/tstats")
+      else emptyOf(s, "win_date" -> DateType, "win_bkt" -> IntegerType,
+        "min_ts" -> TimestampType, "max_ts" -> TimestampType,
+        "batch_id" -> LongType)
+    val tsAgg = tsRows
+      .groupBy("win_date", "win_bkt")
+      .agg(max_by(struct(col("min_ts"), col("max_ts")), col("batch_id")).as("w"))
+      .agg(min(col("w.min_ts")).as("earliest_reading_timestamp"),
+        max(col("w.max_ts")).as("latest_reading_timestamp"))
+      .withColumn("data_span_days",
+        (unix_micros(col("latest_reading_timestamp")) -
+          unix_micros(col("earliest_reading_timestamp"))) / lit(86400e6))
+
+    // gid=7 moment partials: total count + exact avg/stddev of t (the
+    // mart is all-valid by construction, so valid = total and invalid = 0)
+    val tot = stats.filter(col("gid") === 7).agg(
+      coalesce(sum("n"), lit(0L)).as("total_processed_records"),
+      coalesce(sum("n"), lit(0L)).as("total_valid_records"),
+      lit(0L).as("total_invalid_records"),
+      max(col("mean_temp")).as("global_avg_temperature"),
+      max(col("stddev_temp")).as("global_temperature_stddev"))
+
+    // all single-row aggregates: literal-free 1-row cross joins
+    val one = tot.crossJoin(comboAgg).crossJoin(qAgg)
+      .crossJoin(dAgg).crossJoin(tsAgg)
+    def pct(n: String) = round(
+      col(n).cast("double") / col("total_processed_records").cast("double")
+        * lit(100.0), 2)
+    one
+      .withColumn("valid_record_percentage", pct("total_valid_records"))
+      .withColumn("anomaly_percentage", pct("total_anomalies"))
+      .withColumn("indoor_percentage", pct("indoor_readings"))
+      .withColumn("outdoor_percentage", pct("outdoor_readings"))
+      .select(PipelineSummary.overallColumns.map(col): _*)
   }
 }
