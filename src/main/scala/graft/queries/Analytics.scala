@@ -167,15 +167,29 @@ object Analytics {
 
     // Interval self-join (the batch twin of the stream-stream interval
     // join in StreamingSpec): ordered same-user event pairs within 5
-    // minutes. Equi-join on user_id carries the heavy lifting; the range
-    // predicate prunes within each key group.
+    // minutes. The join key is (user_id, 5-minute epoch bucket), NOT
+    // user_id alone: a bare user_id equi-join enumerates every same-user
+    // pair before the range predicate prunes, which is quadratic in the
+    // per-user row count — on the Zipf tier the hot user's ~70k rows put
+    // ~4.9e9 candidate pairs in ONE task (measured as a >40-min wedge,
+    // round 16) for a matched output of only ~1M rows. Bucketing by the
+    // interval width bounds each composite key group to the events of one
+    // 5-minute window; the A side is expanded into {bkt, bkt+1} so every
+    // in-range pair (bucket delta 0 or 1) is covered exactly once — no
+    // dedup needed, because B carries a single bucket value. Candidate
+    // work becomes Σ per-bucket-pair products ≈ output-scale at ANY key
+    // skew — the band-join shape at 100 TB.
     "interval_self_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "user_id", "ts", "event_type")
+      val bucketUs = 300L * 1000000L
+      val bkt = floor(unix_micros(col("ts")).cast("double") / lit(bucketUs.toDouble)).cast("long")
       val a = ev.select(col("user_id"), col("event_id").as("id_a"),
-        col("ts").as("ts_a"), col("event_type").as("type_a"))
+        col("ts").as("ts_a"), col("event_type").as("type_a"), bkt.as("bkt_a"))
+        .withColumn("bkt", explode(array(col("bkt_a"), col("bkt_a") + 1)))
+        .drop("bkt_a")
       val b = ev.select(col("user_id"), col("event_id").as("id_b"),
-        col("ts").as("ts_b"), col("event_type").as("type_b"))
-      a.join(b, Seq("user_id"))
+        col("ts").as("ts_b"), col("event_type").as("type_b"), bkt.as("bkt"))
+      a.join(b, Seq("user_id", "bkt"))
         .filter(col("id_a") < col("id_b") &&
           col("ts_b") >= col("ts_a") &&
           col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
@@ -225,20 +239,40 @@ object Analytics {
     // window keep full credit on a sentinel touch_id = -1 row (the
     // "direct" bucket — a LEFT join, so untouched conversions are never
     // dropped). Interval arithmetic runs on epoch microseconds (the funnel
-    // precedent — no engine INTERVAL semantics in the oracle path), and
-    // the per-purchase fan-out is bounded by the lookback window, so the
-    // join output is linear in events at any scale. credit is ONE
-    // correctly-rounded division per row — oracle-hashable.
+    // precedent — no engine INTERVAL semantics in the oracle path).
+    // credit is ONE correctly-rounded division per row — oracle-hashable.
+    //
+    // The equi-key is (user, 7-day epoch bucket): a bare user key
+    // enumerates every same-user (purchase, click) pair in one task
+    // before the lookback filter — under key skew the OUTPUT itself is
+    // quadratic in the hot user's rows (Zipf tier: 86.8M result rows vs
+    // 572k uniform, a counted 152× output floor the runtime sits well
+    // under), but candidates were a further 4.8× above output (420M) and
+    // ALL of them in a single task. Bucketing by the lookback width
+    // bounds candidates to ~2× output and splits the hot user across its
+    // time buckets. Measured honestly: local wall time is output-bound
+    // (~55 s either way at Zipf — 87M rows through the window shuffle
+    // dominate), so the rewrite buys the 100-TB shape (no single
+    // straggler task holding the whole hot key's probe set), not local
+    // seconds. The exploded side is the CLICK side ({cb, cb+1}, covering
+    // pb ∈ {cb, cb+1}) because purchases are the left/preserved side of
+    // the join — a purchase duplicated across buckets would double its
+    // unmatched sentinel row, while an unmatched click copy just drops.
     "attribution_credit" -> ((s, d) => {
       val ev = Tables.events(s, d)
+      val weekUs = 604800000000L
+      def wbkt(c: org.apache.spark.sql.Column) =
+        floor(unix_micros(c).cast("double") / lit(weekUs.toDouble)).cast("long")
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("pt"), col("value"))
+          col("ts").as("pt"), col("value"), wbkt(col("ts")).as("bkt"))
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("ct"))
+        .withColumn("c_bkt", explode(array(wbkt(col("ct")), wbkt(col("ct")) + 1)))
       val j = p.join(c,
         col("user_id") === col("c_user") &&
+          col("bkt") === col("c_bkt") &&
           unix_micros(col("ct")) < unix_micros(col("pt")) &&
           unix_micros(col("ct")) >= unix_micros(col("pt")) - lit(604800000000L),
         "left")
@@ -814,18 +848,40 @@ object Analytics {
     // watermark passes — the canonical two-stream correlation operator —
     // and the append-mode output of one AvailableNow pass over a static
     // file equals the batch interval join.
+    //
+    // The equi-key is (user_id, 1-hour epoch bucket), NOT user_id alone:
+    // the streaming symmetric hash join probes EVERY buffered partner row
+    // with the same key before the range condition filters, so a bare
+    // user_id key is quadratic in the hot user's buffered state — on the
+    // Zipf tier (one user ≈ 7% of events, single AvailableNow batch so no
+    // mid-batch eviction) that is ~14k clicks × 14k purchases ≈ 2×10⁸
+    // probes in ONE state partition (measured 127 s, round 16). Bucketing
+    // by the interval width bounds each composite key's state to one
+    // hour's events; the click side is exploded into {bkt, bkt+1} so
+    // every in-window pair (purchase bucket = click bucket or +1) matches
+    // exactly once — the purchase carries a single bucket value, so no
+    // dedup is needed and the append-mode output is unchanged. The
+    // watermark columns are untouched; the explode only duplicates click
+    // state 2×, while probe work drops to output scale at any key skew.
     "stream_exec_join" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       def src = Tables.eventsStream(s, d)
+      val hourUs = 3600L * 1000000L
+      def hbkt(c: org.apache.spark.sql.Column) =
+        floor(unix_micros(c).cast("double") / lit(hourUs.toDouble)).cast("long")
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
+        .withColumn("bkt",
+          explode(array(hbkt(col("click_ts")), hbkt(col("click_ts")) + 1)))
         .withWatermark("click_ts", "1 hour")
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
-          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"),
+          hbkt(col("ts")).as("p_bkt"))
         .withWatermark("purchase_ts", "1 hour")
       val joined = clicks.join(purchases,
         col("user_id") === col("p_user_id") &&
+          col("bkt") === col("p_bkt") &&
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
         .select(col("click_id"), col("purchase_id"), col("user_id"),

@@ -789,18 +789,35 @@ FROM events"""
       // non-joinable sentinels (user −1) that keep advancing the
       // watermark, and are filtered from the sink table afterwards.
       val late = unix_micros(col("ts")) > lit(cutoff)
+      // Composite (user, 1-hour bucket) equi-key — same band-join shape as
+      // the inner stream_exec_join (see its comment for the quadratic
+      // hot-key probe this prevents), but here the EXPLODED side must be
+      // the nullable (purchase) side: a left row duplicated across two
+      // bucket copies would emit a spurious null row for the unmatched
+      // copy, while an unmatched purchase copy emits nothing under
+      // left_outer. Clicks keep their single bucket cb; purchases are
+      // expanded into {pb, pb−1}, which covers cb ∈ {pb−1, pb} — every
+      // in-window pair matches exactly once, every unmatched click still
+      // emits exactly one null row.
+      val hourUs = 3600L * 1000000L
+      def hbkt(c: org.apache.spark.sql.Column) =
+        floor(unix_micros(c).cast("double") / lit(hourUs.toDouble)).cast("long")
       val clicks = src.filter(col("event_type") === "click")
         .select(
           when(late, -col("event_id")).otherwise(col("event_id")).as("click_id"),
           when(late, lit(-1L)).otherwise(col("user_id")).as("user_id"),
           col("ts").as("click_ts"))
+        .withColumn("bkt", hbkt(col("click_ts")))
         .withWatermark("click_ts", "1 hour")
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
           col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        .withColumn("p_bkt",
+          explode(array(hbkt(col("purchase_ts")), hbkt(col("purchase_ts")) - 1)))
         .withWatermark("purchase_ts", "1 hour")
       val joined = clicks.join(purchases,
           col("user_id") === col("p_user_id") &&
+            col("bkt") === col("p_bkt") &&
             col("purchase_ts") >= col("click_ts") &&
             col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
           "left_outer")

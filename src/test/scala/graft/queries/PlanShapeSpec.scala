@@ -569,10 +569,19 @@ class PlanShapeSpec extends SparkSpec {
     // (epoch_shuffle / resume_page left this list in round 11: their
     // fixed-shard windows became Ranks.groupedRowNumber — no keyed window
     // remains, so a shard's rows span partitions at any corpus size.)
+    //  - attribution_credit (purchase_id, round 16): the Generate is the
+    //    band-join bucket explode on the CLICK side, not a content
+    //    fan-out — each purchase_id window partition holds exactly that
+    //    purchase's matched touches (bucket equality matches each pair
+    //    once), i.e. the clicks of ONE user in a 7-day lookback. That is
+    //    an entity-bounded group and the query's own output contract;
+    //    the explode cannot amplify it (unmatched click copies drop in
+    //    the left join).
     // Anything new triggering this shape must either convert to the
     // aggregation form or justify its bound here.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val audited = Set("dedup_containment", "gapfill_interpolate")
+    val audited =
+      Set("dedup_containment", "gapfill_interpolate", "attribution_credit")
     def reachesGenerate(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => false
       case _: Generate => true
