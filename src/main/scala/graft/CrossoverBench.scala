@@ -83,6 +83,34 @@ object CrossoverBench {
     val incrRows = IncrementalMart.materialize(spark, root).count()
     println(s"CROSSOVER rows batch=$batchRows incremental=$incrRows " +
       (if (batchRows == incrRows) "MATCH" else "MISMATCH"))
+
+    // Phase 2 — steady state: equal-size week batches (above) measure the
+    // regime where batch ≈ prefix/6, and there the state machinery's
+    // per-row overhead (~1.4× the plain chain) eats the win. The realistic
+    // 100-TB cadence is the OPPOSITE regime: small arrivals against a
+    // large accumulated state. Build a fresh state over weeks 1-3, then
+    // apply the days of week 4 one at a time, pairing each day's
+    // incremental applyBatch against the full-refresh alternative
+    // (recompute the whole chain over everything arrived so far).
+    val root2 = graft.streaming.StreamGate.tempDir("crossover_ss_")
+    val warm = ev.filter(col("ts").isNotNull &&
+      col("ts") >= tsOf("2024-01-01") && col("ts") < tsOf("2024-01-22"))
+    timed("steady warmup weeks1-3")(
+      IncrementalMart.applyBatch(spark, warm, 100L, root2))
+    (0 until 7).foreach { i =>
+      val (lo, hi) = (f"2024-01-${22 + i}%02d", f"2024-01-${23 + i}%02d")
+      val day = ev.filter(col("ts").isNotNull &&
+        col("ts") >= tsOf(lo) && col("ts") < tsOf(hi))
+      val inc = timed(s"steady incr day=$lo")(
+        IncrementalMart.applyBatch(spark, day, 101L + i, root2))
+      val prefix = ev.filter(col("ts").isNotNull &&
+        col("ts") >= tsOf("2024-01-01") && col("ts") < tsOf(hi))
+      val full = timed(s"steady full day=$lo")(
+        MartReadings.fromStaging(Staging.fromEvents(prefix))
+          .write.format("noop").mode("overwrite").save())
+      println(f"CROSSOVER steady_pair day=$lo incr=$inc%.2f full=$full%.2f " +
+        f"ratio=${full / inc}%.1f")
+    }
     spark.stop()
   }
 }
