@@ -258,6 +258,18 @@ object Analytics {
     // pb ∈ {cb, cb+1}) because purchases are the left/preserved side of
     // the join — a purchase duplicated across buckets would double its
     // unmatched sentinel row, while an unmatched click copy just drops.
+    // Two-pass count-then-fan-out: the obvious formulation (window
+    // count(click_id) OVER (PARTITION BY purchase_id) on the joined
+    // stream) shuffles AND sorts the full fan-out — 87M rows on the Zipf
+    // tier — just to attach one count per purchase. Instead the band join
+    // runs twice: an inner pass partial-aggregates n_touches per purchase
+    // (map-side combine shrinks the shuffle to purchase cardinality), the
+    // count is joined back to the PURCHASE side (a purchase-sized join —
+    // broadcastable at small SF, a tiny shuffle otherwise), and the fan-out
+    // pass then emits output rows directly with n already attached. Probe
+    // work doubles (cheap, bucket-bounded); the output-sized shuffle and
+    // sort disappear — the join that remains is AQE-splittable where a
+    // window partition is not.
     "attribution_credit" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val weekUs = 604800000000L
@@ -270,19 +282,22 @@ object Analytics {
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("ct"))
         .withColumn("c_bkt", explode(array(wbkt(col("ct")), wbkt(col("ct")) + 1)))
-      val j = p.join(c,
+      val bandCond =
         col("user_id") === col("c_user") &&
           col("bkt") === col("c_bkt") &&
           unix_micros(col("ct")) < unix_micros(col("pt")) &&
-          unix_micros(col("ct")) >= unix_micros(col("pt")) - lit(604800000000L),
-        "left")
-      val n = count(col("click_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("purchase_id"))
-      j.select(col("purchase_id"),
-        coalesce(col("click_id"), lit(-1L)).as("touch_id"),
-        n.as("n_touches"),
-        when(n > 0, col("value") / n.cast("double"))
-          .otherwise(col("value")).as("credit"))
+          unix_micros(col("ct")) >= unix_micros(col("pt")) - lit(604800000000L)
+      val counts = p.join(c, bandCond)
+        .groupBy("purchase_id").agg(count(lit(1)).as("n_touches"))
+      val pN = p.join(counts, Seq("purchase_id"), "left")
+        .withColumn("n_touches", coalesce(col("n_touches"), lit(0L)))
+      pN.join(c, bandCond, "left")
+        .select(col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("touch_id"),
+          col("n_touches"),
+          when(col("n_touches") > 0,
+            col("value") / col("n_touches").cast("double"))
+            .otherwise(col("value")).as("credit"))
     }),
 
     // Fixed-width histogram binning of the value column (floor arithmetic —

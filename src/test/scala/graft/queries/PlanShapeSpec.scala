@@ -569,19 +569,14 @@ class PlanShapeSpec extends SparkSpec {
     // (epoch_shuffle / resume_page left this list in round 11: their
     // fixed-shard windows became Ranks.groupedRowNumber — no keyed window
     // remains, so a shard's rows span partitions at any corpus size.)
-    //  - attribution_credit (purchase_id, round 16): the Generate is the
-    //    band-join bucket explode on the CLICK side, not a content
-    //    fan-out — each purchase_id window partition holds exactly that
-    //    purchase's matched touches (bucket equality matches each pair
-    //    once), i.e. the clicks of ONE user in a 7-day lookback. That is
-    //    an entity-bounded group and the query's own output contract;
-    //    the explode cannot amplify it (unmatched click copies drop in
-    //    the left join).
+    // (attribution_credit briefly joined this list in round 16 when its
+    // band-join rewrite put a bucket explode under its per-purchase count
+    // window; the window was then converted to the aggregation form the
+    // audit prescribes — count-then-fan-out, no keyed window remains.)
     // Anything new triggering this shape must either convert to the
     // aggregation form or justify its bound here.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val audited =
-      Set("dedup_containment", "gapfill_interpolate", "attribution_credit")
+    val audited = Set("dedup_containment", "gapfill_interpolate")
     def reachesGenerate(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => false
       case _: Generate => true
@@ -801,6 +796,36 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),
         s"query $name degraded to a cartesian product")
+    }
+  }
+
+  test("band joins keep their composite (entity, time-bucket) equi-key") {
+    // Round-16 skew pin: interval_self_join and attribution_credit were
+    // rewritten from bare user_id equi-keys (per-key all-pairs — 4.9e9
+    // candidates in one task on the Zipf tier) to composite
+    // (user, interval-width bucket) keys with one side exploded into two
+    // adjacent buckets. This pin fails if either join silently reverts to
+    // a single-column equi-key: the optimized Join must carry at least
+    // TWO attribute-equality conjuncts (entity + bucket). The two
+    // streaming twins (stream_exec_join / stream_exec_left_join) share
+    // the construction but only materialize a plan mid-stream, so the
+    // batch pins stand in for the shape; their outputs stay pinned by the
+    // DuckDB oracle gate.
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("interval_self_join", "attribution_credit").foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val joins = lp.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"$name no longer plans a join")
+      val equiCounts = joins.map { j =>
+        j.condition.map(_.collect {
+          case EqualTo(_: AttributeReference, _: AttributeReference) => 1
+        }.size).getOrElse(0)
+      }
+      assert(equiCounts.exists(_ >= 2),
+        s"$name lost its composite band-join key (equi conjuncts per join: " +
+          s"${equiCounts.mkString(",")}) — a bare entity key is quadratic " +
+          "in the hot key's rows")
     }
   }
 }
