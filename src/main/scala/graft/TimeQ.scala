@@ -11,8 +11,14 @@ object TimeQ {
           .split("\\s+").filter(_.nonEmpty).toSeq
       else Seq(a)
     }
+    // The lineitem noop between queries keeps a cold-ish cache baseline
+    // (it evicts whatever the previous query warmed); GRAFT_TIMEQ_NONOOP
+    // skips it for isolating its own allocation/GC interaction with the
+    // timed query (round-16 content-skew postmortem).
+    val noNoop = sys.env.contains("GRAFT_TIMEQ_NONOOP")
     names.foreach { name =>
-      Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
+      if (!noNoop)
+        Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"TIMEQ $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
