@@ -46,6 +46,19 @@ object Tables {
       spread(spark, table(spark, sfDir, name))
     }
 
+  /** [[spread]] for a NARROW projection feeding a compute-heavy aggregate
+    * (exact percentile buffers, sketch builds): the caller projects the
+    * 1-3 columns the aggregate needs FIRST, so the round-robin exchange
+    * this inserts carries only those bytes, then the per-partition buffer
+    * build runs on every core instead of serializing on the scan's split
+    * count. Same guard as [[spread]]: no-ops whenever the plan already has
+    * at least half the session parallelism (any real multi-split input),
+    * so at cluster scale this never adds an exchange. Only sound above
+    * order-independent consumers (counts-map percentiles, Exact integer
+    * aggregates) — round-robin changes row order within partitions. */
+  def spreadNarrow(spark: SparkSession, df: DataFrame): DataFrame =
+    spread(spark, df)
+
   def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")

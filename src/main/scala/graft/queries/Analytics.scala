@@ -1114,9 +1114,20 @@ object Analytics {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
       val qsSql = qs.mkString("array(", ", ", ")")
-      val aggs = cols.map(c => expr(s"percentile($c, $qsSql)").as(s"${c}_qs"))
+      // r16: l_extendedprice is near-unique, so its Percentile counts-map
+      // merge + sorted eval serialize in the final task (the dominant cost
+      // — 2.4 s of the query's 2.7). Compute THAT column's grid with the
+      // distributed sort + rank-select (bit-identical interpolation,
+      // oracle unchanged); quantity (50 distinct) and discount (11) keep
+      // the cheap counts-map aggregate.
+      val heavy = "l_extendedprice"
+      val epQs = graft.operators.Ranks.exactPercentileArray(
+        Tables.lineitem(s, d), col(heavy), qs, s"${heavy}_qs")
+      val aggs = cols.filterNot(_ == heavy)
+        .map(c => expr(s"percentile($c, $qsSql)").as(s"${c}_qs"))
       Tables.lineitem(s, d)
         .agg(aggs.head, aggs.tail: _*)
+        .crossJoin(broadcast(epQs))
         .select(explode(array(cols.map(c =>
           struct(lit(c).as("cn"), col(s"${c}_qs").as("vs"))): _*)).as("x"))
         .select(col("x.cn").as("column_name"),
@@ -1249,7 +1260,12 @@ object Analytics {
     // fences is written identically on both engines.
     "outlier_iqr" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val q = li.groupBy("l_returnflag").agg(
+      // Quartile buffers are per-group counts maps built map-side; with a
+      // one-split scan that build serializes on one core — spread the
+      // 2-column projection first (guarded no-op on multi-split inputs).
+      val q = Tables.spreadNarrow(s,
+          li.select(col("l_returnflag"), col("l_extendedprice")))
+        .groupBy("l_returnflag").agg(
         expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("q1"),
         expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("q3"))
       li.join(broadcast(q), "l_returnflag")

@@ -55,7 +55,16 @@ object Linkage {
       col("nm").as("name1"), col("n").as("n1"))
     val right = index.select(col("variant"),
       col("nm").as("name2"), col("n").as("n2"))
-    left.join(right, "variant")
+    // The name-domain index is tiny in bytes, so AQE coalesces its shuffle
+    // to 1-2 partitions and the planner broadcasts the right side — which
+    // leaves the expensive part (per-variant pair fan-out + the distinct's
+    // map-side partial) running on 1-2 tasks. Pin the probe side to the
+    // session parallelism, keyed on the join key: under a broadcast join
+    // this only spreads the fan-out stage; if the index ever outgrows the
+    // broadcast threshold, the same exchange IS the join's left shuffle
+    // (same key, same partition count — guide §2.4, one exchange shared).
+    left.repartition(s.sparkContext.defaultParallelism, col("variant"))
+      .join(right, "variant")
       .filter(col("name1") < col("name2"))
       .select("name1", "name2", "n1", "n2")
       .distinct()

@@ -234,12 +234,23 @@ object Relational {
       // scalar arithmetic — 4 aggregate buffers total instead of 12
       def tol(approx: Column, exact: Column): Column =
         abs(approx - exact) <= lit(0.05) * abs(exact)
+      // r16: the exact price percentile is the expensive half — Percentile's
+      // counts-map holds ~1 entry per distinct price, and its merge + sorted
+      // eval run single-threaded in the last task (measured 3.3 s serial,
+      // 2.3 s even with a spread input, vs 1.0 s as a distributed
+      // sort + rank-select). Ranks.exactPercentileArray reproduces
+      // Percentile's interpolation bit-for-bit (oracle unchanged). The
+      // quantity map (50 distinct keys) and both sketches stay in the plain
+      // aggregate — the sketch build is cheapest UNSPREAD (merging 32
+      // partial QuantileSummaries costs more than one serial build here).
+      val exactEp = graft.operators.Ranks.exactPercentileArray(
+        Tables.lineitem(s, d), col("l_extendedprice"), Seq(0.5, 0.95), "exp")
       Tables.lineitem(s, d)
         .agg(
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exp"),
           expr("percentile(l_quantity, 0.99)").as("exact_qty_p99"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("app"),
           expr("approx_percentile(l_quantity, 0.99, 1000)").as("apq"))
+        .crossJoin(broadcast(exactEp))
         .select(
           element_at(col("exp"), 1).as("exact_p50"),
           element_at(col("exp"), 2).as("exact_p95"),

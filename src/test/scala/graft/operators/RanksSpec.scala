@@ -103,4 +103,35 @@ class RanksSpec extends SparkSpec {
       assert(got === expected, s"k=$k")
     }
   }
+
+  test("exactPercentileArray is bit-identical to percentile() — ties, nulls, endpoints") {
+    val s0 = spark
+    import s0.implicits._
+    // heavy ties (i % 11) AND near-unique values (sin), plus nulls: the
+    // cases where the equal-key shortcut and the null drop must both match
+    // the counts-map aggregate exactly
+    val base = (1 to 997).map { i =>
+      (i.toLong,
+        if (i % 13 == 0) None else Some(if (i % 3 == 0) (i % 11).toDouble else math.sin(i) * 1e4))
+    }.toDF("id", "v").repartition(5)
+    val qs = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0)
+    val qsSql = qs.mkString("array(", ", ", ")")
+    val expected = base.agg(expr(s"percentile(v, $qsSql)"))
+      .head().getSeq[Double](0)
+    val got = Ranks.exactPercentileArray(base, col("v"), qs, "p")
+      .head().getSeq[Double](0)
+    assert(got.length === expected.length)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(g) ===
+        java.lang.Double.doubleToRawLongBits(e), s"q=${qs(i)}: got $g expected $e")
+    }
+    // single-row and two-row inputs: floor==ceil at every q, and the
+    // interpolated two-point case
+    for (n <- Seq(1, 2)) {
+      val tiny = (1 to n).map(i => i.toDouble * 7.3).toDF("v")
+      val e2 = tiny.agg(expr(s"percentile(v, $qsSql)")).head().getSeq[Double](0)
+      val g2 = Ranks.exactPercentileArray(tiny, col("v"), qs, "p").head().getSeq[Double](0)
+      assert(g2 === e2, s"n=$n")
+    }
+  }
 }
