@@ -32,13 +32,23 @@ object Anomalies {
   /** Dedup + validity filter — the reference's `valid_readings` CTE
     * (reference: int_temperature_anomalies.sql:10-25). */
   def validReadings(staging: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col("device_id"), date_trunc("minute", col("reading_timestamp")))
-      .orderBy(col("record_id").desc)
+    // r16: aggregation form of the keep-latest window. row_number() needs
+    // a full shuffle of every staged row PLUS a per-partition sort;
+    // max_by(struct, record_id) partial-aggregates map-side (one struct
+    // per (device, minute) key), so the exchange carries only the deduped
+    // winners and the sort disappears — the same rewrite the incremental
+    // mart's winner state already uses (IncrementalMart.scala:120-130),
+    // whose gate hash-proves it equals this window against the batch
+    // oracle. The validity filter applies to the KEPT row, exactly as the
+    // rn=1 filter did (an invalid latest row drops its key entirely —
+    // not replaced by the next-latest valid row).
+    val cols = staging.columns.toSeq
     staging
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("is_valid_record") && col("temperature_celsius").isNotNull)
-      .drop("rn")
+      .groupBy(col("device_id").as("_vr_dev"),
+        date_trunc("minute", col("reading_timestamp")).as("_vr_minute"))
+      .agg(max_by(struct(cols.map(col): _*), col("record_id")).as("_vr_w"))
+      .select(cols.map(c => col(s"_vr_w.$c").as(c)): _*)
+      .filter(col("is_valid_record") && col("temperature_celsius").isNotNull)
   }
 
   /** The four stat dims of the intermediate model — separable so the

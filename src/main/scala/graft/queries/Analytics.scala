@@ -779,8 +779,14 @@ object Analytics {
     "multi_format_union" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
       val base = Tables.events(s, d).select("event_id", "user_id", "event_type")
-      base.write.mode("overwrite").json(s"$tmp/j")
-      base.write.mode("overwrite").orc(s"$tmp/o")
+      // r16 output sizing (guide §6): the spread events frame would write
+      // one sub-100kB file per core and the read-back then pays per-file
+      // open + per-task fixed costs twice; cap the tiny side-format dumps
+      // at 8 files (the 3-column frame is ~2 MB at sf0.1 — still far under
+      // one sensible production file, but 8 keeps the encode parallel).
+      val filesOut = math.min(8, s.sparkContext.defaultParallelism)
+      base.coalesce(filesOut).write.mode("overwrite").json(s"$tmp/j")
+      base.coalesce(filesOut).write.mode("overwrite").orc(s"$tmp/o")
       base
         .unionByName(s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING")
           .json(s"$tmp/j"))

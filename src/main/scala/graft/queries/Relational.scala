@@ -59,6 +59,10 @@ object Relational {
     // region. nation/region are broadcast (tiny); lineitem⋈orders and
     // ⋈customer shuffle on their keys with AQE re-planning.
     "star_revenue" -> ((s, d) => {
+      // r16: a spreadNarrow of the fact projection was MEASURED neutral
+      // (warm 2.06 → 1.82/2.08 across pairings — the serial exchange write
+      // costs what the parallel BHJ probes save at this row count); left
+      // as-is so the 4-core driver run keeps the cheaper plan.
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))

@@ -142,6 +142,10 @@ GROUP BY c_mktsegment"""
     * with orders — the shape that makes basket analysis feasible at
     * 100 TB, unlike a global part×part cross. */
   def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    // r16: a spreadNarrow before the distinct was MEASURED SLOWER here
+    // (warm 1.61 → 2.33 s; the distinct's own exchange already
+    // parallelizes everything past the cheap scan-side partial) — left
+    // as-is deliberately.
     val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
     graft.operators.Pairs.pairJoin(
         op, Seq("l_orderkey"), "l_partkey", "p1", "p2", "n_orders")
@@ -178,6 +182,9 @@ SELECT CAST(rnk AS INT) AS rnk, p1, p2, n_orders FROM (
     * order counts are one grouped count; the corpus total is a broadcast
     * 1-row frame. */
   def associationRules(s: SparkSession, d: String): DataFrame = {
+    // r16: a spreadNarrow here was MEASURED 2.3 → 4.2 s — op fans out to
+    // three consumers whose plans share the distinct's exchange, and the
+    // inserted repartition disturbed that reuse; left as-is deliberately.
     val op = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
     val partN = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
     val tot = op.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))

@@ -96,6 +96,10 @@ object Windowed {
     * spread statistic. Two exact passes; DuckDB's mad() implements the
     * identical definition. */
   private def madByStatus(s: SparkSession, d: String): DataFrame = {
+    // r16: a spreadNarrow of the 2-column projection was MEASURED SLOWER
+    // here (warm 1.49 → 1.91 s — the exchange plus 32-way partial maps
+    // cost more than the one-core build of a 150k-row counts-map saves);
+    // left serial deliberately.
     val o = Tables.orders(s, d)
     val med = o.groupBy("o_orderstatus")
       .agg(expr("median(o_totalprice)").as("med_price"))

@@ -139,7 +139,11 @@ class ContractSpec extends SparkSpec {
     val ranksBased = Set(
       "corpus_budget_select", "epoch_shuffle", "length_batching",
       "resume_page", "rfm_segments", "spearman_rho", "score_decile_lift",
-      "quantile_normalize", "classifier_eval")
+      "quantile_normalize", "classifier_eval",
+      // r16: exact price percentiles moved from the counts-map aggregate
+      // (single-threaded merge+eval) to Ranks.exactPercentileArray —
+      // same audited two-phase rank mechanism
+      "approx_quantiles", "numeric_profile")
     // Shared-frame eager checkpoint: a frame feeding several plan branches
     // is leafed once at construction, so the branch-shared compute runs
     // once instead of per-branch at action time.
