@@ -568,25 +568,41 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
       // rep-level document frequency; ties broken by gram text so the
       // prefix choice is deterministic (any fixed choice is correct)
       val gdf = flat.groupBy("g").agg(count(lit(1)).as("df"))
+      // r16: the (df, g) prefix order made DENSE — each vocabulary gram
+      // gets its row_number rank (a bijection over the vocabulary dim,
+      // single-task sort of dictionary size — the jaccard_prefix_join
+      // machinery), so the prefix slice, the candidate equi-join and the
+      // verification intersect all run on primitive longs instead of
+      // gram strings, and the two per-fp windows (count + row_number)
+      // collapse into one sort_array(collect_list) aggregate whose slice
+      // IS the rarest-grams prefix. Same prefix set, same candidate set,
+      // same intersection sizes — oracle unchanged.
+      val grk = gdf.withColumn("rk", row_number().over(
+        Window.orderBy(col("df"), col("g"))).cast("long"))
       // prefix length: n − ⌈t·n⌉ + 1 = n − (4n+4) div 5 + 1 at t = 4/5,
-      // in pure integer arithmetic (a double t·n can round the boundary)
-      val prefix = flat.join(gdf, "g")
-        .withColumn("n1c", count(lit(1)).over(Window.partitionBy("fp")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("fp").orderBy(col("df"), col("g"))))
-        .filter(col("rn") <= expr("n1c - (n1c * 4 + 4) div 5 + 1"))
-        .select(col("fp").as("fp1"), col("g"))
+      // in pure integer arithmetic (a double t·n can round the boundary).
+      // Checkpointed once: feeds the prefix explode, the probe side and
+      // both verification sides (the diamond-reuse rule).
+      val perRep = flat.join(grk.select("g", "rk"), "g")
+        .groupBy("fp")
+        .agg(sort_array(collect_list(col("rk"))).as("arr"),
+          count(lit(1)).as("n1c"))
+        .withColumn("plen",
+          (col("n1c") - expr("(n1c * 4 + 4) div 5") + 1).cast("int"))
+        .localCheckpoint()
+      val prefix = perRep.select(col("fp").as("fp1"),
+        explode(slice(col("arr"), lit(1), col("plen"))).as("rk"))
       val cands = prefix
-        .join(flat.select(col("fp").as("fp2"), col("g")), "g")
+        .join(perRep.select(col("fp").as("fp2"), explode(col("arr")).as("rk")), "rk")
         .filter(col("fp1") =!= col("fp2"))
         .select("fp1", "fp2").distinct()
       val repPairs = cands
-        .join(reps.select(col("fp").as("fp1"), col("grams").as("grams1")), "fp1")
-        .join(reps.select(col("fp").as("fp2"), col("grams").as("grams2")), "fp2")
+        .join(perRep.select(col("fp").as("fp1"), col("arr").as("arr1")), "fp1")
+        .join(perRep.select(col("fp").as("fp2"), col("arr").as("arr2")), "fp2")
         .withColumn("n_shared",
-          size(array_intersect(col("grams1"), col("grams2"))))
+          size(array_intersect(col("arr1"), col("arr2"))))
         .withColumn("containment",
-          col("n_shared").cast("double") / size(col("grams1")).cast("double"))
+          col("n_shared").cast("double") / size(col("arr1")).cast("double"))
         .filter(col("containment") >= ContainmentThreshold)
         .select("fp1", "fp2", "n_shared", "containment")
       val cross = repPairs

@@ -1266,14 +1266,17 @@ object Analytics {
     // fences is written identically on both engines.
     "outlier_iqr" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      // Quartile buffers are per-group counts maps built map-side; with a
-      // one-split scan that build serializes on one core — spread the
-      // 2-column projection first (guarded no-op on multi-split inputs).
-      val q = Tables.spreadNarrow(s,
-          li.select(col("l_returnflag"), col("l_extendedprice")))
-        .groupBy("l_returnflag").agg(
-        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("q1"),
-        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("q3"))
+      // r16: per-group exact quartiles via the distributed grouped rank
+      // (Ranks.exactGroupedPercentileArray) — the percentile_cont
+      // counts-map held every distinct price of a group in one buffer and
+      // its merge + sorted eval ran single-threaded per group; the grouped
+      // rank-select never concentrates a group's values in one task.
+      // Bit-identical interpolation, oracle unchanged.
+      val q = graft.operators.Ranks.exactGroupedPercentileArray(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", col("l_extendedprice"), Seq(0.25, 0.75), "qs")
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
       li.join(broadcast(q), "l_returnflag")
         .groupBy(col("l_returnflag"), col("q1"), col("q3"))
         .agg(
@@ -1308,7 +1311,12 @@ object Analytics {
     // unpartitioned filtered aggregate.
     "partition_pruned_counts" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_part_ev_").toString
-      Tables.events(s, d)
+      // r16 output sizing (guide §6): cluster by the partition column
+      // before the partitioned write — without it every input task writes
+      // one file into EVERY partition dir (tasks × |event_type| tiny
+      // files); with it each partition value lands in one file and the
+      // read-back lists/opens 5× fewer files. Same rows either way.
+      Tables.events(s, d).repartition(col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
       s.read.parquet(dir)
         .filter(col("event_type") === "click")

@@ -153,7 +153,10 @@ class ContractSpec extends SparkSpec {
       "theil_sen_trend", "seasonal_decompose", "paragraph_dedup",
       "doc_surprisal_bits", "kendall_tau", "mutual_nn_pairs",
       "cdc_chunk_dedup", "markov_stationary", "cuped_adjustment",
-      "kcenter_coreset", "kcenter_coreset_k16")
+      "kcenter_coreset", "kcenter_coreset_k16",
+      // r16: the rank-array frame feeds prefix explode + probe + both
+      // verify sides (the jaccard_prefix_join diamond, same mechanism)
+      "dedup_containment")
     // Write-lifecycle queries: the operator under test IS a write + read
     // back (partitioned layout pruning, multi-format round-trip).
     val writeLifecycle = Set("partition_pruned_counts", "multi_format_union")
