@@ -562,23 +562,39 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // output size; verification recomputes the true intersection on the
     // full gram arrays of the (collapsed) representatives.
     "dedup_containment" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val (members, reps) = collapsedOf(s, d)
       val flat = reps.select(col("fp"), explode(col("grams")).as("g"))
       // rep-level document frequency; ties broken by gram text so the
       // prefix choice is deterministic (any fixed choice is correct)
       val gdf = flat.groupBy("g").agg(count(lit(1)).as("df"))
       // r16: the (df, g) prefix order made DENSE — each vocabulary gram
-      // gets its row_number rank (a bijection over the vocabulary dim,
-      // single-task sort of dictionary size — the jaccard_prefix_join
-      // machinery), so the prefix slice, the candidate equi-join and the
-      // verification intersect all run on primitive longs instead of
-      // gram strings, and the two per-fp windows (count + row_number)
-      // collapse into one sort_array(collect_list) aggregate whose slice
-      // IS the rarest-grams prefix. Same prefix set, same candidate set,
-      // same intersection sizes — oracle unchanged.
-      val grk = gdf.withColumn("rk", row_number().over(
-        Window.orderBy(col("df"), col("g"))).cast("long"))
+      // gets its global rank (a bijection over the vocabulary dim), so
+      // the prefix slice, the candidate equi-join and the verification
+      // intersect all run on primitive longs instead of gram strings,
+      // and the two per-fp windows (count + row_number) collapse into
+      // one sort_array(collect_list) aggregate whose slice IS the
+      // rarest-grams prefix. Same prefix set, same candidate set, same
+      // intersection sizes — oracle unchanged.
+      // r17 (ADVICE r16): the rank is DISTRIBUTED — a range-partitioned
+      // sort on the total order (df, g) plus monotonically_increasing_id.
+      // The gram dictionary grows with the corpus (shingle vocab is
+      // near-linear in tokens), so the r16 single-task row_number window
+      // over it was the exact shape the global-window audit exists to
+      // catch. The id is NOT dense, but it is ORDER-ISOMORPHIC to the
+      // (df, g) total order (range partitions respect the sort order and
+      // the id's high bits are the partition index), and every consumer
+      // is invariant under any order-isomorphic injective gram->long map:
+      // the prefix slice takes the k smallest (same gram set), the
+      // candidate join tests rank equality, and n_shared/containment
+      // come from array_intersect SIZES of injectively mapped arrays —
+      // so the output is bit-identical to the dense-rank form (oracle
+      // re-proven). Unlike Ranks.globalRowNumber this stays a lazy
+      // DataFrame (no zipWithIndex count job, no RDD round-trip): the
+      // only extra cost over the window form is the range sampling pass,
+      // and no task ever holds the whole dictionary.
+      val grk = gdf.repartitionByRange(col("df"), col("g"))
+        .sortWithinPartitions("df", "g")
+        .withColumn("rk", monotonically_increasing_id())
       // prefix length: n − ⌈t·n⌉ + 1 = n − (4n+4) div 5 + 1 at t = 4/5,
       // in pure integer arithmetic (a double t·n can round the boundary).
       // Checkpointed once: feeds the prefix explode, the probe side and

@@ -1266,17 +1266,24 @@ object Analytics {
     // fences is written identically on both engines.
     "outlier_iqr" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      // r16: per-group exact quartiles via the distributed grouped rank
-      // (Ranks.exactGroupedPercentileArray) — the percentile_cont
-      // counts-map held every distinct price of a group in one buffer and
-      // its merge + sorted eval ran single-threaded per group; the grouped
-      // rank-select never concentrates a group's values in one task.
-      // Bit-identical interpolation, oracle unchanged.
-      val q = graft.operators.Ranks.exactGroupedPercentileArray(
-          li.select(col("l_returnflag"), col("l_extendedprice")),
-          "l_returnflag", col("l_extendedprice"), Seq(0.25, 0.75), "qs")
-        .select(col("l_returnflag"),
-          element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+      // Quartile buffers are per-group counts maps built map-side; with a
+      // one-split scan that build serializes on one core — spread the
+      // 2-column projection first (guarded no-op on multi-split inputs).
+      // r17: REVERTED from the late-r16 Ranks.exactGroupedPercentileArray
+      // rewrite (fd9ee95) per VERDICT r16 item 2 — paired A/B in one JVM
+      // (graft.Micro, 32 cores, sf0.1, warm passes) measured the grouped
+      // rank-select at 2.73-3.21 s vs 2.06-3.04 s for this form (the
+      // driver read the same: 1.76 -> 1.99 s). The grouped-rank mechanism
+      // stays in Ranks for inputs where a GROUP's distinct-value count
+      // grows unboundedly; here the group count is fixed at 3 (returnflag)
+      // so the counts-map merge is 3-way parallel and bounded by distinct
+      // prices — and the rank-select's ~6-job scheduler floor costs more
+      // than the merge at any SF this bench sees.
+      val q = Tables.spreadNarrow(s,
+          li.select(col("l_returnflag"), col("l_extendedprice")))
+        .groupBy("l_returnflag").agg(
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("q1"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("q3"))
       li.join(broadcast(q), "l_returnflag")
         .groupBy(col("l_returnflag"), col("q1"), col("q3"))
         .agg(

@@ -569,6 +569,10 @@ class PlanShapeSpec extends SparkSpec {
     // (epoch_shuffle / resume_page left this list in round 11: their
     // fixed-shard windows became Ranks.groupedRowNumber — no keyed window
     // remains, so a shard's rows span partitions at any corpus size.)
+    // (dedup_containment left this list in round 17: its per-fp windows
+    // became one sort_array(collect_list) aggregate in r16 and its vocab
+    // rank a distributed range-sort + monotonically_increasing_id in r17
+    // — no keyed window remains.)
     // (attribution_credit briefly joined this list in round 16 when its
     // band-join rewrite put a bucket explode under its per-purchase count
     // window; the window was then converted to the aggregation form the
@@ -576,7 +580,7 @@ class PlanShapeSpec extends SparkSpec {
     // Anything new triggering this shape must either convert to the
     // aggregation form or justify its bound here.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val audited = Set("dedup_containment", "gapfill_interpolate")
+    val audited = Set("gapfill_interpolate")
     def reachesGenerate(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => false
       case _: Generate => true
@@ -624,8 +628,11 @@ class PlanShapeSpec extends SparkSpec {
     //    window-free or justify a bound in this list.
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Window => LWindow}
+    // (dedup_containment left this map in round 17 with its last keyed
+    // window: the per-fp windows are a sort_array(collect_list) aggregate
+    // since r16, the vocab rank a distributed range-sort +
+    // monotonically_increasing_id since r17.)
     val audited = Map(
-      "dedup_containment" -> "fp window spans one rep doc's own gram set (entity-bounded)",
       "ngram_lm_topk" -> "w1 window over aggregated bigram counts (vocab-bounded)",
       "continuation_rank" -> "w1 window over aggregated bigram counts (vocab-bounded)",
       "stump_split_gain" -> ("feature windows run over the aggregated " +
