@@ -37,6 +37,20 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r17 (guide §2.2/§2.4): let AQE size CACHED plans too. By default
+      // persist() pins the pre-adaptive shuffle partition count, so every
+      // persisted layer materializes at spark.sql.shuffle.partitions
+      // regardless of size, unions of persisted frames STACK those counts
+      // (the superstep family's checkpointed `visited` frames reached ~100
+      // near-empty partitions at sf0.1), and every downstream read pays
+      // one task per pinned partition — measured as the dominant cost of
+      // the graph queries (ProfileS: 40-60 ms task deserialize × ~100
+      // tasks × ~25 stages with near-zero executor run time). With AQE
+      // allowed to re-plan cached output partitioning, cached/persisted
+      // frames coalesce to the advisory byte target like any other
+      // exchange — scale-adaptive in both directions (few partitions at
+      // sf0.1, many at 100 TB), not a local[32] constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

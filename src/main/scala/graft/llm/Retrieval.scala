@@ -433,7 +433,12 @@ FROM per, tot"""
     // ascending (= the global frequency order), the set size, and the
     // prefix slice. It feeds the prefix explode and both verify sides, so
     // it is checkpointed once.
-    val perDoc = sets.join(freq, Seq("tok"))
+    // r17: re-spread the CHECKPOINTED frame (guarded no-op at scale) —
+    // cached-plan AQE materializes this aggregate at ~1 partition at
+    // small SF, and its consumers (prefix explode, candidate join, the
+    // array_intersect verify) are compute-heavy narrow stages.
+    val perDoc = graft.Tables.spreadKeyed(members.sparkSession,
+      sets.join(freq, Seq("tok"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("rk"))).as("arr"),
         count(lit(1)).as("n"))
@@ -441,7 +446,7 @@ FROM per, tot"""
       .withColumn("plen", (col("n") - expr("(7*n + 9) div 10") + 1).cast("int"))
       .select(col("doc_id"), col("n"), col("arr"),
         slice(col("arr"), lit(1), col("plen")).as("prefix_rks"))
-      .localCheckpoint()
+      .localCheckpoint(), Seq(col("doc_id")))
     val prefix = perDoc.select(col("doc_id"), col("n"),
       explode(col("prefix_rks")).as("tok"))
     // PPJoin length filter inside candidate generation: J ≥ 7/10 forces

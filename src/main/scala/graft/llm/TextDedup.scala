@@ -232,11 +232,17 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
     // group members have sort-equal gram arrays, so first() is
     // deterministic up to gram ORDER, which nothing downstream observes
     // (signatures min over the set, intersections are set-sized)
-    val reps = keyed.groupBy("fp")
+    // r17: with cached-plan AQE on, this aggregate materializes its
+    // checkpoint at ~1 partition at small SF — and every consumer's gram
+    // explode/tokenize then runs serial. Re-spread the CHECKPOINTED frame
+    // by the content key (guarded no-op at real scale, where the
+    // materialization already carries cluster parallelism).
+    val spark = grams.sparkSession
+    val reps = graft.Tables.spreadKeyed(spark, keyed.groupBy("fp")
       .agg(min(col("doc_id")).as("rep_id"),
         first(col("grams")).as("grams"),
         count(lit(1)).as("gsz"))
-      .localCheckpoint()
+      .localCheckpoint(), Seq(col("fp")))
     (members, reps)
   }
 
@@ -599,13 +605,17 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
       // in pure integer arithmetic (a double t·n can round the boundary).
       // Checkpointed once: feeds the prefix explode, the probe side and
       // both verification sides (the diamond-reuse rule).
-      val perRep = flat.join(grk.select("g", "rk"), "g")
+      // r17: re-spread the CHECKPOINTED frame (guarded no-op at scale) —
+      // cached-plan AQE materializes this aggregate at ~1 partition at
+      // small SF, and its consumers (prefix explode, candidate join, the
+      // array_intersect verify) are compute-heavy narrow stages.
+      val perRep = graft.Tables.spreadKeyed(s, flat.join(grk.select("g", "rk"), "g")
         .groupBy("fp")
         .agg(sort_array(collect_list(col("rk"))).as("arr"),
           count(lit(1)).as("n1c"))
         .withColumn("plen",
           (col("n1c") - expr("(n1c * 4 + 4) div 5") + 1).cast("int"))
-        .localCheckpoint()
+        .localCheckpoint(), Seq(col("fp")))
       val prefix = perRep.select(col("fp").as("fp1"),
         explode(slice(col("arr"), lit(1), col("plen"))).as("rk"))
       val cands = prefix

@@ -886,25 +886,43 @@ object Analytics {
     // state 2×, while probe work drops to output scale at any key skew.
     "stream_exec_join" -> ((s, d) => graft.streaming.StreamGate.scoped(s) {
       def src = Tables.eventsStream(s, d)
+      // r17: the composite key is now ADAPTIVE (StreamGate.hotPairProbe —
+      // the estDupRate pattern): the bucket explode bounds a hot key's
+      // state probing at Zipf skew but doubles the probe stream, a real
+      // ~1.2 s cost at benign skew (VERDICT r16 item 6). Both key shapes
+      // emit identical rows — the bucket conjunct is implied by the
+      // time-range predicate (p_bkt ∈ {cb, cb+1} whenever purchase_ts ∈
+      // [click_ts, click_ts + 1h]) — so the pre-pass only ever trades
+      // time (StreamJoinKeySpec pins the equivalence on skewed data).
+      val hot = graft.streaming.StreamGate.hotPairProbe(s, d)
       val hourUs = 3600L * 1000000L
       def hbkt(c: org.apache.spark.sql.Column) =
         floor(unix_micros(c).cast("double") / lit(hourUs.toDouble)).cast("long")
-      val clicks = src.filter(col("event_type") === "click")
+      val clicks0 = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
-        .withColumn("bkt",
-          explode(array(hbkt(col("click_ts")), hbkt(col("click_ts")) + 1)))
+      val clicks = (if (hot)
+          clicks0.withColumn("bkt",
+            explode(array(hbkt(col("click_ts")), hbkt(col("click_ts")) + 1)))
+        else clicks0)
         .withWatermark("click_ts", "1 hour")
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
-          col("ts").as("purchase_ts"), col("value").as("purchase_value"),
-          hbkt(col("ts")).as("p_bkt"))
+      val purchases0 = src.filter(col("event_type") === "purchase")
+      val purchases = (if (hot)
+          purchases0.select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("value").as("purchase_value"), hbkt(col("ts")).as("p_bkt"))
+        else
+          purchases0.select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("value").as("purchase_value")))
         .withWatermark("purchase_ts", "1 hour")
-      val joined = clicks.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("bkt") === col("p_bkt") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      val range = col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
+      val cond =
+        if (hot) col("user_id") === col("p_user_id") &&
+          col("bkt") === col("p_bkt") && range
+        else col("user_id") === col("p_user_id") && range
+      val joined = clicks.join(purchases, cond)
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           col("click_ts"), col("purchase_ts"), col("purchase_value"))
       val name = graft.streaming.StreamGate.uniqueName("graft_stream_join_sink")

@@ -799,28 +799,36 @@ FROM events"""
       // expanded into {pb, pb−1}, which covers cb ∈ {pb−1, pb} — every
       // in-window pair matches exactly once, every unmatched click still
       // emits exactly one null row.
+      // r17: the composite key is ADAPTIVE (StreamGate.hotPairProbe, see
+      // stream_exec_join) — the bucket conjunct is implied by the
+      // time-range predicate, so both shapes emit identical rows and the
+      // pre-pass only trades the explode tax against the hot-key probe.
+      val hot = graft.streaming.StreamGate.hotPairProbe(s, d)
       val hourUs = 3600L * 1000000L
       def hbkt(c: org.apache.spark.sql.Column) =
         floor(unix_micros(c).cast("double") / lit(hourUs.toDouble)).cast("long")
-      val clicks = src.filter(col("event_type") === "click")
+      val clicks0 = src.filter(col("event_type") === "click")
         .select(
           when(late, -col("event_id")).otherwise(col("event_id")).as("click_id"),
           when(late, lit(-1L)).otherwise(col("user_id")).as("user_id"),
           col("ts").as("click_ts"))
-        .withColumn("bkt", hbkt(col("click_ts")))
+      val clicks = (if (hot) clicks0.withColumn("bkt", hbkt(col("click_ts")))
+        else clicks0)
         .withWatermark("click_ts", "1 hour")
-      val purchases = src.filter(col("event_type") === "purchase")
+      val purchases0 = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
           col("ts").as("purchase_ts"), col("value").as("purchase_value"))
-        .withColumn("p_bkt",
+      val purchases = (if (hot) purchases0.withColumn("p_bkt",
           explode(array(hbkt(col("purchase_ts")), hbkt(col("purchase_ts")) - 1)))
+        else purchases0)
         .withWatermark("purchase_ts", "1 hour")
-      val joined = clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("bkt") === col("p_bkt") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
+      val range = col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
+      val cond =
+        if (hot) col("user_id") === col("p_user_id") &&
+          col("bkt") === col("p_bkt") && range
+        else col("user_id") === col("p_user_id") && range
+      val joined = clicks.join(purchases, cond, "left_outer")
         .select(col("click_id"), col("user_id"), col("click_ts"),
           col("purchase_id"), col("purchase_ts"), col("purchase_value"))
       val name = graft.streaming.StreamGate.uniqueName("graft_stream_left_join_sink")

@@ -36,6 +36,38 @@ object StreamGate {
     */
   val StreamShufflePartitions = 4
 
+  /** r17 adaptive band-join key (guide §2.5 hot keys; the estDupRate
+    * pattern): the stream-stream interval joins run on a composite
+    * (user, hour-bucket) equi-key with one side exploded into two bucket
+    * copies — the r16 fix that bounds a hot key's state probing to one
+    * interval's events (measured 127 s → output-scale on the Zipf tier).
+    * At benign skew the explode's doubled probe stream is the dominant
+    * cost (~1.2 s per gate at sf0.1, VERDICT r16), so the key shape is
+    * picked by a cheap batch pre-pass over the same events input: the
+    * maximum per-user clicks × purchases product bounds the probe work a
+    * bare user key would do for its hottest key. BOTH key shapes emit
+    * identical rows — the bucket conjunct is implied by the time-range
+    * predicate — so the estimate can only ever trade time, never
+    * correctness (the StreamJoinKeySpec pins the equivalence), and the
+    * two regimes sit orders of magnitude apart (benign testdata maxes
+    * near 7e2 pairs, the Zipf tier's hot key carries ~1e9), so the
+    * threshold is not finely tuned. Memoized per (session, dir) like
+    * contamination_overlap's collapse verdict; the pre-pass is one
+    * map-side-aggregable two-stage job over a 2-column projection. */
+  val HotPairThreshold: Long = 1L << 20
+  def hotPairProbe(s: SparkSession, d: String): Boolean =
+    graft.SessionCache.getOrElseUpdate(s, ("graft.streamHotPair", d)) {
+      import org.apache.spark.sql.functions._
+      val m = graft.Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        .agg(max(col("c") * col("p"))).head()
+      !m.isNullAt(0) && m.getLong(0) >= HotPairThreshold
+    }
+
   private lazy val root: Path = {
     // per-PID root: a concurrent graft JVM (driver verify vs local bench)
     // must never wipe this process's live checkpoints at its own first
