@@ -1142,8 +1142,17 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(s1.n + s2.n - n_shared AS DOUBLE) >= $Jacc
         // — the direct path keys by doc_id and never hashes a byte
         val keyed = docs.withColumn("fp", sha2(col("text"), 256))
         val members = keyed.select(col("fp"), col("doc_id"))
-        val r = keyed.groupBy("fp")
+        // r17: the rep frame feeds the G-gram flatMap TWICE (count build +
+        // probe). Checkpoint it once — the sha2 + collapse groupBy run one
+        // time instead of two — and re-spread the materialization by fp
+        // (cached-plan AQE coalesces this text-sized aggregate to ~1
+        // partition at small SF, serializing both flatMap evaluations;
+        // guarded no-op at real scale). The GRAM stream itself stays
+        // recompute-not-materialize (r16 measurement: persisting the
+        // G×-corpus stream costs more than re-running the flatMap).
+        val r = graft.Tables.spreadKeyed(s, keyed.groupBy("fp")
           .agg(first(col("text")).as("text"), count(lit(1)).as("copies"))
+          .localCheckpoint(), Seq(col("fp")))
         (r, (spans: DataFrame) =>
           // expansion: every member of a text group reports its rep's spans
           spans.join(members, "fp")
